@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{functions, types, DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver-generated testdata layout
+  * (TESTDATA.md / FIXTURES.md §B): one parquet file per table under an
+  * sf directory (`region nation customer supplier part orders lineitem
+  * events documents embeddings`).
+  *
+  * The reference engine reads its one table as a multi-file CSV directory
+  * scan with an explicit schema (reference: pyspark_app/
+  * spark_model_trainer.py:183-197); here every scan is a parquet scan so
+  * Catalyst gets column pruning + predicate pushdown for free.
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    // reader rejects; `tuned` sets nanosAsLong so it arrives as LongType
+    // nanos — convert to a proper timestamp (micros; the generator emits
+    // microsecond precision so this is lossless).
+    df.schema.find(f => f.name == "ts" && f.dataType == types.LongType) match {
+      case Some(_) =>
+        df.withColumn("ts",
+          functions.timestamp_micros((functions.col("ts") / 1000L)
+            .cast(types.LongType)))
+      case None => df
+    }
+  }
+
+  /** Session tuning applied at query-build time (idempotent).
+    *
+    * ANSI off restores the permissive cast semantics the reference's
+    * coercion layers rely on (unparseable string -> null -> filled
+    * default, reference: producer.py:79-87, batch_writer_consumer.py:
+    * 50-58); AQE handles runtime partition coalescing and skew joins,
+    * which is the 100 TB-scale answer to hand-tuned shuffle counts.
+    */
+  def tuned(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark
+  }
+}

@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [outDir]
+
+Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` has already run
+(or run with --run to invoke it). Loads each <outDir>/<name> parquet,
+runs the matching oracle SQL from oracle_sql.json in DuckDB (tables =
+<sfDir>/<table>.parquet registered as views), sorts columns by name and
+rows by all columns, and compares values.
+"""
+import json
+import math
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_df(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize timestamps to UTC-naive for comparison
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64[ns,"):
+            df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+        if bool(pd.isna(a)) != bool(pd.isna(b)):
+            return False
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def compare(name, got: pd.DataFrame, exp: pd.DataFrame):
+    if sorted(got.columns) != sorted(exp.columns):
+        return f"SCHEMA cols spark={sorted(got.columns)} oracle={sorted(exp.columns)}"
+    if len(got) != len(exp):
+        return f"ROWS spark={len(got)} oracle={len(exp)}"
+    g, e = norm_df(got), norm_df(exp)
+    for c in g.columns:
+        gv, ev = g[c].tolist(), e[c].tolist()
+        for i, (x, y) in enumerate(zip(gv, ev)):
+            if not values_equal(x, y):
+                return f"VALUE col={c} row={i} spark={x!r} oracle={y!r}"
+    return None
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    out_dir = Path(args[1] if len(args) > 1 else "/tmp/verify_out")
+    if "--run" in sys.argv:
+        r = subprocess.run(
+            ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out_dir}"],
+            cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+        if r.returncode != 0:
+            print(r.stdout[-4000:])
+            print(r.stderr[-4000:])
+            sys.exit(1)
+        for line in r.stdout.splitlines():
+            if "[verify]" in line:
+                print(line)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    oracles = json.loads((out_dir / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    result_dirs = sorted(d.name for d in out_dir.iterdir() if d.is_dir())
+    for name in result_dirs:
+        try:
+            got = pd.read_parquet(out_dir / name)
+        except Exception as ex:
+            print(f"FAIL {name}: cannot read spark result: {ex}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            status = "rows-only" + (" OK" if len(got) > 0 else " EMPTY!")
+            print(f"  -  {name}: no oracle ({status}, {len(got)} rows)")
+            continue
+        try:
+            exp = con.execute(oracles[name]).df()
+        except Exception as ex:
+            print(f"FAIL {name}: oracle SQL error: {ex}")
+            n_fail += 1
+            continue
+        err = compare(name, got, exp)
+        if err:
+            print(f"FAIL {name}: {err}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    missing = set(oracles) - set(result_dirs)
+    for name in sorted(missing):
+        print(f"FAIL {name}: oracle declared but no spark result written")
+        n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, "
+          f"{len(result_dirs) - n_pass - n_fail} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
