@@ -586,7 +586,8 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29) ++
-    graft.functions.ScalarQueries.registry
+    graft.functions.ScalarQueries.registry ++
+    graft.streaming.StreamQueries.registry
 
   private def normalize(sql: String): String =
     sql.trim.stripMargin.linesIterator.map(_.trim).filter(_.nonEmpty)

@@ -24,9 +24,10 @@ object Tables {
     // microsecond precision so this is lossless).
     df.schema.find(f => f.name == "ts" && f.dataType == types.LongType) match {
       case Some(_) =>
+        // integer division: `/` would be double division and lose
+        // precision above 2^53 (epoch-nanos is ~1.7e18)
         df.withColumn("ts",
-          functions.timestamp_micros((functions.col("ts") / 1000L)
-            .cast(types.LongType)))
+          functions.timestamp_micros(functions.expr("ts div 1000")))
       case None => df
     }
   }

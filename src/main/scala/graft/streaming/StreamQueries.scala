@@ -1,0 +1,197 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+
+/** Event-time query surface (SURVEY §2.7): the reference has no
+  * event-time at all — its "windowing" is a 2,000-message count batch
+  * (batch_writer_consumer.py:8,63) — so tumbling/sliding/session windows
+  * and the streaming pipeline itself are engine extensions, exercised
+  * over the events table.
+  */
+object StreamQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) =
+    Tables.load(Tables.tuned(s), dir, n)
+
+  /** Raw parquet schema of the events table as the streaming file source
+    * sees it (ts arrives as nanos LongType under nanosAsLong). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling 1-hour windows, keyed by event type. */
+  private val q40 = Q(
+    "q40_tumbling_window",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("event_type"), col("n"), col("sum_value")),
+    Some("""
+      SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT) AS w_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    """))
+
+  /** Sliding windows: 2-hour width, 1-hour slide (each event lands in
+    * exactly two windows). The oracle reproduces the slide as the union
+    * of two offset tumbling grids. */
+  private val q41 = Q(
+    "q41_sliding_window",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("n"), col("sum_value")),
+    Some("""
+      SELECT CAST(epoch(time_bucket(INTERVAL 2 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT) AS w_start,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1
+      UNION ALL
+      SELECT CAST(epoch(time_bucket(INTERVAL 2 HOUR, CAST(ts AS TIMESTAMP), INTERVAL 1 HOUR)) AS BIGINT) AS w_start,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1
+    """))
+
+  /** Sessionization with a 30-minute inactivity gap, batch formulation
+    * (gaps-and-islands: new-session flag via lag, session id via running
+    * sum). The streaming formulation (`session_window`) is exercised in
+    * ScalaTest; this one is oracle-checkable. */
+  private val q42 = Q(
+    "q42_sessionize",
+    (s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_ms").isNull ||
+            unix_millis(col("ts")) - col("prev_ms") > 30L * 60 * 1000, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("is_new")).over(run))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(unix_millis(col("ts"))).as("session_start_ms"),
+          max(unix_millis(col("ts"))).as("session_end_ms"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_value"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, event_id, value, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+               CASE WHEN lag(epoch_ms(CAST(ts AS TIMESTAMP)), 1)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR epoch_ms(CAST(ts AS TIMESTAMP)) - lag(epoch_ms(CAST(ts AS TIMESTAMP)), 1)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id) > 30*60*1000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events),
+      sessions AS (
+        SELECT user_id, value, ms,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged)
+      SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+             MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM sessions GROUP BY 1, 2
+    """))
+
+  /** A real Structured Streaming query: file source -> event-time
+    * tumbling aggregation -> memory sink, drained with
+    * Trigger.AvailableNow. Result is identical to the batch q40 grouped
+    * without the key, which is exactly what the oracle checks — the
+    * batch/streaming unification Spark promises.
+    */
+  private val q43 = Q(
+    "q43_stream_tumbling",
+    (s, dir) => {
+      Tables.tuned(s)
+      val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
+      val src = s.readStream
+        .schema(eventsRawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = src
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("n"), col("sum_value"))
+      val query = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(name)
+    },
+    Some("""
+      SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT) AS w_start,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1
+    """))
+
+  /** The reference's whole ingest path end-to-end: stream the events
+    * table through the count-batched CSV writer (2,000 rows/file,
+    * final partial file included — batch_writer_consumer.py:63-83),
+    * then scan the produced batch directory back as one table
+    * (spark_model_trainer.py:183-197) and profile it. */
+  private val q44 = Q(
+    "q44_stream_batchwriter",
+    (s, dir) => {
+      Tables.tuned(s)
+      val out = Files.createTempDirectory("graft_batches_").toString
+      val src = s.readStream
+        .schema(eventsRawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      BatchWriter.writeCountBatches(src, out, batchSize = 2000)
+        .awaitTermination()
+      val csvSchema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      s.read.option("header", "true").schema(csvSchema).csv(out)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("_metadata.file_path")).as("n_files"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_value"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n_rows,
+             CAST(CEIL(COUNT(*) / 2000.0) AS BIGINT) AS n_files,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+    """))
+
+  val registry: Seq[Q] = Seq(q40, q41, q42, q43, q44)
+}

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Ev(user_id: Long, ts: Timestamp, value: Double)
+case class UserMax(user_id: Long, max_value: Double)
+
+/** Streaming semantics the DuckDB oracle cannot check: count-batched
+  * file sink (reference: batch_writer_consumer.py:8,63-83), session
+  * windows, watermark late-data handling, and custom state via
+  * mapGroupsWithState (SURVEY §2.7).
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("count-batched csv writer: 2000-row files incl. final partial flush") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Long]
+    ms.addData(1L to 4500L: _*)
+    val out = java.nio.file.Files.createTempDirectory("graft_bw_").toString
+    BatchWriter.writeCountBatches(
+      ms.toDF().withColumnRenamed("value", "event_id"), out)
+      .awaitTermination()
+    val files = new java.io.File(out).listFiles
+      .filter(_.getName.endsWith(".csv"))
+    // 4500 rows at <=2000/file = 2000 + 2000 + 500, mirroring the
+    // reference's batch_0.csv/batch_1.csv/final partial batch
+    assert(files.length == 3)
+    val counts = files.map { f =>
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().size - 1 finally src.close() // minus header
+    }.sorted.toSeq
+    assert(counts == Seq(500, 2000, 2000))
+    assert(spark.read.option("header", "true").csv(out).count() == 4500)
+  }
+
+  test("session_window merges events within the gap, splits across it") {
+    import spark.implicits._
+    val df = Seq(
+      Ev(1, ts("2024-01-01 00:00:00"), 1.0),
+      Ev(1, ts("2024-01-01 00:05:00"), 2.0), // same session (gap 5m < 10m)
+      Ev(1, ts("2024-01-01 01:00:00"), 3.0), // new session
+      Ev(2, ts("2024-01-01 00:00:00"), 4.0)).toDF()
+    val sessions = df
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("user_id"), col("n"), col("v"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(sessions == Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)))
+  }
+
+  test("watermark drops late data in append-mode windowed aggregation") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val agg = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("user_id"), col("n"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("wm_test")
+      .start()
+    // batch 1: two on-time events + one far ahead that pushes the
+    // watermark to 00:50
+    ms.addData(
+      Ev(1, ts("2024-01-01 00:00:00"), 1.0),
+      Ev(1, ts("2024-01-01 00:05:00"), 1.0),
+      Ev(1, ts("2024-01-01 01:00:00"), 1.0))
+    q.processAllAvailable()
+    // batch 2: a late event (00:01 < watermark 00:50) must be dropped;
+    // 02:00 advances the watermark so the 01:00 window finalizes
+    ms.addData(
+      Ev(1, ts("2024-01-01 00:01:00"), 1.0),
+      Ev(1, ts("2024-01-01 02:00:00"), 1.0))
+    q.processAllAvailable()
+    // one more batch so closed windows flush
+    ms.addData(Ev(1, ts("2024-01-01 03:00:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val emitted: Map[(String, Long), Long] = spark.table("wm_test")
+      .as[(Timestamp, Long, Long)].collect()
+      .map { case (w, u, n) => (w.toString, u) -> n }.toMap
+    // the 00:00 window holds exactly the 2 on-time events — the late
+    // 00:01 arrival did not reopen it
+    assert(emitted.get(("2024-01-01 00:00:00.0", 1L)).contains(2L))
+    assert(emitted.get(("2024-01-01 01:00:00.0", 1L)).contains(1L))
+  }
+
+  test("mapGroupsWithState keeps running per-user max across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val updateFn: (Long, Iterator[Ev], GroupState[Double]) => UserMax =
+      (user, evs, state) => {
+        val prev = state.getOption.getOrElse(Double.MinValue)
+        val mx = (Iterator.single(prev) ++ evs.map(_.value)).max
+        state.update(mx)
+        UserMax(user, mx)
+      }
+    val result = ms.toDS()
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(updateFn)
+    val q = result.writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("state_test")
+      .start()
+    ms.addData(Ev(1, ts("2024-01-01 00:00:00"), 5.0),
+      Ev(2, ts("2024-01-01 00:00:00"), 7.0))
+    q.processAllAvailable()
+    ms.addData(Ev(1, ts("2024-01-01 00:01:00"), 9.0),
+      Ev(2, ts("2024-01-01 00:01:00"), 3.0))
+    q.processAllAvailable()
+    q.stop()
+    // the running max is monotonic, so the per-user max over all
+    // emitted updates equals the final state
+    val finalMax = spark.table("state_test").as[UserMax].collect()
+      .groupBy(_.user_id)
+      .map { case (u, rows) => u -> rows.map(_.max_value).max }
+    assert(finalMax == Map(1L -> 9.0, 2L -> 7.0))
+  }
+}
