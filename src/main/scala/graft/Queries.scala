@@ -587,7 +587,8 @@ object Queries {
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29) ++
     graft.functions.ScalarQueries.registry ++
-    graft.streaming.StreamQueries.registry
+    graft.streaming.StreamQueries.registry ++
+    graft.operators.DedupQueries.registry
 
   private def normalize(sql: String): String =
     sql.trim.stripMargin.linesIterator.map(_.trim).filter(_.nonEmpty)

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis column builders for the large-scale training-data
+  * pipeline ops (dedup, language-ID, quality scoring, token counting,
+  * fingerprinting). Everything is built from codegen'd built-ins —
+  * no UDFs — and every hash is md5-based so DuckDB oracles can
+  * reproduce it byte-for-byte (see Exprs.md5Int32).
+  */
+object TextOps {
+
+  /** Normalize: lowercase, trim, collapse whitespace runs. */
+  def norm(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** Whitespace tokenization of normalized text. */
+  def words(c: Column): Column = split(norm(c), " ")
+
+  /** Word n-gram shingles: ["a b c","b c d",...]; empty when the doc is
+    * shorter than n (guard needed because sequence(0, negative) would
+    * produce a descending range, not an empty one).
+    */
+  def shingles(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - lit(n)),
+        i => array_join(slice(w, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** One MinHash signature component: min over shingles of a salted md5.
+    * The lexicographic min over hex strings is a valid uniform min-hash
+    * and — unlike integer hash mixing — is reproducible in any engine
+    * with md5. */
+  def minhash(sh: Column, salt: Int): Column =
+    array_min(transform(sh, x => md5(concat(lit(s"$salt|"), x))))
+
+  /** Count of tokens drawn from a fixed vocabulary (stopword counting,
+    * language-marker scoring). */
+  def vocabHits(w: Column, vocab: Seq[String]): Column =
+    size(filter(w, x => x.isin(vocab: _*)))
+
+  /** Content-defined fingerprint: md5 of the sorted distinct vocabulary
+    * of the document (word-order independent — catches reshuffled
+    * near-identical docs). */
+  def fingerprint(c: Column): Column =
+    md5(array_join(array_sort(array_distinct(words(c))), " "))
+
+  /** SimHash over the distinct words of a document, `bits` wide.
+    * Per bit b: the bit is set iff the majority of word-hashes have bit
+    * b set. Implemented as a generated expression (one filter/count per
+    * bit) shared verbatim — modulo function names — with the DuckDB
+    * oracle; see [[simhashSparkExpr]] / [[simhashDuckExpr]].
+    */
+  def simhashSparkExpr(textCol: String, bits: Int): String = {
+    val hw = s"transform(array_distinct(split($textCol, ' ')), " +
+      "w -> cast(conv(substring(md5(w),1,8),16,10) as bigint))"
+    val nw = s"size(array_distinct(split($textCol, ' ')))"
+    val terms = (0 until bits).map { b =>
+      val p = 1L << b
+      s"(CASE WHEN 2*size(filter($hw, h -> (h div $p) % 2 = 1)) > $nw " +
+        s"THEN CAST($p AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }
+    terms.mkString(" + ")
+  }
+
+  /** DuckDB rendering of the identical simhash formula. */
+  def simhashDuckExpr(textCol: String, bits: Int): String = {
+    val hw = s"[CAST(('0x'||substr(md5(w),1,8)) AS BIGINT) " +
+      s"FOR w IN list_distinct(string_split($textCol, ' '))]"
+    val nw = s"len(list_distinct(string_split($textCol, ' ')))"
+    val terms = (0 until bits).map { b =>
+      val p = 1L << b
+      s"(CASE WHEN 2*len(list_filter($hw, h -> (h//$p) % 2 = 1)) > $nw " +
+        s"THEN CAST($p AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }
+    terms.mkString(" + ")
+  }
+}

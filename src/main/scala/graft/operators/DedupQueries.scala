@@ -1,0 +1,325 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+import graft.functions.TextOps
+
+/** Deduplication + text-analysis suite over the documents table — the
+  * large-scale training-data-pipeline operators (exact dedup,
+  * MinHash+LSH near-dup, SimHash, n-gram Jaccard, language-ID, quality
+  * scoring, token counting, fingerprinting).
+  *
+  * The dedup queries run over a corpus with planted duplicates (exact
+  * copies of doc_id<20, near-copies — last word dropped — of
+  * doc_id<10) built identically on both engines, so detection is
+  * demonstrated on known positives instead of vacuously passing on an
+  * all-unique corpus.
+  *
+  * Scale design: every step is a shuffle on a hash/shingle key or an
+  * explode-join — no driver-side collection anywhere. At 100 TB the
+  * shingle explode is the dominant cost; the LSH banding keeps the
+  * candidate-pair join bounded (pairs share a band bucket) instead of
+  * the O(n²) all-pairs comparison.
+  */
+object DedupQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) =
+    Tables.load(Tables.tuned(s), dir, n)
+
+  /** documents ∪ exact copies (doc_id<20, +200000) ∪ near copies
+    * (doc_id<10, +100000, last word dropped). */
+  private def corpus(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val exact = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+    val w = TextOps.words(col("text"))
+    val near = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        array_join(slice(w, lit(1), size(w) - 1), " ").as("text"))
+    base.unionByName(exact).unionByName(near)
+  }
+
+  /** The same corpus as a DuckDB CTE. */
+  private val corpusSql: String = {
+    val w = """string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ')"""
+    s"""corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id < 20
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             array_to_string(($w)[1:len($w)-1], ' ') AS text
+      FROM documents WHERE doc_id < 10)"""
+  }
+
+  /** Distinct 3-word shingle sets per doc, as a DuckDB CTE chain. */
+  private val shingleSql: String =
+    s"""$corpusSql,
+    tok AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(lower(text)),'\\s+',' ','g'),' ') AS w
+      FROM corpus),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i+1:i+3],' ') FOR i IN range(len(w)-2)]) AS sh
+      FROM tok)"""
+
+  // ---------------------------------------------------------------------
+
+  /** Exact deduplication: hash-groupBy on md5 of normalized text; dup
+    * groups report the kept (min) doc id. Finds exactly the 20 planted
+    * exact copies. */
+  private val q45 = Q(
+    "q45_dedup_exact",
+    (s, dir) =>
+      corpus(t(s, dir, "documents"))
+        .withColumn("h", md5(TextOps.norm(col("text"))))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1),
+    Some(s"""
+      WITH $corpusSql
+      SELECT md5(regexp_replace(trim(lower(text)),'\\s+',' ','g')) AS h,
+             MIN(doc_id) AS keeper, COUNT(*) AS cnt
+      FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+    """))
+
+  /** Content fingerprint (order-independent): md5 of sorted distinct
+    * vocabulary per document. */
+  private val q46 = Q(
+    "q46_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp")),
+    Some("""
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' '))), ' ')) AS fp
+      FROM documents
+    """))
+
+  /** Token counting: whitespace tokens and a BPE-ish regex tokenizer
+    * (letter runs | digit runs | single punctuation). */
+  private val q47 = Q(
+    "q47_token_stats",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("t", TextOps.norm(col("text")))
+      val nWs = size(split(col("t"), " "))
+      d.select(
+        col("doc_id"),
+        nWs.cast(LongType).as("n_ws_tokens"),
+        size(regexp_extract_all(col("t"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast(LongType).as("n_re_tokens"),
+        (length(col("t")) - (nWs - lit(1))).cast(LongType).as("n_token_chars"),
+        ((length(col("t")) - (nWs - lit(1))).cast(DoubleType) / nWs)
+          .as("avg_token_len"))
+    },
+    Some("""
+      SELECT doc_id,
+             len(string_split(t,' ')) AS n_ws_tokens,
+             len(regexp_extract_all(t, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens,
+             length(t) - (len(string_split(t,' ')) - 1) AS n_token_chars,
+             CAST(length(t) - (len(string_split(t,' ')) - 1) AS DOUBLE) / len(string_split(t,' ')) AS avg_token_len
+      FROM (SELECT doc_id, regexp_replace(trim(lower(text)),'\s+',' ','g') AS t
+            FROM documents)
+    """))
+
+  /** Quality scoring: type-token ratio, stopword ratio, length prior —
+    * the standard pretraining-corpus quality heuristics. */
+  private val q48 = Q(
+    "q48_quality_score",
+    (s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in")
+      val d = t(s, dir, "documents")
+        .withColumn("w", TextOps.words(col("text")))
+      val nW = size(col("w"))
+      val ttr = size(array_distinct(col("w"))).cast(DoubleType) / nW
+      val stopRatio = TextOps.vocabHits(col("w"), stop).cast(DoubleType) / nW
+      val lenPrior = least(lit(1.0), nW.cast(DoubleType) / 100.0)
+      d.select(
+        col("doc_id"),
+        nW.cast(LongType).as("n_words"),
+        ttr.as("ttr"),
+        stopRatio.as("stop_ratio"),
+        round(ttr * 0.4 + (lit(1.0) - stopRatio) * 0.3 + lenPrior * 0.3, 6)
+          .as("quality_score"))
+    },
+    Some("""
+      SELECT doc_id,
+             len(w) AS n_words,
+             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+             CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) / len(w) AS stop_ratio,
+             round((CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
+                   + (1.0 - CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) / len(w)) * 0.3
+                   + LEAST(1.0, CAST(len(w) AS DOUBLE) / 100.0) * 0.3, 6) AS quality_score
+      FROM (SELECT doc_id,
+              string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ') AS w
+            FROM documents)
+    """))
+
+  /** Language identification: marker-vocabulary scoring with a
+    * deterministic arg-max (confusion matrix against the labeled lang
+    * column). */
+  private val q49 = Q(
+    "q49_langid",
+    (s, dir) => {
+      val markers = Seq(
+        "en" -> Seq("the", "a", "fast"),
+        "fr" -> Seq("table", "column", "merge"),
+        "es" -> Seq("data", "sort", "row"),
+        "de" -> Seq("group", "join", "hash"))
+      val d = t(s, dir, "documents")
+        .withColumn("w", TextOps.words(col("text")))
+      val scored = markers.foldLeft(d) { case (df, (l, vocab)) =>
+        df.withColumn(s"s_$l", TextOps.vocabHits(col("w"), vocab))
+      }
+      scored
+        .withColumn("predicted",
+          when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_es") &&
+            col("s_en") >= col("s_de") && col("s_en") > 0, "en")
+            .when(col("s_fr") >= col("s_es") && col("s_fr") >= col("s_de") &&
+              col("s_fr") > 0, "fr")
+            .when(col("s_es") >= col("s_de") && col("s_es") > 0, "es")
+            .when(col("s_de") > 0, "de")
+            .otherwise("unknown"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT lang,
+               len(list_filter(w, x -> x IN ('the','a','fast'))) AS s_en,
+               len(list_filter(w, x -> x IN ('table','column','merge'))) AS s_fr,
+               len(list_filter(w, x -> x IN ('data','sort','row'))) AS s_es,
+               len(list_filter(w, x -> x IN ('group','join','hash'))) AS s_de
+        FROM (SELECT lang,
+                string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ') AS w
+              FROM documents))
+      SELECT lang,
+             CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+                  WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+                  WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+                  WHEN s_de > 0 THEN 'de'
+                  ELSE 'unknown' END AS predicted,
+             COUNT(*) AS n
+      FROM scored GROUP BY 1, 2
+    """))
+
+  /** n-gram Jaccard near-dup: explode distinct 3-shingles, self-join on
+    * shingle (candidates = pairs sharing ≥1 shingle; the join count IS
+    * the intersection size), Jaccard ≥ 0.3. */
+  private val q50 = Q(
+    "q50_ngram_jaccard",
+    (s, dir) => {
+      val c = corpus(t(s, dir, "documents"))
+        .withColumn("sh",
+          array_distinct(TextOps.shingles(TextOps.words(col("text")), 3)))
+      val ex = c.select(col("doc_id"), size(col("sh")).as("nsh"),
+        explode(col("sh")).as("s"))
+      val pairs = ex.alias("a")
+        .join(ex.alias("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.nsh").as("n1"), col("b.nsh").as("n2"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .withColumn("jaccard",
+          col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= 0.3)
+        .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jac"))
+    },
+    Some(s"""
+      WITH $shingleSql,
+      ex AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM sh),
+      p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.nsh AS n1, b.nsh AS n2,
+                   COUNT(*) AS inter
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+      SELECT d1, d2,
+             round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jac
+      FROM p WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.3
+    """))
+
+  /** MinHash + LSH near-dup: 8 salted-md5 minhash components, 4 bands
+    * of 2, candidate pairs from band-bucket equality, verified with
+    * exact Jaccard ≥ 0.5 on the shingle sets. The banding join is the
+    * 100 TB path — candidates are generated per-bucket, never all-pairs.
+    */
+  private val q51 = Q(
+    "q51_minhash_lsh",
+    (s, dir) => {
+      val c = corpus(t(s, dir, "documents"))
+        .withColumn("sh",
+          array_distinct(TextOps.shingles(TextOps.words(col("text")), 3)))
+      val withMin = (0 until 8).foldLeft(c) { (df, i) =>
+        df.withColumn(s"m$i", TextOps.minhash(col("sh"), i))
+      }
+      val withBands = withMin.withColumn("bands",
+        array((0 until 4).map(j =>
+          md5(concat(col(s"m${2 * j}"), col(s"m${2 * j + 1}")))): _*))
+      val ex = withBands.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_idx", "bh")))
+      val cand = ex.alias("a")
+        .join(ex.alias("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val shTab = c.select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+      cand
+        .join(shTab.select(col("doc_id").as("d1"), col("sh").as("sh1"),
+          col("nsh").as("n1")), "d1")
+        .join(shTab.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+          col("nsh").as("n2")), "d2")
+        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+        .withColumn("jaccard",
+          col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jac"))
+    },
+    Some {
+      val mins = (0 until 8).map(i =>
+        s"list_min([md5('$i|'||s) FOR s IN sh]) AS m$i").mkString(", ")
+      val bandSelects = (0 until 4).map(j =>
+        s"SELECT doc_id, $j AS band_idx, md5(m${2 * j}||m${2 * j + 1}) AS bh FROM mh")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH $shingleSql,
+      mh AS (SELECT doc_id, sh, $mins FROM sh),
+      bands AS ($bandSelects),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.bh = b.bh
+                  AND a.doc_id < b.doc_id),
+      v AS (SELECT d1, d2,
+                   len(list_intersect(s1.sh, s2.sh)) AS inter,
+                   len(s1.sh) AS n1, len(s2.sh) AS n2
+            FROM cand
+            JOIN sh s1 ON s1.doc_id = d1
+            JOIN sh s2 ON s2.doc_id = d2)
+      SELECT d1, d2,
+             round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jac
+      FROM v WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.5
+      """
+    })
+
+  /** SimHash (16-bit, majority vote over distinct-word hashes) — the
+    * constant-size near-dup signature. */
+  private val q52 = Q(
+    "q52_simhash",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .selectExpr("doc_id",
+          s"${TextOps.simhashSparkExpr("text", 16)} AS simhash"),
+    Some(
+      s"""SELECT doc_id, ${TextOps.simhashDuckExpr("text", 16)} AS simhash
+          FROM documents"""))
+
+  val registry: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52)
+}
