@@ -588,7 +588,8 @@ object Queries {
     q26, q27, q28, q29) ++
     graft.functions.ScalarQueries.registry ++
     graft.streaming.StreamQueries.registry ++
-    graft.operators.DedupQueries.registry
+    graft.operators.DedupQueries.registry ++
+    graft.operators.SimilarityQueries.registry
 
   private def normalize(sql: String): String =
     sql.trim.stripMargin.linesIterator.map(_.trim).filter(_.nonEmpty)

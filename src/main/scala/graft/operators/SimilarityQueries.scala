@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+
+/** Similarity search over the embeddings table (SURVEY §2.6 — the one
+  * operator family the reference implements outside Spark, via a
+  * collect-to-driver sklearn KNN at api.py:107-119).
+  *
+  * Engine design: similarity scoring stays distributed. Exact top-k is
+  * a scan + TakeOrderedAndProject (per-partition heap of k, driver
+  * merges k·partitions rows — no shuffle of the data); the
+  * random-hyperplane LSH variant buckets vectors so candidate
+  * generation is per-bucket — the 100 TB path where a full scan per
+  * probe is no longer acceptable.
+  *
+  * All vector math is an index-ordered left fold over doubles
+  * (`aggregate(zip_with(...))`), which DuckDB's sequential
+  * list_dot_product reproduces bit-for-bit — so even top-k membership
+  * agrees exactly.
+  */
+object SimilarityQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) =
+    Tables.load(Tables.tuned(s), dir, n)
+
+  private val DIM = 64
+
+  /** float[] -> double[] (exact widening). */
+  private def asDouble(c: Column): Column =
+    transform(c, x => x.cast(DoubleType))
+
+  /** Index-ordered dot product: left fold, same order as DuckDB. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  private val duckCos =
+    "list_dot_product(v, pv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv)))"
+
+  /** Deterministic pseudo-random hyperplane component r(p,i) in [-1,1],
+    * reproducible on any engine with md5. */
+  private def planeSpark(p: Int): Column =
+    transform(sequence(lit(0), lit(DIM - 1)), i =>
+      (conv(substring(md5(concat(lit(s"${p}_"), i.cast(StringType))), 1, 8),
+        16, 10).cast(LongType) % 2001 - 1000).cast(DoubleType) / 1000.0)
+
+  private def planeDuck(p: Int): String =
+    s"[(CAST(('0x'||substr(md5('${p}_'||i),1,8)) AS BIGINT) % 2001 - 1000)/1000.0 " +
+      s"FOR i IN range($DIM)]"
+
+  // ---------------------------------------------------------------------
+
+  /** Exact cosine top-10 for a single probe vector (the reference's
+    * model-3 KNN, distributed: broadcast 1-row probe, scan, top-k). */
+  private val q53 = Q(
+    "q53_cosine_knn",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+      e.crossJoin(broadcast(probe))
+        .withColumn("sim", cosine(col("v"), col("pv")))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), round(col("sim"), 5).as("sim"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+      SELECT vec_id, round($duckCos, 5) AS sim
+      FROM e, p
+      ORDER BY $duckCos DESC, vec_id ASC LIMIT 10
+    """))
+
+  /** Batch KNN: top-5 neighbours for each of 5 probe vectors via a
+    * ranking window over the scored cross join (self excluded). */
+  private val q54 = Q(
+    "q54_knn_multiprobe",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("sim", cosine(col("v"), col("pv")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("vec_id"),
+          round(col("sim"), 5).as("sim"), asLongCol(col("rn")).as("rn"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT probe_id, vec_id, $duckCos AS sim
+        FROM e, probes WHERE vec_id <> probe_id),
+      ranked AS (
+        SELECT probe_id, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, vec_id ASC) AS rn
+        FROM scored)
+      SELECT probe_id, vec_id, round(sim, 5) AS sim, CAST(rn AS BIGINT) AS rn
+      FROM ranked WHERE rn <= 5
+    """))
+
+  private def asLongCol(c: Column): Column = c.cast(LongType)
+
+  /** Random-hyperplane LSH bucketing: 8 deterministic md5-derived
+    * planes -> 8 sign bits -> 256-bucket histogram. The scale path for
+    * ANN: probes only compare against their own bucket. */
+  private val q55 = Q(
+    "q55_ann_lsh_buckets",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val bucket = (0 until 8).map { p =>
+        when(dot(col("v"), planeSpark(p)) > 0.0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      e.withColumn("bucket", bucket)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("label")).as("n_labels"))
+    },
+    Some {
+      val bits = (0 until 8).map { p =>
+        s"(CASE WHEN list_dot_product(v, ${planeDuck(p)}) > 0.0 " +
+          s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT $bits AS bucket, COUNT(*) AS n,
+             COUNT(DISTINCT label) AS n_labels
+      FROM e GROUP BY 1
+      """
+    })
+
+  /** ANN query through the LSH index: the probe scans only its own
+    * bucket (here bucket sizes are ~n/256; at 100 TB this is the
+    * difference between a full scan and a partition-pruned lookup). */
+  private val q56 = Q(
+    "q56_ann_lsh_query",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val bucket = (0 until 8).map { p =>
+        when(dot(col("v"), planeSpark(p)) > 0.0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val bucketed = e.withColumn("bucket", bucket)
+      val probe = bucketed.filter(col("vec_id") === 0)
+        .select(col("v").as("pv"), col("bucket").as("pbucket"))
+      bucketed.join(broadcast(probe),
+          col("bucket") === col("pbucket") && col("vec_id") =!= 0)
+        .withColumn("sim", cosine(col("v"), col("pv")))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(5)
+        .select(col("vec_id"), col("bucket"), round(col("sim"), 5).as("sim"))
+    },
+    Some {
+      val bits = (0 until 8).map { p =>
+        s"(CASE WHEN list_dot_product(v, ${planeDuck(p)}) > 0.0 " +
+          s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      b AS (SELECT vec_id, v, $bits AS bucket FROM e),
+      p AS (SELECT v AS pv, bucket AS pbucket FROM b WHERE vec_id = 0)
+      SELECT vec_id, bucket, round($duckCos, 5) AS sim
+      FROM b, p WHERE bucket = pbucket AND vec_id <> 0
+      ORDER BY $duckCos DESC, vec_id ASC LIMIT 5
+      """
+    })
+
+  /** Embedding-column profile: per-label counts, dimension bounds, and
+    * norm range (min/max are summation-order-independent, unlike avg). */
+  private val q57 = Q(
+    "q57_embedding_stats",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      e.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          min(size(col("v"))).cast(LongType).as("min_dim"),
+          max(size(col("v"))).cast(LongType).as("max_dim"),
+          round(min(l2norm(col("v"))), 5).as("min_norm"),
+          round(max(l2norm(col("v"))), 5).as("max_norm"))
+    },
+    Some("""
+      WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT label, COUNT(*) AS n,
+             CAST(MIN(len(v)) AS BIGINT) AS min_dim,
+             CAST(MAX(len(v)) AS BIGINT) AS max_dim,
+             round(MIN(sqrt(list_dot_product(v, v))), 5) AS min_norm,
+             round(MAX(sqrt(list_dot_product(v, v))), 5) AS max_norm
+      FROM e GROUP BY 1
+    """))
+
+  val registry: Seq[Q] = Seq(q53, q54, q55, q56, q57)
+}
