@@ -589,7 +589,8 @@ object Queries {
     graft.functions.ScalarQueries.registry ++
     graft.streaming.StreamQueries.registry ++
     graft.operators.DedupQueries.registry ++
-    graft.operators.SimilarityQueries.registry
+    graft.operators.SimilarityQueries.registry ++
+    graft.ml.MlQueries.registry
 
   private def normalize(sql: String): String =
     sql.trim.stripMargin.linesIterator.map(_.trim).filter(_.nonEmpty)

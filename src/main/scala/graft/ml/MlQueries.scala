@@ -1,0 +1,150 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.classification.GBTClassifier
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.ml.regression.GBTRegressor
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+import graft.operators.Multimodal
+
+/** ML + multimodal query entries. The model-fitting queries have no SQL
+  * oracle (DuckDB has no KMeans/GBT) — the driver records the weaker
+  * rows>0 check — but each output is a small deterministic-shape summary
+  * so regressions are visible; exact ML semantics are asserted in
+  * ScalaTest (TrainerSpec/ServeSpec) instead.
+  */
+object MlQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) =
+    Tables.load(Tables.tuned(s), dir, n)
+
+  /** KMeans(k=5, seed=1) over scaled lineitem numerics -> cluster-size
+    * histogram (the reference's models 1-2 shape on the fixture
+    * schema). */
+  private val q60 = Q(
+    "q60_ml_kmeans",
+    (s, dir) => {
+      val features = Array("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val df = t(s, dir, "lineitem").select(features.map(col).toIndexedSeq: _*)
+      val pipeline = new Pipeline().setStages(Array(
+        new VectorAssembler().setInputCols(features).setOutputCol("f")
+          .setHandleInvalid("skip"),
+        new StandardScaler().setInputCol("f").setOutputCol("sf")
+          .setWithMean(true).setWithStd(true),
+        new KMeans().setK(5).setSeed(1L).setFeaturesCol("sf")))
+      pipeline.fit(df).transform(df)
+        .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+        .select(col("prediction").cast(LongType).as("cluster"), col("n"))
+    },
+    None)
+
+  /** GBT regression (maxIter=10, pinned seed): predict extended price
+    * from quantity/discount/tax; output = row count + error profile. */
+  private val q61 = Q(
+    "q61_ml_gbt_regression",
+    (s, dir) => {
+      val features = Array("l_quantity", "l_discount", "l_tax")
+      val df = t(s, dir, "lineitem")
+        .select((features :+ "l_extendedprice").map(col).toIndexedSeq: _*)
+      val pipeline = new Pipeline().setStages(Array(
+        new VectorAssembler().setInputCols(features).setOutputCol("f"),
+        new GBTRegressor().setLabelCol("l_extendedprice").setFeaturesCol("f")
+          .setMaxIter(10).setSeed(42L)))
+      pipeline.fit(df).transform(df)
+        .agg(count(lit(1)).as("n"),
+          round(avg(abs(col("prediction") - col("l_extendedprice"))), 2)
+            .as("mae"))
+    },
+    None)
+
+  /** GBT binary classification of the reference's conditional label
+    * (quantity > 25) -> confusion matrix. */
+  private val q62 = Q(
+    "q62_ml_gbt_classifier",
+    (s, dir) => {
+      val features = Array("l_extendedprice", "l_discount", "l_tax")
+      val df = t(s, dir, "lineitem")
+        .withColumn("label",
+          when(col("l_quantity") > 25.0, 1.0).otherwise(0.0))
+      val pipeline = new Pipeline().setStages(Array(
+        new VectorAssembler().setInputCols(features).setOutputCol("f"),
+        new GBTClassifier().setLabelCol("label").setFeaturesCol("f")
+          .setMaxIter(10).setSeed(42L)))
+      pipeline.fit(df).transform(df)
+        .groupBy(col("label"), col("prediction"))
+        .agg(count(lit(1)).as("n"))
+    },
+    None)
+
+  /** The full reference training run (5 cumulative models over the food
+    * schema mapped onto lineitem columns) — artifacts round-trip through
+    * disk; output reports rows-per-model. */
+  private val q63 = Q(
+    "q63_ml_cumulative_train",
+    (s, dir) => {
+      import s.implicits._
+      // map fixture columns onto the food schema: quantity -> protein,
+      // extendedprice -> energy, etc.; prepare() synthesizes the rest
+      val raw = t(s, dir, "lineitem")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(5000)
+        .select(
+          col("l_quantity").as(FoodSchema.proteinCol),
+          (col("l_extendedprice") / 1000.0).as(FoodSchema.energyCol),
+          col("l_discount").as("Total lipid (fat)-G"),
+          col("l_tax").as("Carbohydrate, by difference-G"),
+          col("l_returnflag").as(FoodSchema.descriptionCol))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_models_").toString
+      val trained = Trainer.trainAll(raw,
+        Seq(FoodSchema.proteinCol, FoodSchema.energyCol), out)
+      trained.toSeq.sortBy(_._1)
+        .toDF("model_id", "n_train_rows")
+    },
+    None)
+
+  /** Multimodal metadata: binary payload length, sha-256 content id,
+    * head sample — SQL-expressible, so oracle-checked. */
+  private val q64 = Q(
+    "q64_multimodal_meta",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast(LongType).as("n_bytes"),
+          sha2(col("text").cast(BinaryType), 256).as("content_id"),
+          substring(col("text"), 1, 16).as("head_sample")),
+    Some("""
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             sha256(text) AS content_id,
+             substring(text, 1, 16) AS head_sample
+      FROM documents
+    """))
+
+  /** Multimodal feature extraction through the stubbed decoder: binary
+    * payloads -> deterministic 4-bin byte histograms via mapPartitions
+    * (the real-codec plumbing; see Multimodal.decodeStub). */
+  private val q65 = Q(
+    "q65_multimodal_features",
+    (s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          col("text").cast(BinaryType).as("payload"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("n_bytes"),
+          round(element_at(col("features"), 1), 6).as("f0"),
+          round(element_at(col("features"), 2), 6).as("f1"),
+          round(element_at(col("features"), 3), 6).as("f2"),
+          round(element_at(col("features"), 4), 6).as("f3"))
+    },
+    None)
+
+  val registry: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65)
+}
