@@ -30,7 +30,8 @@ object MlQueries {
     "q60_ml_kmeans",
     (s, dir) => {
       val features = Array("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val df = t(s, dir, "lineitem").select(features.map(col).toIndexedSeq: _*)
+      val df = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+        .select(features.map(col).toIndexedSeq: _*)
       val pipeline = new Pipeline().setStages(Array(
         new VectorAssembler().setInputCols(features).setOutputCol("f")
           .setHandleInvalid("skip"),
@@ -48,8 +49,10 @@ object MlQueries {
   private val q61 = Q(
     "q61_ml_gbt_regression",
     (s, dir) => {
+      // deterministic ~10% training sample: full-data fitting belongs in
+      // Trainer; query entries demonstrate the operator at bounded cost
       val features = Array("l_quantity", "l_discount", "l_tax")
-      val df = t(s, dir, "lineitem")
+      val df = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
         .select((features :+ "l_extendedprice").map(col).toIndexedSeq: _*)
       val pipeline = new Pipeline().setStages(Array(
         new VectorAssembler().setInputCols(features).setOutputCol("f"),
@@ -68,7 +71,7 @@ object MlQueries {
     "q62_ml_gbt_classifier",
     (s, dir) => {
       val features = Array("l_extendedprice", "l_discount", "l_tax")
-      val df = t(s, dir, "lineitem")
+      val df = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
         .withColumn("label",
           when(col("l_quantity") > 25.0, 1.0).otherwise(0.0))
       val pipeline = new Pipeline().setStages(Array(

@@ -55,7 +55,10 @@ object DedupQueries {
       FROM documents WHERE doc_id < 10)"""
   }
 
-  /** Distinct 3-word shingle sets per doc, as a DuckDB CTE chain. */
+  /** Distinct 5-word shingle sets per doc, as a DuckDB CTE chain.
+    * (5-grams over this small synthetic vocabulary are ~100x more
+    * distinctive than 3-grams, keeping the shingle-join candidate set
+    * proportional to true near-dups instead of vocabulary collisions.) */
   private val shingleSql: String =
     s"""$corpusSql,
     tok AS (
@@ -64,7 +67,7 @@ object DedupQueries {
       FROM corpus),
     sh AS (
       SELECT doc_id,
-             list_distinct([array_to_string(w[i+1:i+3],' ') FOR i IN range(len(w)-2)]) AS sh
+             list_distinct([array_to_string(w[i+1:i+5],' ') FOR i IN range(len(w)-4)]) AS sh
       FROM tok)"""
 
   // ---------------------------------------------------------------------
@@ -210,17 +213,20 @@ object DedupQueries {
       FROM scored GROUP BY 1, 2
     """))
 
-  /** n-gram Jaccard near-dup: explode distinct 3-shingles, self-join on
+  /** n-gram Jaccard near-dup: explode distinct 5-shingles, self-join on
     * shingle (candidates = pairs sharing ≥1 shingle; the join count IS
     * the intersection size), Jaccard ≥ 0.3. */
   private val q50 = Q(
     "q50_ngram_jaccard",
     (s, dir) => {
+      // materialize the exploded shingle table once — the self-join
+      // would otherwise recompute tokenize+shingle on both sides
+      // (at scale: this is the "build the index, then join it" pattern)
       val c = corpus(t(s, dir, "documents"))
         .withColumn("sh",
-          array_distinct(TextOps.shingles(TextOps.words(col("text")), 3)))
+          array_distinct(TextOps.shingles(TextOps.words(col("text")), 5)))
       val ex = c.select(col("doc_id"), size(col("sh")).as("nsh"),
-        explode(col("sh")).as("s"))
+        explode(col("sh")).as("s")).localCheckpoint()
       val pairs = ex.alias("a")
         .join(ex.alias("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -253,9 +259,14 @@ object DedupQueries {
   private val q51 = Q(
     "q51_minhash_lsh",
     (s, dir) => {
+      // materialize the shingle-set table, then the band signature
+      // table: every downstream branch (band self-join sides, the two
+      // verify joins) reuses them instead of recomputing the
+      // tokenize->shingle->8x-minhash lineage — the LSH "index build"
       val c = corpus(t(s, dir, "documents"))
         .withColumn("sh",
-          array_distinct(TextOps.shingles(TextOps.words(col("text")), 3)))
+          array_distinct(TextOps.shingles(TextOps.words(col("text")), 5)))
+        .localCheckpoint()
       val withMin = (0 until 8).foldLeft(c) { (df, i) =>
         df.withColumn(s"m$i", TextOps.minhash(col("sh"), i))
       }
@@ -264,6 +275,7 @@ object DedupQueries {
           md5(concat(col(s"m${2 * j}"), col(s"m${2 * j + 1}")))): _*))
       val ex = withBands.select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band_idx", "bh")))
+        .localCheckpoint()
       val cand = ex.alias("a")
         .join(ex.alias("b"),
           col("a.band_idx") === col("b.band_idx") &&
