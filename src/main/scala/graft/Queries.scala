@@ -590,7 +590,8 @@ object Queries {
     graft.streaming.StreamQueries.registry ++
     graft.operators.DedupQueries.registry ++
     graft.operators.SimilarityQueries.registry ++
-    graft.ml.MlQueries.registry
+    graft.ml.MlQueries.registry ++
+    graft.operators.AnalyticQueries.registry
 
   private def normalize(sql: String): String =
     sql.trim.stripMargin.linesIterator.map(_.trim).filter(_.nonEmpty)

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+
+/** Advanced analytics: as-of join, full window-function family, pivot,
+  * approximate distinct — the operators a user of a mature engine
+  * expects beyond the reference's surface (SURVEY §2.4 notes the
+  * reference has none of these).
+  */
+object AnalyticQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) =
+    Tables.load(Tables.tuned(s), dir, n)
+
+  /** As-of join: each error event matched to the user's latest strictly
+    * earlier click. Oracle = DuckDB's native ASOF JOIN; the engine's
+    * implementation is the single-shuffle union+window (AsOfJoin.asOf).
+    * Right side pre-deduped to one row per (user, ts) so "latest" is
+    * well-defined on both engines. */
+  private val q66 = Q(
+    "q66_asof_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      AsOfJoin.asOf(errors, clicks,
+        key = "user_id", leftTs = "ts", rightTs = "ts")
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (unix_millis(col("ts")) - unix_millis(col("asof_ts")))
+            .as("ms_since_click"))
+    },
+    Some("""
+      WITH errors AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+      clicks AS (
+        SELECT user_id, ts, MAX(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT e.event_id, e.user_id, c.click_id,
+             epoch_ms(CAST(e.ts AS TIMESTAMP)) - epoch_ms(CAST(c.ts AS TIMESTAMP)) AS ms_since_click
+      FROM errors e ASOF LEFT JOIN clicks c
+        ON e.user_id = c.user_id AND e.ts > c.ts
+    """))
+
+  /** The full analytic window family: ntile, percent_rank, cume_dist,
+    * first/last/nth value over an explicit whole-partition frame. */
+  private val q67 = Q(
+    "q67_window_analytics",
+    (s, dir) => {
+      val order = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = order.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(order).cast(LongType).as("quartile"),
+          percent_rank().over(order).as("pr"),
+          cume_dist().over(order).as("cd"),
+          first(col("o_orderkey")).over(full).as("first_key"),
+          last(col("o_orderkey")).over(full).as("last_key"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_key"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd,
+             first_value(o_orderkey) OVER wf AS first_key,
+             last_value(o_orderkey) OVER wf AS last_key,
+             nth_value(o_orderkey, 2) OVER wf AS second_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """))
+
+  /** Pivot: order counts and exact money totals per priority, statuses
+    * as columns. */
+  private val q68 = Q(
+    "q68_pivot",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .withColumnRenamed("F", "n_f")
+        .withColumnRenamed("O", "n_o")
+        .withColumnRenamed("P", "n_p"),
+    Some("""
+      SELECT o_orderpriority,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p
+      FROM orders GROUP BY 1
+    """))
+
+  /** approx_count_distinct (HLL++): sketch values are engine-specific,
+    * so no SQL oracle — the companion exact counts in q27 bound the
+    * error. Rows-only check. */
+  private val q69 = Q(
+    "q69_approx_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_supps")),
+    None)
+
+  val registry: Seq[Q] = Seq(q66, q67, q68, q69)
+}

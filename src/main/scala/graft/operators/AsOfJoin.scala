@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the single latest right row with
+  * `rightTs < leftTs` (strictly earlier), per key.
+  *
+  * Spark has no built-in as-of join; the classic formulations are a
+  * range join (quadratic blow-up per key at scale) or per-key
+  * collect+binary-search (driver-bound). This implementation is the
+  * scale-safe one: tag both sides, union, and take a running
+  * `last_value(right, ignoreNulls)` over (key, time) ordering — exactly
+  * one shuffle on the key, sort within partitions, no row
+  * amplification. At 100 TB that is the difference between a working
+  * join and an exploding one.
+  *
+  * Tie handling: left rows sort before right rows at equal timestamps,
+  * so an equal-ts right row is NOT matched (strict inequality); callers
+  * should pre-dedup the right side to one row per (key, ts) to make
+  * "latest" well-defined.
+  */
+object AsOfJoin {
+
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightValueCols = right.columns.toSeq.filterNot(c => c == key || c == rightTs)
+
+    val lvType = org.apache.spark.sql.types.StructType(
+      left.schema.fields)
+    val rvType = org.apache.spark.sql.types.StructType(
+      right.selectExpr((rightValueCols :+ rightTs).map(c => s"`$c`"): _*).schema.fields)
+
+    val l = left.select(
+      col(key).as("__key"), col(leftTs).as("__ts"), lit(0).as("__side"),
+      struct(leftCols.map(col): _*).as("__lv"),
+      lit(null).cast(rvType).as("__rv"))
+    val r = right.select(
+      col(key).as("__key"), col(rightTs).as("__ts"), lit(1).as("__side"),
+      lit(null).cast(lvType).as("__lv"),
+      struct((rightValueCols :+ rightTs).map(col): _*).as("__rv"))
+
+    // left rows order before right rows at the same ts => strict rTs < lTs
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .withColumn("__matched", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(col("__lv.*") +: rightValueCols.map(c =>
+        col(s"__matched.`$c`").as(c)) :+
+        col(s"__matched.`$rightTs`").as(s"asof_$rightTs"): _*)
+  }
+}

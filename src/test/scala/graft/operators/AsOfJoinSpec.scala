@@ -1,0 +1,47 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asOf picks the latest strictly-earlier right row per key") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "t1"),
+      (1L, ts("2024-01-01 10:00:10"), "t2"),
+      (2L, ts("2024-01-01 10:00:03"), "t3")).toDF("k", "ts", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:00:07"), 101.0),
+      (2L, ts("2024-01-01 10:00:03"), 55.0), // equal ts: must NOT match
+      (3L, ts("2024-01-01 09:00:00"), 9.0)).toDF("k", "ts", "price")
+
+    val out = AsOfJoin.asOf(trades, quotes, "k", "ts", "ts")
+      .select("trade", "price").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+
+    assert(out("t1").contains(100.0)) // 10:00:00 quote, not 10:00:07
+    assert(out("t2").contains(101.0)) // latest earlier quote wins
+    assert(out("t3").isEmpty)         // equal-ts quote excluded (strict <)
+  }
+
+  test("asOf keeps every left row (left-outer semantics)") {
+    import spark.implicits._
+    val left = Seq((9L, ts("2024-01-01 00:00:00"), "x")).toDF("k", "ts", "v")
+    val right = Seq((8L, ts("2023-01-01 00:00:00"), 1.0)).toDF("k", "ts", "p")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", "ts").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Any]("p") == null)
+  }
+}
