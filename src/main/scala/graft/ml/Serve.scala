@@ -46,7 +46,7 @@ object Serve {
       .select(col(FoodSchema.descriptionCol),
         vector_to_array(col("scaled_features")).as("v"))
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      graft.plans.VectorFunctions.dot(a, b)
     snapshot.crossJoin(broadcast(probeVec))
       .withColumn("cosine_distance",
         lit(1.0) - dot(col("v"), col("pv")) /

@@ -34,9 +34,11 @@ object SimilarityQueries {
   private def asDouble(c: Column): Column =
     transform(c, x => x.cast(DoubleType))
 
-  /** Index-ordered dot product: left fold, same order as DuckDB. */
+  /** Index-ordered dot product — the native codegen'd expression
+    * (graft.plans.DotProduct); same left-fold order as DuckDB's
+    * list_dot_product, so results are bit-identical. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.plans.VectorFunctions.dot(a, b)
 
   private def l2norm(a: Column): Column = sqrt(dot(a, a))
 
