@@ -591,7 +591,8 @@ object Queries {
     graft.operators.DedupQueries.registry ++
     graft.operators.SimilarityQueries.registry ++
     graft.ml.MlQueries.registry ++
-    graft.operators.AnalyticQueries.registry
+    graft.operators.AnalyticQueries.registry ++
+    graft.sources.SourceQueries.registry
 
   private def normalize(sql: String): String =
     sql.trim.stripMargin.linesIterator.map(_.trim).filter(_.nonEmpty)

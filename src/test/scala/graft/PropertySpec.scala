@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Coerce
+
+/** Property-based checks (SURVEY §5.3): coercion totality, top-k
+  * containment, cumulative-slice monotonicity. Generated inputs are
+  * batched into a single DataFrame per property so each property costs
+  * one Spark job, with a fixed seed for reproducibility.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def sample[A](g: Gen[A]): A =
+    g.apply(Gen.Parameters.default, Seed(42L)).get
+
+  test("coercion totality: any string row -> fully-typed row, never null") {
+    import spark.implicits._
+    val strings = sample(Gen.listOfN(500, Gen.oneOf(
+      Gen.numStr, Gen.alphaStr, Gen.asciiPrintableStr,
+      Gen.const(""), Gen.const(null: String),
+      Gen.double.map(_.toString))))
+    val df = strings.toDF("raw")
+    val coerced = df.select(
+      Coerce.toDoubleOrDefault(col("raw")).as("d"),
+      Coerce.toStringOrDefault(col("raw")).as("s"))
+    assert(coerced.filter(col("d").isNull || col("s").isNull).count() == 0)
+    // numeric strings survive exactly
+    val roundTrip = Seq("1.5", "-2", "0.0").toDF("raw")
+      .select(Coerce.toDoubleOrDefault(col("raw")).as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(roundTrip == Seq(1.5, -2.0, 0.0))
+  }
+
+  test("top-k is a prefix of the full ranking") {
+    import spark.implicits._
+    val data = sample(Gen.listOfN(300,
+      Gen.zip(Gen.choose(0L, 1000000L), Gen.choose(-1e6, 1e6))))
+      .distinctBy(_._1) // unique ids -> total order is unambiguous
+    val df = data.toDF("id", "v")
+    val full = df.orderBy(col("v").desc, col("id").asc)
+      .collect().map(_.getLong(0)).toSeq
+    for (k <- Seq(1, 7, 50, data.size)) {
+      val topk = df.orderBy(col("v").desc, col("id").asc).limit(k)
+        .collect().map(_.getLong(0)).toSeq
+      assert(topk == full.take(k), s"k=$k")
+    }
+  }
+
+  test("cumulative slices are monotone under any data") {
+    import spark.implicits._
+    val data = sample(Gen.listOfN(137,
+      Gen.zip(Gen.choose(0.0, 100.0), Gen.alphaStr)))
+      .zipWithIndex.map { case ((p, d), i) => (p, s"${d}_$i") }
+    val df = data.toDF("Protein-G", "description")
+    val slices = graft.ml.Trainer.cumulativeSlices(
+      df, Seq("Protein-G", "description"))
+    val sets = slices.map(
+      _.select("description").collect().map(_.getString(0)).toSet)
+    sets.sliding(2).foreach {
+      case Seq(a, b) => assert(a.subsetOf(b))
+      case _ =>
+    }
+    assert(sets.last.size == 137)
+  }
+}
