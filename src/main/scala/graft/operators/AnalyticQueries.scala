@@ -113,5 +113,54 @@ object AnalyticQueries {
           approx_count_distinct(col("l_suppkey")).as("approx_supps")),
     None)
 
-  val registry: Seq[Q] = Seq(q66, q67, q68, q69)
+  /** Dedup-keep-first: one row per (user, event_type), keeping the
+    * earliest event's attributes — the deterministic formulation of
+    * dropDuplicates (min_by / arg_min with a unique ordering key). */
+  private val q75 = Q(
+    "q75_dedup_keep_first",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("event_id")).as("first_event_id"),
+          min_by(col("value"), col("event_id")).as("first_value"),
+          min_by(unix_millis(col("ts")), col("event_id")).as("first_ts_ms"),
+          count(lit(1)).as("n_dups")),
+    Some("""
+      SELECT user_id, event_type,
+             MIN(event_id) AS first_event_id,
+             arg_min(value, event_id) AS first_value,
+             arg_min(epoch_ms(CAST(ts AS TIMESTAMP)), event_id) AS first_ts_ms,
+             COUNT(*) AS n_dups
+      FROM events GROUP BY 1, 2
+    """))
+
+  /** Range-frame window: per-user trailing-1-hour event-time sum (RANGE
+    * frames over seconds, unlike the ROWS frames of q22). */
+  private val q76 = Q(
+    "q76_window_range_frame",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s"))
+        .rangeBetween(-3600L, 0L)
+      t(s, dir, "events")
+        .withColumn("ts_s", expr("unix_millis(ts) div 1000"))
+        .withColumn("trailing_n", count(lit(1)).over(w))
+        .withColumn("trailing_sum",
+          sum(col("value").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType))
+        .select(col("event_id"), col("user_id"), col("trailing_n"),
+          col("trailing_sum"))
+    },
+    Some("""
+      SELECT event_id, user_id,
+             COUNT(*) OVER w AS trailing_n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_sum
+      FROM (SELECT event_id, user_id, value,
+                   epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS ts_s
+            FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """))
+
+  val registry: Seq[Q] = Seq(q66, q67, q68, q69, q75, q76)
 }

@@ -103,6 +103,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.get(("2024-01-01 01:00:00.0", 1L)).contains(1L))
   }
 
+  test("stream-stream inner join within event-time bounds") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val errors = MemoryStream[Ev]
+    val c = clicks.toDF().withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val e = errors.toDF().withWatermark("ts", "1 hour")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+    // error joined to clicks at most 30 minutes before it
+    val joined = e.join(c,
+      col("e_user") === col("c_user") &&
+        col("c_ts") <= col("e_ts") &&
+        col("c_ts") >= col("e_ts") - expr("INTERVAL 30 minutes"))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("ssj_test")
+      .start()
+    clicks.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1.0),
+      Ev(1, ts("2024-01-01 09:00:00"), 1.0), // too old for the error
+      Ev(2, ts("2024-01-01 10:10:00"), 1.0))
+    errors.addData(Ev(1, ts("2024-01-01 10:20:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_test")
+      .select(col("e_user"), col("c_ts")).as[(Long, Timestamp)].collect()
+    // only the 10:00 click of user 1 is within [09:50, 10:20]
+    assert(rows.toSeq == Seq((1L, ts("2024-01-01 10:00:00"))))
+  }
+
+  test("streaming dedup with dropDuplicatesWithinWatermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val deduped = ms.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id")
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_test")
+      .start()
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1.0),
+      Ev(1, ts("2024-01-01 10:05:00"), 2.0), // dup within watermark
+      Ev(2, ts("2024-01-01 10:00:00"), 3.0))
+    q.processAllAvailable()
+    ms.addData(Ev(1, ts("2024-01-01 10:10:00"), 4.0)) // still within
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_test").as[Ev].collect()
+    assert(out.map(_.user_id).sorted.toSeq == Seq(1L, 2L))
+    assert(out.find(_.user_id == 1).get.value == 1.0) // first kept
+  }
+
   test("mapGroupsWithState keeps running per-user max across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
