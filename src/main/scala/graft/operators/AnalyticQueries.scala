@@ -162,5 +162,104 @@ object AnalyticQueries {
                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """))
 
-  val registry: Seq[Q] = Seq(q66, q67, q68, q69, q75, q76)
+  /** TF-IDF: classic text weighting, fully relational (term counts,
+    * document frequency, ln(N/df)); top-3 terms per doc ranked by the
+    * integer term frequency (deterministic), tf-idf reported rounded. */
+  private val q77 = Q(
+    "q77_tfidf",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val tf = docs
+        .select(col("doc_id"),
+          explode(graft.functions.TextOps.words(col("text"))).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("word").asc)
+      tf.join(dfreq, "word")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("word"), col("tf"),
+          col("rn").cast(LongType).as("rn"),
+          round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6)
+            .as("tfidf"))
+    },
+    Some("""
+      WITH terms AS (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ')) AS word
+        FROM documents),
+      tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      SELECT doc_id, word, tf, CAST(rn AS BIGINT) AS rn,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM (SELECT t.doc_id, t.word, t.tf, d.df, n.n_docs,
+                   ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                      ORDER BY t.tf DESC, t.word ASC) AS rn
+            FROM tf t JOIN dfreq d ON t.word = d.word CROSS JOIN n)
+      WHERE rn <= 3
+    """))
+
+  /** Scalar subquery: orders priced above twice the (exact-decimal)
+    * average — the threshold broadcast as a 1-row aggregate. */
+  private val q78 = Q(
+    "q78_scalar_subquery",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val avg = o.agg(
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+          / count(lit(1))).as("avg_p"))
+      o.crossJoin(broadcast(avg))
+        .filter(col("o_totalprice") > col("avg_p") * 2)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_totalprice > 2 * (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM orders)
+    """))
+
+  /** Post-aggregation filter (HAVING): high-spend customers. */
+  private val q79 = Q(
+    "q79_having",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+        .filter(col("total") > 400000.0)
+    },
+    Some("""
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1
+      HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > 400000.0
+    """))
+
+  /** Explicit null ordering in sorts (NULLS FIRST + unique tiebreak). */
+  private val q81 = Q(
+    "q81_null_ordering",
+    (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("v", expr("nullif(event_type, 'click')"))
+        .orderBy(col("v").asc_nulls_first, col("event_id").asc)
+        .limit(50)
+        .select(col("event_id"), col("v")),
+    Some("""
+      SELECT event_id, NULLIF(event_type, 'click') AS v
+      FROM events
+      ORDER BY v ASC NULLS FIRST, event_id ASC LIMIT 50
+    """))
+
+  val registry: Seq[Q] = Seq(q66, q67, q68, q69, q75, q76, q77, q78, q79, q81)
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-layout scale patterns: bucketed tables co-locate join keys
+  * so the join needs no shuffle at all — at 100 TB this removes the
+  * dominant cost of repeated fact-to-fact joins. Also pins the join
+  * strategies (broadcast for small dims, shuffle-hash on hint).
+  */
+class BucketingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_").toString
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed co-located join plans without any shuffle exchange") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    orders.write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("b_orders")
+    customer.write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("b_customer")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      // bucket alignment: no Exchange (shuffle) anywhere in the plan
+      assert(!plan.contains("Exchange"),
+        s"expected shuffle-free bucketed join, got:\n$plan")
+      // and the result is still correct
+      assert(joined.count() ==
+        orders.join(customer, col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("join strategy control: broadcast by default for small dims, shuffle-hash on hint") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+
+    val bhj = orders.join(broadcast(customer),
+      col("o_custkey") === col("c_custkey"))
+    assert(bhj.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+
+    val shj = orders.join(customer.hint("shuffle_hash"),
+      col("o_custkey") === col("c_custkey"))
+    assert(shj.queryExecution.executedPlan.toString
+      .contains("ShuffledHashJoin"))
+  }
+}
