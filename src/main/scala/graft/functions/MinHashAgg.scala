@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed, mergeable MinHash-signature aggregator (SURVEY §2.9: the one
+  * custom-aggregate candidate — a mergeable sketch state).
+  *
+  * IN = one shingle string; BUF/OUT = the k-component signature
+  * (element-wise min of salted md5 hex strings). The buffer is
+  * associative and commutative, so Spark computes partial signatures
+  * map-side and merges across partitions — the signature of a billion
+  * shingles is one k-string buffer per group, never a collected set.
+  * Identical math to TextOps.minhash, so SQL oracles reproduce it.
+  */
+class MinHashSignature(k: Int) extends Aggregator[String, Array[String], Array[String]] {
+
+  private def h(salt: Int, shingle: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$salt|$shingle".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  override def zero: Array[String] = Array.fill(k)(null)
+
+  override def reduce(buf: Array[String], shingle: String): Array[String] = {
+    var i = 0
+    while (i < k) {
+      val hv = h(i, shingle)
+      if (buf(i) == null || hv < buf(i)) buf(i) = hv
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[String], b: Array[String]): Array[String] = {
+    var i = 0
+    while (i < k) {
+      if (a(i) == null || (b(i) != null && b(i) < a(i))) a(i) = b(i)
+      i += 1
+    }
+    a
+  }
+
+  override def finish(buf: Array[String]): Array[String] = buf
+
+  override def bufferEncoder: Encoder[Array[String]] =
+    Encoders.javaSerialization[Array[String]]
+
+  override def outputEncoder: Encoder[Array[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+}

@@ -333,5 +333,41 @@ object DedupQueries {
       s"""SELECT doc_id, ${TextOps.simhashDuckExpr("text", 16)} AS simhash
           FROM documents"""))
 
-  val registry: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52)
+  /** Per-group MinHash signatures via the typed mergeable Aggregator
+    * (graft.functions.MinHashSignature) — map-side partial signatures
+    * merged across partitions; identical md5 math to the SQL oracle. */
+  private val q82 = Q(
+    "q82_minhash_aggregator",
+    (s, dir) => {
+      import s.implicits._
+      val ds = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextOps.shingles(TextOps.words(col("text")), 3)).as("sh"))
+        .as[(String, String)]
+      ds.groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new graft.functions.MinHashSignature(4).toColumn.name("sig"))
+        .toDF("source", "sig")
+        .select(col("source"),
+          element_at(col("sig"), 1).as("m0"),
+          element_at(col("sig"), 2).as("m1"),
+          element_at(col("sig"), 3).as("m2"),
+          element_at(col("sig"), 4).as("m3"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT source,
+               string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ') AS w
+        FROM documents),
+      ex AS (
+        SELECT source,
+               unnest([array_to_string(w[i+1:i+3],' ') FOR i IN range(len(w)-2)]) AS s
+        FROM tok)
+      SELECT source,
+             MIN(md5('0|'||s)) AS m0, MIN(md5('1|'||s)) AS m1,
+             MIN(md5('2|'||s)) AS m2, MIN(md5('3|'||s)) AS m3
+      FROM ex GROUP BY 1
+    """))
+
+  val registry: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q82)
 }

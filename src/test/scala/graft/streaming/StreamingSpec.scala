@@ -33,9 +33,12 @@ class StreamingSpec extends AnyFunSuite {
     val ms = MemoryStream[Long]
     ms.addData(1L to 4500L: _*)
     val out = java.nio.file.Files.createTempDirectory("graft_bw_").toString
-    BatchWriter.writeCountBatches(
+    val q = BatchWriter.writeCountBatches(
       ms.toDF().withColumnRenamed("value", "event_id"), out)
-      .awaitTermination()
+    q.awaitTermination()
+    // the reference's running message counter (batch_writer_consumer.py:
+    // 43-44) -> StreamingQueryProgress.numInputRows
+    assert(q.recentProgress.map(_.numInputRows).sum == 4500)
     val files = new java.io.File(out).listFiles
       .filter(_.getName.endsWith(".csv"))
     // 4500 rows at <=2000/file = 2000 + 2000 + 500, mirroring the
