@@ -208,5 +208,52 @@ object SimilarityQueries {
       FROM e GROUP BY 1
     """))
 
-  val registry: Seq[Q] = Seq(q53, q54, q55, q56, q57)
+  /** Embedding-cosine near-duplicate detection: corpus = embeddings ∪
+    * exact copies of vec_id<10 (at +100000); candidate pairs come from
+    * the LSH bucket join (identical vectors land in identical buckets by
+    * construction), verified with cosine ≥ 0.999. The bucket join is
+    * what makes this O(n·bucket) instead of O(n²) at scale. */
+  private val q58 = Q(
+    "q58_embedding_near_dup",
+    (s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val planted = base.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000).as("vec_id"), col("v"))
+      val corpus = base.unionByName(planted)
+      val bucket = (0 until 8).map { p =>
+        when(dot(col("v"), planeSpark(p)) > 0.0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val b = corpus.withColumn("bucket", bucket).localCheckpoint()
+      b.alias("a")
+        .join(b.alias("c"),
+          col("a.bucket") === col("c.bucket") &&
+            col("a.vec_id") < col("c.vec_id"))
+        .withColumn("sim", cosine(col("a.v"), col("c.v")))
+        .filter(col("sim") >= 0.999)
+        .select(col("a.vec_id").as("d1"), col("c.vec_id").as("d2"),
+          round(col("sim"), 5).as("sim"))
+    },
+    Some {
+      val bits = (0 until 8).map { p =>
+        s"(CASE WHEN list_dot_product(v, ${planeDuck(p)}) > 0.0 " +
+          s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      corpus AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, v FROM base WHERE vec_id < 10),
+      b AS (SELECT vec_id, v, $bits AS bucket FROM corpus)
+      SELECT a.vec_id AS d1, c.vec_id AS d2,
+             round(list_dot_product(a.v, c.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 5) AS sim
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE list_dot_product(a.v, c.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.999
+      """
+    })
+
+  val registry: Seq[Q] = Seq(q53, q54, q55, q56, q57, q58)
 }
