@@ -26,6 +26,18 @@ class BucketingSpec extends AnyFunSuite {
   test("bucketed co-located join plans without any shuffle exchange") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
     val customer = spark.read.parquet(s"$dir/customer.parquet")
+    // the session (and so the warehouse dir) may be shared and carry
+    // state from an earlier run — clear table names AND locations
+    val wh = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("b_orders", "b_customer").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(wh, tbl)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     orders.write.mode("overwrite")
       .bucketBy(8, "o_custkey").sortBy("o_custkey")
       .saveAsTable("b_orders")
