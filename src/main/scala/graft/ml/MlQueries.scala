@@ -95,7 +95,7 @@ object MlQueries {
       // extendedprice -> energy, etc.; prepare() synthesizes the rest
       val raw = t(s, dir, "lineitem")
         .orderBy(col("l_orderkey"), col("l_linenumber"))
-        .limit(5000)
+        .limit(2500)
         .select(
           col("l_quantity").as(FoodSchema.proteinCol),
           (col("l_extendedprice") / 1000.0).as(FoodSchema.energyCol),

@@ -50,6 +50,14 @@ class StreamingSpec extends AnyFunSuite {
     }.sorted.toSeq
     assert(counts == Seq(500, 2000, 2000))
     assert(spark.read.option("header", "true").csv(out).count() == 4500)
+
+    // exactly-once: re-running against the same checkpoint must not
+    // duplicate output (offsets already committed; this is what
+    // replaces the reference's consumer-group offset commits)
+    val q2 = BatchWriter.writeCountBatches(
+      ms.toDF().withColumnRenamed("value", "event_id"), out)
+    q2.awaitTermination()
+    assert(spark.read.option("header", "true").csv(out).count() == 4500)
   }
 
   test("session_window merges events within the gap, splits across it") {
