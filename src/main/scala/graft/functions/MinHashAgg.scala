@@ -15,10 +15,25 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class MinHashSignature(k: Int) extends Aggregator[String, Array[String], Array[String]] {
 
-  private def h(salt: Int, shingle: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$salt|$shingle".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+  @transient private lazy val digest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def h(salt: Int, shingle: String): String = {
+    val md = digest.get()
+    md.reset()
+    val bytes = md.digest(s"$salt|$shingle".getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   override def zero: Array[String] = Array.fill(k)(null)
 
@@ -44,7 +59,7 @@ class MinHashSignature(k: Int) extends Aggregator[String, Array[String], Array[S
   override def finish(buf: Array[String]): Array[String] = buf
 
   override def bufferEncoder: Encoder[Array[String]] =
-    Encoders.javaSerialization[Array[String]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
 
   override def outputEncoder: Encoder[Array[String]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
