@@ -1,0 +1,120 @@
+package graft.serving
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import scala.util.Try
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.SparkSession
+
+import graft.ml.{Serve, Trainer}
+
+/** The reference's serving API (api_server/api.py:172-269), minus
+  * Flask: `POST /predict/<model_id>` routes by model type over the
+  * artifacts a Trainer run produced, `GET /health` reports the
+  * tri-state healthy/degraded/unhealthy summary from per-model load
+  * flags (api.py:240-269). Built on the JDK HTTP server — no extra
+  * dependencies — with the engine's distributed recommend path instead
+  * of the reference's driver-side sklearn KNN.
+  *
+  * Request payloads are the reference's flat JSON objects
+  * (feature name -> number); absent features default to 0.0
+  * (api.py:164).
+  */
+class ApiServer(spark: SparkSession, modelDir: String, port: Int = 0) {
+
+  private val models: Map[Int, PipelineModel] =
+    (1 to Trainer.NumModels).flatMap { k =>
+      Try(Trainer.loadModel(modelDir, k)).toOption.map(k -> _)
+    }.toMap
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  /** Parse the reference's flat {"name": number, ...} payload. */
+  private[serving] def parseFlatJson(body: String): Map[String, Double] = {
+    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?([eE][+-]?[0-9]+)?)""".r
+    entry.findAllMatchIn(body).map { m =>
+      m.group(1).replace("\\\"", "\"") -> m.group(2).toDouble
+    }.toMap
+  }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def respond(ex: HttpExchange, code: Int, json: String): Unit = {
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def predict(modelId: Int, payload: Map[String, Double]): String =
+    modelId match {
+      case 1 | 2 =>
+        val cluster = Serve.predictCluster(models(modelId),
+          Serve.inputRow(spark, payload))
+        s"""{"model_id":$modelId,"model_type":"clustering","prediction":$cluster}"""
+      case 3 =>
+        val recs = Serve.recommend(spark, models(3),
+          s"$modelDir/reco_snapshot", payload).collect()
+        val items = recs.map { r =>
+          s"""{"description":"${jsonEscape(r.getString(0))}","cosine_distance":${"%.4f".format(r.getDouble(1))}}"""
+        }.mkString("[", ",", "]")
+        s"""{"model_id":3,"model_type":"recommendation","recommendations":$items}"""
+      case 4 =>
+        val energy = Serve.predictEnergy(models(4),
+          Serve.inputRow(spark, payload))
+        s"""{"model_id":4,"model_type":"regression","predicted_energy_kcal":$energy}"""
+      case 5 =>
+        val (label, p) = Serve.classifyProtein(models(5),
+          Serve.inputRow(spark, payload))
+        s"""{"model_id":5,"model_type":"classification","is_high_protein":${label == 1.0},"probability":$p}"""
+    }
+
+  server.createContext("/predict/", (ex: HttpExchange) => {
+    val id = Try(ex.getRequestURI.getPath.stripPrefix("/predict/").toInt)
+    val body = new String(ex.getRequestBody.readAllBytes(),
+      StandardCharsets.UTF_8)
+    (ex.getRequestMethod, id.toOption) match {
+      case ("POST", Some(k)) if k >= 1 && k <= Trainer.NumModels =>
+        if (!models.contains(k))
+          respond(ex, 503, s"""{"error":"model $k not loaded"}""")
+        else
+          Try(predict(k, parseFlatJson(body))).fold(
+            e => respond(ex, 500,
+              s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}"""),
+            json => respond(ex, 200, json))
+      case ("POST", _) =>
+        respond(ex, 400,
+          s"""{"error":"model_id must be 1..${Trainer.NumModels}"}""")
+      case _ =>
+        respond(ex, 405, """{"error":"POST only"}""")
+    }
+  })
+
+  server.createContext("/health", (ex: HttpExchange) => {
+    // tri-state summary from per-model availability (api.py:240-269)
+    val loaded = (1 to Trainer.NumModels).filter(models.contains)
+    val status =
+      if (loaded.size == Trainer.NumModels) "healthy"
+      else if (loaded.nonEmpty) "degraded"
+      else "unhealthy"
+    val flags = (1 to Trainer.NumModels)
+      .map(k => s""""model_$k":${models.contains(k)}""").mkString(",")
+    respond(ex, if (status == "unhealthy") 503 else 200,
+      s"""{"status":"$status",$flags}""")
+  })
+
+  def start(): ApiServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+}

@@ -1,0 +1,85 @@
+package graft.serving
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.Trainer
+
+class ApiServerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val modelDir: String = {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_api_").toString
+    val data = Trainer.prepare((1 to 200).map { i =>
+      (i % 40 + (i % 7) * 0.5, (i % 90) * 10.0, (i % 13) * 2.0,
+        (i % 17) * 3.0, s"food_$i")
+    }.toDF("Protein-G", "Energy-KCAL", "Total lipid (fat)-G",
+      "Carbohydrate, by difference-G", "description"))
+    Trainer.trainAll(data, Seq("description"), out)
+    out
+  }
+
+  private lazy val server = new ApiServer(spark, modelDir).start()
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder()
+      .uri(URI.create(s"http://localhost:${server.boundPort}$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+      .build(), HttpResponse.BodyHandlers.ofString())
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder()
+      .uri(URI.create(s"http://localhost:${server.boundPort}$path"))
+      .GET().build(), HttpResponse.BodyHandlers.ofString())
+
+  test("health reports all five models loaded") {
+    val r = get("/health")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains(""""status":"healthy""""))
+    assert(r.body().contains(""""model_5":true"""))
+  }
+
+  test("predict routes all five model types") {
+    val payload =
+      """{"Protein-G": 30.0, "Energy-KCAL": 400.0, "Total lipid (fat)-G": 10.0}"""
+    val cluster = post("/predict/1", payload)
+    assert(cluster.statusCode() == 200)
+    assert(cluster.body().contains(""""model_type":"clustering""""))
+    val recs = post("/predict/3", payload)
+    assert(recs.statusCode() == 200)
+    assert(recs.body().contains(""""recommendations":["""))
+    val reg = post("/predict/4", payload)
+    assert(reg.statusCode() == 200)
+    assert(reg.body().contains("predicted_energy_kcal"))
+    val cls = post("/predict/5", payload)
+    assert(cls.statusCode() == 200)
+    assert(cls.body().contains("is_high_protein"))
+  }
+
+  test("absent features default to 0.0 and bad ids are rejected") {
+    assert(post("/predict/2", "{}").statusCode() == 200)
+    assert(post("/predict/9", "{}").statusCode() == 400)
+    assert(post("/predict/abc", "{}").statusCode() == 400)
+    assert(get("/predict/1").statusCode() == 405)
+  }
+
+  test("flat JSON parser handles the reference payload shapes") {
+    val s = new ApiServer(spark, modelDir)
+    val m = s.parseFlatJson(
+      """{"Protein-G": 20.5, "Vitamin D (D2 + D3)-UG": -1e2, "n": 3}""")
+    assert(m == Map("Protein-G" -> 20.5,
+      "Vitamin D (D2 + D3)-UG" -> -100.0, "n" -> 3.0))
+    s.stop()
+  }
+}
