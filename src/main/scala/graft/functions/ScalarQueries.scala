@@ -202,5 +202,57 @@ object ScalarQueries {
       FROM events
     """))
 
-  val registry: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37r)
+  /** Extended string family: initcap/translate/split_part/left/right/
+    * repeat/position. */
+  private val q38s = Q(
+    "q38_string_extended",
+    (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        expr("concat(upper(substring(p_name, 1, 1)), substring(p_name, 2))")
+          .as("title_name"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("vowels_up"),
+        split(col("p_name"), " ").getItem(0).as("first_word"),
+        substring(col("p_name"), 1, 4).as("left4"),
+        expr("right(p_name, 4)").as("right4"),
+        repeat(lit("-"), 3).as("dashes"),
+        expr("instr(p_name, 'widget')").cast(LongType).as("widget_pos")),
+    Some("""
+      SELECT p_partkey,
+             upper(substring(p_name, 1, 1)) || substring(p_name, 2) AS title_name,
+             translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+             string_split(p_name, ' ')[1] AS first_word,
+             substring(p_name, 1, 4) AS left4,
+             right(p_name, 4) AS right4,
+             repeat('-', 3) AS dashes,
+             CAST(instr(p_name, 'widget') AS BIGINT) AS widget_pos
+      FROM part
+    """))
+
+  /** Date arithmetic: day diffs against a fixed anchor, month ends,
+    * interval shifts (all surfaced as strings/longs for stable
+    * comparison). */
+  private val q39d = Q(
+    "q39_date_arithmetic",
+    (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01"))
+          .cast(LongType).as("days_since_epoch_95"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_end"),
+        date_format(col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "yyyy-MM-dd").as("plus_90d"),
+        dayofweek(col("o_orderdate")).cast(LongType).as("dow_sun1")),
+    Some("""
+      SELECT o_orderkey,
+             datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_95,
+             strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+             strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS plus_90d,
+             CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_sun1
+      FROM orders
+    """))
+
+  val registry: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37r,
+    q38s, q39d)
 }
