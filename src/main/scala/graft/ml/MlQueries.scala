@@ -57,7 +57,7 @@ object MlQueries {
       val pipeline = new Pipeline().setStages(Array(
         new VectorAssembler().setInputCols(features).setOutputCol("f"),
         new GBTRegressor().setLabelCol("l_extendedprice").setFeaturesCol("f")
-          .setMaxIter(10).setSeed(42L)))
+          .setMaxIter(5).setSeed(42L))) // demo-sized; Trainer pins the reference's 10
       pipeline.fit(df).transform(df)
         .agg(count(lit(1)).as("n"),
           round(avg(abs(col("prediction") - col("l_extendedprice"))), 2)
@@ -77,7 +77,7 @@ object MlQueries {
       val pipeline = new Pipeline().setStages(Array(
         new VectorAssembler().setInputCols(features).setOutputCol("f"),
         new GBTClassifier().setLabelCol("label").setFeaturesCol("f")
-          .setMaxIter(10).setSeed(42L)))
+          .setMaxIter(5).setSeed(42L))) // demo-sized; Trainer pins the reference's 10
       pipeline.fit(df).transform(df)
         .groupBy(col("label"), col("prediction"))
         .agg(count(lit(1)).as("n"))

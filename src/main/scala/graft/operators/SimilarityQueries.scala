@@ -255,5 +255,36 @@ object SimilarityQueries {
       """
     })
 
-  val registry: Seq[Q] = Seq(q53, q54, q55, q56, q57, q58)
+  /** IVF-style ANN: partition the vector space with seeded KMeans
+    * centroids (the inverted-file index), then search only the probe's
+    * cell. The complement to the hyperplane-LSH path (q55/q56): LSH
+    * buckets are data-independent, IVF cells adapt to the data
+    * distribution. KMeans has no SQL oracle -> rows-only check; recall
+    * vs the exact q53 scan is the quality measure. */
+  private val q59 = Q(
+    "q59_ivf_ann",
+    (s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("fv", array_to_vector(col("v")))
+      val model = new KMeans().setK(16).setSeed(1L)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+        .fit(e)
+      val assigned = model.transform(e).select(
+        col("vec_id"), col("v"), col("cell"))
+      val probe = assigned.filter(col("vec_id") === 0)
+        .select(col("v").as("pv"), col("cell").as("pcell"))
+      assigned.join(broadcast(probe),
+          col("cell") === col("pcell") && col("vec_id") =!= 0)
+        .withColumn("sim", cosine(col("v"), col("pv")))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(5)
+        .select(col("vec_id"), col("cell").cast(LongType).as("cell"),
+          round(col("sim"), 5).as("sim"))
+    },
+    None)
+
+  val registry: Seq[Q] = Seq(q53, q54, q55, q56, q57, q58, q59)
 }
