@@ -261,5 +261,30 @@ object AnalyticQueries {
       ORDER BY v ASC NULLS FIRST, event_id ASC LIMIT 50
     """))
 
-  val registry: Seq[Q] = Seq(q66, q67, q68, q69, q75, q76, q77, q78, q79, q81)
+  /** Statistical aggregates: sample stddev/variance, correlation,
+    * covariance. Both engines use numerically-stable one-pass updates;
+    * results agree well past the 4-decimal rounding used here. */
+  private val q80 = Q(
+    "q80_stats_agg",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4)
+            .as("covar_qty_disc")),
+    Some("""
+      SELECT l_returnflag,
+             round(stddev_samp(l_quantity), 4) AS sd_qty,
+             round(var_samp(l_quantity), 4) AS var_qty,
+             round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+             round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
+      FROM lineitem GROUP BY 1
+    """))
+
+  val registry: Seq[Q] = Seq(q66, q67, q68, q69, q75, q76, q77, q78,
+    q79, q80, q81)
 }
