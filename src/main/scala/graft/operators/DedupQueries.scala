@@ -369,5 +369,88 @@ object DedupQueries {
       FROM ex GROUP BY 1
     """))
 
-  val registry: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q82)
+  /** SimHash near-dup pairs by hamming distance: 32-bit signatures
+    * (q52's formula widened — 16 bits collide heavily on this small
+    * vocabulary), blocked on the top 16 bits (one band; production
+    * rotates bands so no <=k-distance pair can escape), pairs kept at
+    * distance <= 3 via xor + popcount — integer arithmetic only, so
+    * the oracle is exact. */
+  private val q84 = Q(
+    "q84_simhash_hamming",
+    (s, dir) => {
+      val sh = t(s, dir, "documents")
+        .selectExpr("doc_id",
+          s"${TextOps.simhashSparkExpr("text", 32)} AS sh")
+        .withColumn("blk", expr("sh div 65536"))
+        .localCheckpoint()
+      sh.alias("a").join(sh.alias("b"),
+          col("a.blk") === col("b.blk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.sh").as("s1"), col("b.sh").as("s2"))
+        .withColumn("dist", expr("bit_count(s1 ^ s2)").cast(LongType))
+        .filter(col("dist") <= 3)
+        .select(col("d1"), col("d2"), col("dist"))
+    },
+    Some {
+      s"""
+      WITH sh AS (
+        SELECT doc_id, ${TextOps.simhashDuckExpr("text", 32)} AS sh
+        FROM documents),
+      blocked AS (SELECT doc_id, sh, sh // 65536 AS blk FROM sh)
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      """
+    })
+
+  /** ANALYZE-style column profiler: per-column null/distinct counts and
+    * min/max (stringified through exact decimal for numerics) — the
+    * table-stats surface an optimizer and a data-quality gate both
+    * need. */
+  private val q85 = Q(
+    "q85_column_profile",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      def prof(c: String, v: org.apache.spark.sql.Column) =
+        o.agg(
+          (count(lit(1)) - count(v)).as("n_nulls"),
+          countDistinct(v).as("n_distinct"),
+          min(v).cast(StringType).as("min_val"),
+          max(v).cast(StringType).as("max_val"))
+          .select(lit(c).as("column_name"), col("n_nulls"),
+            col("n_distinct"), col("min_val"), col("max_val"))
+      prof("o_orderkey", col("o_orderkey"))
+        .unionByName(prof("o_orderstatus", col("o_orderstatus")))
+        .unionByName(prof("o_totalprice",
+          col("o_totalprice").cast(DecimalType(18, 2))))
+        .unionByName(prof("o_orderpriority", col("o_orderpriority")))
+    },
+    Some("""
+      SELECT 'o_orderkey' AS column_name,
+             COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+             COUNT(DISTINCT o_orderkey) AS n_distinct,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS max_val FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+             COUNT(DISTINCT o_orderstatus),
+             CAST(MIN(o_orderstatus) AS VARCHAR),
+             CAST(MAX(o_orderstatus) AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+             COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))),
+             CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+             COUNT(DISTINCT o_orderpriority),
+             CAST(MIN(o_orderpriority) AS VARCHAR),
+             CAST(MAX(o_orderpriority) AS VARCHAR) FROM orders
+    """))
+
+  val registry: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52,
+    q82, q84, q85)
 }
