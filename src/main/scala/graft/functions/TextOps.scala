@@ -57,24 +57,49 @@ object TextOps {
     val hw = s"transform(array_distinct(split($textCol, ' ')), " +
       "w -> cast(conv(substring(md5(w),1,8),16,10) as bigint))"
     val nw = s"size(array_distinct(split($textCol, ' ')))"
-    val terms = (0 until bits).map { b =>
-      val p = 1L << b
-      s"(CASE WHEN 2*size(filter($hw, h -> (h div $p) % 2 = 1)) > $nw " +
-        s"THEN CAST($p AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-    }
-    terms.mkString(" + ")
+    simhashTerms(hw, nw, bits, sizeFn = "size", filterFn = "filter",
+      intDiv = "div")
   }
+
+  /** Same formula over precomputed word-hash-array / word-count columns
+    * (avoids re-hashing the words once per bit — 32x less md5 work for
+    * a 32-bit signature). */
+  def simhashSparkExprOver(hwCol: String, nwCol: String, bits: Int): String =
+    simhashTerms(hwCol, nwCol, bits, sizeFn = "size", filterFn = "filter",
+      intDiv = "div")
+
+  /** The word-hash array / distinct-word-count Spark SQL fragments. */
+  def wordHashSparkExpr(textCol: String): (String, String) = (
+    s"transform(array_distinct(split($textCol, ' ')), " +
+      "w -> cast(conv(substring(md5(w),1,8),16,10) as bigint))",
+    s"size(array_distinct(split($textCol, ' ')))")
+
+  private def simhashTerms(hw: String, nw: String, bits: Int,
+      sizeFn: String, filterFn: String, intDiv: String): String =
+    (0 until bits).map { b =>
+      val p = 1L << b
+      val div = if (intDiv == "div") s"h div $p" else s"h//$p"
+      s"(CASE WHEN 2*$sizeFn($filterFn($hw, h -> ($div) % 2 = 1)) > $nw " +
+        s"THEN CAST($p AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
 
   /** DuckDB rendering of the identical simhash formula. */
   def simhashDuckExpr(textCol: String, bits: Int): String = {
     val hw = s"[CAST(('0x'||substr(md5(w),1,8)) AS BIGINT) " +
       s"FOR w IN list_distinct(string_split($textCol, ' '))]"
     val nw = s"len(list_distinct(string_split($textCol, ' ')))"
-    val terms = (0 until bits).map { b =>
-      val p = 1L << b
-      s"(CASE WHEN 2*len(list_filter($hw, h -> (h//$p) % 2 = 1)) > $nw " +
-        s"THEN CAST($p AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-    }
-    terms.mkString(" + ")
+    simhashTerms(hw, nw, bits, sizeFn = "len", filterFn = "list_filter",
+      intDiv = "//")
   }
+
+  /** DuckDB simhash over precomputed hw/nw columns. */
+  def simhashDuckExprOver(hwCol: String, nwCol: String, bits: Int): String =
+    simhashTerms(hwCol, nwCol, bits, sizeFn = "len",
+      filterFn = "list_filter", intDiv = "//")
+
+  /** The word-hash / word-count DuckDB SQL fragments. */
+  def wordHashDuckExpr(textCol: String): (String, String) = (
+    s"[CAST(('0x'||substr(md5(w),1,8)) AS BIGINT) " +
+      s"FOR w IN list_distinct(string_split($textCol, ' '))]",
+    s"len(list_distinct(string_split($textCol, ' ')))")
 }

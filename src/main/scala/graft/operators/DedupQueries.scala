@@ -325,13 +325,20 @@ object DedupQueries {
     * constant-size near-dup signature. */
   private val q52 = Q(
     "q52_simhash",
-    (s, dir) =>
+    (s, dir) => {
+      val (hw, nw) = TextOps.wordHashSparkExpr("text")
       t(s, dir, "documents")
+        .selectExpr("doc_id", s"$hw AS hw", s"$nw AS nw")
         .selectExpr("doc_id",
-          s"${TextOps.simhashSparkExpr("text", 16)} AS simhash"),
-    Some(
-      s"""SELECT doc_id, ${TextOps.simhashDuckExpr("text", 16)} AS simhash
-          FROM documents"""))
+          s"${TextOps.simhashSparkExprOver("hw", "nw", 16)} AS simhash")
+    },
+    Some {
+      val (hw, nw) = TextOps.wordHashDuckExpr("text")
+      s"""WITH hws AS (SELECT doc_id, $hw AS hw, $nw AS nw FROM documents)
+          SELECT doc_id,
+                 ${TextOps.simhashDuckExprOver("hw", "nw", 16)} AS simhash
+          FROM hws"""
+    })
 
   /** Per-group MinHash signatures via the typed mergeable Aggregator
     * (graft.functions.MinHashSignature) — map-side partial signatures
@@ -378,9 +385,11 @@ object DedupQueries {
   private val q84 = Q(
     "q84_simhash_hamming",
     (s, dir) => {
+      val (hw, nw) = TextOps.wordHashSparkExpr("text")
       val sh = t(s, dir, "documents")
+        .selectExpr("doc_id", s"$hw AS hw", s"$nw AS nw")
         .selectExpr("doc_id",
-          s"${TextOps.simhashSparkExpr("text", 32)} AS sh")
+          s"${TextOps.simhashSparkExprOver("hw", "nw", 32)} AS sh")
         .withColumn("blk", expr("sh div 65536"))
         .localCheckpoint()
       sh.alias("a").join(sh.alias("b"),
@@ -393,10 +402,12 @@ object DedupQueries {
         .select(col("d1"), col("d2"), col("dist"))
     },
     Some {
+      val (hw, nw) = TextOps.wordHashDuckExpr("text")
       s"""
-      WITH sh AS (
-        SELECT doc_id, ${TextOps.simhashDuckExpr("text", 32)} AS sh
-        FROM documents),
+      WITH hws AS (SELECT doc_id, $hw AS hw, $nw AS nw FROM documents),
+      sh AS (
+        SELECT doc_id, ${TextOps.simhashDuckExprOver("hw", "nw", 32)} AS sh
+        FROM hws),
       blocked AS (SELECT doc_id, sh, sh // 65536 AS blk FROM sh)
       SELECT a.doc_id AS d1, b.doc_id AS d2,
              CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
