@@ -147,5 +147,56 @@ object SourceQueries {
       FROM lineitem GROUP BY 1
     """))
 
-  val registry: Seq[Q] = Seq(q70, q71, q72, q73, q74)
+  /** Schema evolution: union two projections with different column
+    * sets by name, absent columns null-filled (unionByName
+    * allowMissingColumns == DuckDB's UNION ALL BY NAME). */
+  private val q86 = Q(
+    "q86_union_schema_evolution",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val v1 = o.filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val v2 = o.filter(year(col("o_orderdate")) === 1996)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM (
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+        UNION ALL BY NAME
+        SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        WHERE EXTRACT(YEAR FROM o_orderdate) = 1996)
+      GROUP BY 1, 2
+    """))
+
+  /** Conditional / filtered aggregation: count_if and FILTER-style
+    * sums in one pass over the fact table. */
+  private val q87 = Q(
+    "q87_conditional_agg",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count_if(col("l_quantity") > 25.0).as("n_high_qty"),
+          count_if(col("l_discount") === 0.0).as("n_no_disc"),
+          sum(when(col("l_quantity") > 25.0,
+            col("l_extendedprice").cast(DecimalType(18, 2)))
+            .otherwise(lit(0)))
+            .cast(DoubleType).as("high_qty_revenue")),
+    Some("""
+      SELECT l_returnflag,
+             count_if(l_quantity > 25.0) AS n_high_qty,
+             count_if(l_discount = 0.0) AS n_no_disc,
+             CAST(SUM(CASE WHEN l_quantity > 25.0
+                      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      ELSE 0 END) AS DOUBLE) AS high_qty_revenue
+      FROM lineitem GROUP BY 1
+    """))
+
+  val registry: Seq[Q] = Seq(q70, q71, q72, q73, q74, q86, q87)
 }
