@@ -125,6 +125,29 @@ class TrainerSpec extends AnyFunSuite {
     assert(agree == 200)
   }
 
+  test("recommend: a probe equal to a snapshot row returns it at distance ~0") {
+    val out = java.nio.file.Files.createTempDirectory("graft_r_").toString
+    Trainer.trainAll(syntheticFood(200), Seq("description"), out)
+    // the model-3 snapshot holds the first 3/5 of rows ordered by
+    // description — "food_100" sorts near the lexicographic front, so
+    // it is guaranteed to be in the snapshot; use its exact features
+    val i = 100
+    val payload = Map(
+      "Protein-G" -> (i % 40 + (i % 7) * 0.5),
+      "Energy-KCAL" -> (i % 90) * 10.0,
+      "Total lipid (fat)-G" -> (i % 13) * 2.0,
+      "Carbohydrate, by difference-G" -> (i % 17) * 3.0)
+    val top = Serve.recommend(spark, Trainer.loadModel(out, 3),
+      s"$out/reco_snapshot", payload, k = 1).head()
+    assert(math.abs(top.getDouble(1)) < 1e-9) // cosine distance ~ 0
+    // the returned item has identical features to the probe (several
+    // rows may tie at distance 0; all of them are exact matches)
+    val desc = top.getString(0)
+    val m = """food_(\d+)""".r.findFirstMatchIn(desc).get.group(1).toInt
+    assert((m % 40 + (m % 7) * 0.5) == payload("Protein-G"))
+    assert((m % 90) * 10.0 == payload("Energy-KCAL"))
+  }
+
   test("serve: cluster id, energy regression, classification, recommend top-5") {
     val out = java.nio.file.Files.createTempDirectory("graft_s_").toString
     Trainer.trainAll(syntheticFood(200), Seq("description"), out)
