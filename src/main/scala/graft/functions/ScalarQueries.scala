@@ -253,6 +253,30 @@ object ScalarQueries {
       FROM orders
     """))
 
+  /** Bitwise operation family over integer keys (and/or/xor/shift/
+    * popcount — the primitives the hash/sketch operators build on). */
+  private val q88 = Q(
+    "q88_bitops",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("o_orderkey & 255").cast(LongType).as("low_byte"),
+          expr("o_orderkey | 1").cast(LongType).as("with_low_bit"),
+          expr("o_orderkey ^ 21845").cast(LongType).as("xored"),
+          expr("shiftleft(o_orderkey, 2)").cast(LongType).as("shl2"),
+          expr("shiftright(o_orderkey, 3)").cast(LongType).as("shr3"),
+          expr("bit_count(o_orderkey)").cast(LongType).as("popcount")),
+    Some("""
+      SELECT o_orderkey,
+             o_orderkey & 255 AS low_byte,
+             o_orderkey | 1 AS with_low_bit,
+             xor(o_orderkey, 21845) AS xored,
+             o_orderkey << 2 AS shl2,
+             o_orderkey >> 3 AS shr3,
+             CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+      FROM orders
+    """))
+
   val registry: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37r,
-    q38s, q39d)
+    q38s, q39d, q88)
 }
