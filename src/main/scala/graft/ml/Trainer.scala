@@ -33,6 +33,15 @@ object Trainer {
   val GbtSeed = 42L
   val NumModels = 5
 
+  /** Model-id -> type name (spark_model_trainer.py:12, api.py:21-25). */
+  def modelType(k: Int): String = k match {
+    case 1 | 2 => "clustering"
+    case 3     => "recommendation"
+    case 4     => "regression"
+    case 5     => "classification"
+    case _     => throw new IllegalArgumentException(s"model id $k")
+  }
+
   /** The reference's prepare_dataframe (spark_model_trainer.py:46-64):
     * coerce every schema column with defaults, synthesizing any that
     * are absent. */
@@ -105,12 +114,21 @@ object Trainer {
 
   /** Deterministic cumulative slices: slice k holds the first
     * k*n/total rows under an explicit total order
-    * (spark_model_trainer.py:208-226, made reproducible). */
+    * (spark_model_trainer.py:208-226, made reproducible).
+    *
+    * `limit` is Int-bounded, so slices are capped at ~2.1 B rows; the
+    * require makes that cap an explicit error instead of a silent
+    * `toInt` wraparound. Past that size, the global-total-order slice
+    * semantics the reference uses stop being a sane operation anyway —
+    * shard the input first. */
   def cumulativeSlices(
       df: DataFrame,
       orderCols: Seq[String],
       total: Int = NumModels): Seq[DataFrame] = {
     val n = df.count()
+    require(n <= Int.MaxValue.toLong,
+      s"cumulativeSlices: $n rows exceeds limit()'s Int bound; " +
+        "shard the input before slicing")
     val ordered = df.orderBy(orderCols.map(col): _*)
     (1 to total).map(k => ordered.limit((n * k / total).toInt))
   }

@@ -19,7 +19,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * factor is the whole game.
   *
   * Left fold in index order, so results are bit-identical to the HOF
-  * formulation (and to DuckDB's sequential list_dot_product).
+  * formulation (and to DuckDB's sequential list_dot_product). Mismatched
+  * array lengths raise, matching list_dot_product's strictness — a
+  * truncated partial product would silently mask dimension corruption.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -40,7 +42,10 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw DotProduct.lengthMismatch(n, y.numElements())
+    }
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -56,7 +61,10 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw graft.plans.DotProduct.lengthMismatch($n, $b.numElements());
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $a.getDouble($i) * $b.getDouble($i);
@@ -68,6 +76,14 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Shared by interpreted eval and generated code (must be public and
+    * Java-callable from codegen'd classes). */
+  def lengthMismatch(l: Int, r: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"graft_dot: array length mismatch ($l vs $r)")
 }
 
 object VectorFunctions {

@@ -88,7 +88,8 @@ class ApiServer(spark: SparkSession, modelDir: String, port: Int = 0) {
     (ex.getRequestMethod, id.toOption) match {
       case ("POST", Some(k)) if k >= 1 && k <= Trainer.NumModels =>
         if (!models.contains(k))
-          respond(ex, 503, s"""{"error":"model $k not loaded"}""")
+          // known-but-unloaded is 404, matching api.py:192,203,216,224
+          respond(ex, 404, s"""{"error":"model $k not loaded"}""")
         else
           Try(predict(k, parseFlatJson(body))).fold(
             e => respond(ex, 500,
@@ -103,16 +104,22 @@ class ApiServer(spark: SparkSession, modelDir: String, port: Int = 0) {
   })
 
   server.createContext("/health", (ex: HttpExchange) => {
-    // tri-state summary from per-model availability (api.py:240-269)
+    // tri-state summary from per-model availability, in the reference's
+    // exact response shape (api.py:241-269): overall_status +
+    // operational_models + total_expected_models + per-model
+    // "model_<id>_<type>": "operational"|"not_operational" details
     val loaded = (1 to Trainer.NumModels).filter(models.contains)
     val status =
       if (loaded.size == Trainer.NumModels) "healthy"
       else if (loaded.nonEmpty) "degraded"
       else "unhealthy"
-    val flags = (1 to Trainer.NumModels)
-      .map(k => s""""model_$k":${models.contains(k)}""").mkString(",")
+    val details = (1 to Trainer.NumModels).map { k =>
+      val op = if (models.contains(k)) "operational" else "not_operational"
+      s""""model_${k}_${Trainer.modelType(k)}":"$op""""
+    }.mkString("{", ",", "}")
     respond(ex, if (status == "unhealthy") 503 else 200,
-      s"""{"status":"$status",$flags}""")
+      s"""{"overall_status":"$status","operational_models":${loaded.size},""" +
+        s""""total_expected_models":${Trainer.NumModels},"details":$details}""")
   })
 
   def start(): ApiServer = { server.start(); this }

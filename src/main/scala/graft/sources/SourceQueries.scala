@@ -190,8 +190,8 @@ object SourceQueries {
             .cast(DoubleType).as("high_qty_revenue")),
     Some("""
       SELECT l_returnflag,
-             count_if(l_quantity > 25.0) AS n_high_qty,
-             count_if(l_discount = 0.0) AS n_no_disc,
+             CAST(count_if(l_quantity > 25.0) AS BIGINT) AS n_high_qty,
+             CAST(count_if(l_discount = 0.0) AS BIGINT) AS n_no_disc,
              CAST(SUM(CASE WHEN l_quantity > 25.0
                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
                       ELSE 0 END) AS DOUBLE) AS high_qty_revenue

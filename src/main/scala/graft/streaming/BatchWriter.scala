@@ -24,17 +24,25 @@ object BatchWriter {
 
   /** Count-batched CSV sink: every micro-batch is written as header'd
     * CSV files of at most `batchSize` rows (reference:
-    * batch_writer_consumer.py:63-69 enforced 2,000-row files). */
+    * batch_writer_consumer.py:63-69 enforced 2,000-row files).
+    *
+    * Each micro-batch lands in its own `batch=<id>` subdirectory with
+    * mode=overwrite, so a batch retried after a mid-write crash replaces
+    * its own partial output instead of appending duplicates — that plus
+    * the checkpoint's offset tracking gives end-to-end exactly-once
+    * (an append-mode write here would only be at-least-once). Readers
+    * see one table via a recursive/glob directory read, same as the
+    * reference's `data/batches/` scan (spark_model_trainer.py:190). */
   def writeCountBatches(
       source: DataFrame,
       outDir: String,
       batchSize: Int = 2000): StreamingQuery = {
-    val writeBatch: (Dataset[Row], Long) => Unit = (batch, _) =>
+    val writeBatch: (Dataset[Row], Long) => Unit = (batch, batchId) =>
       batch.coalesce(1).write
-        .mode("append")
+        .mode("overwrite")
         .option("header", "true")
         .option("maxRecordsPerFile", batchSize)
-        .csv(outDir)
+        .csv(s"$outDir/batch=$batchId")
     source.writeStream
       .foreachBatch(writeBatch)
       .option("checkpointLocation", s"$outDir/_checkpoint")

@@ -180,7 +180,8 @@ object StreamQueries {
         StructField("event_id", LongType),
         StructField("event_type", StringType),
         StructField("value", DoubleType)))
-      s.read.option("header", "true").schema(csvSchema).csv(out)
+      s.read.option("header", "true").option("recursiveFileLookup", "true")
+        .schema(csvSchema).csv(out)
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("_metadata.file_path")).as("n_files"),
           sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)

@@ -26,14 +26,25 @@ class DotProductSpec extends AnyFunSuite {
     assert(out.filter(col("native") =!= col("hof")).count() == 0)
   }
 
-  test("null inputs and length mismatch") {
+  test("null inputs propagate null") {
     import spark.implicits._
     val df = Seq(
-      (Some(Array(1.0, 2.0)), Some(Array(3.0, 4.0, 99.0))), // min-length fold
-      (None, Some(Array(1.0)))).toDF("a", "b")
+      (Option.empty[Array[Double]], Some(Array(1.0)))).toDF("a", "b")
     val rows = df.select(VectorFunctions.dot(col("a"), col("b"))).collect()
-    assert(rows(0).getDouble(0) == 11.0) // 1*3 + 2*4, extra element ignored
-    assert(rows(1).isNullAt(0))
+    assert(rows(0).isNullAt(0))
+  }
+
+  test("length mismatch raises (DuckDB list_dot_product strictness)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0, 99.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(VectorFunctions.dot(col("a"), col("b"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c =>
+        String.valueOf(c.getMessage).contains("length mismatch")))
   }
 
   test("registered SQL function form works") {

@@ -43,11 +43,14 @@ class ApiServerSpec extends AnyFunSuite {
       .uri(URI.create(s"http://localhost:${server.boundPort}$path"))
       .GET().build(), HttpResponse.BodyHandlers.ofString())
 
-  test("health reports all five models loaded") {
+  test("health reports all five models loaded in the reference shape") {
     val r = get("/health")
     assert(r.statusCode() == 200)
-    assert(r.body().contains(""""status":"healthy""""))
-    assert(r.body().contains(""""model_5":true"""))
+    assert(r.body().contains(""""overall_status":"healthy""""))
+    assert(r.body().contains(""""operational_models":5"""))
+    assert(r.body().contains(""""total_expected_models":5"""))
+    assert(r.body().contains(""""model_5_classification":"operational""""))
+    assert(r.body().contains(""""model_3_recommendation":"operational""""))
   }
 
   test("predict routes all five model types") {
@@ -72,6 +75,25 @@ class ApiServerSpec extends AnyFunSuite {
     assert(post("/predict/9", "{}").statusCode() == 400)
     assert(post("/predict/abc", "{}").statusCode() == 400)
     assert(get("/predict/1").statusCode() == 405)
+  }
+
+  test("known-but-unloaded model returns 404 and health reports unhealthy") {
+    // empty model dir: ids 1..5 are known but nothing is loaded
+    val empty = java.nio.file.Files.createTempDirectory("graft_api_empty_")
+    val s = new ApiServer(spark, empty.toString).start()
+    try {
+      val r = client.send(HttpRequest.newBuilder()
+        .uri(URI.create(s"http://localhost:${s.boundPort}/predict/4"))
+        .POST(HttpRequest.BodyPublishers.ofString("{}"))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 404) // api.py:216 — not-loaded is 404
+      val h = client.send(HttpRequest.newBuilder()
+        .uri(URI.create(s"http://localhost:${s.boundPort}/health"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(h.statusCode() == 503)
+      assert(h.body().contains(""""overall_status":"unhealthy""""))
+      assert(h.body().contains(""""model_4_regression":"not_operational""""))
+    } finally s.stop()
   }
 
   test("flat JSON parser handles the reference payload shapes") {

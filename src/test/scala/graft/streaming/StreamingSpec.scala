@@ -39,25 +39,47 @@ class StreamingSpec extends AnyFunSuite {
     // the reference's running message counter (batch_writer_consumer.py:
     // 43-44) -> StreamingQueryProgress.numInputRows
     assert(q.recentProgress.map(_.numInputRows).sum == 4500)
-    val files = new java.io.File(out).listFiles
-      .filter(_.getName.endsWith(".csv"))
+    def csvFiles() = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator().asScala
+        .map(_.toFile).filter(_.getName.endsWith(".csv")).toSeq
+    }
     // 4500 rows at <=2000/file = 2000 + 2000 + 500, mirroring the
     // reference's batch_0.csv/batch_1.csv/final partial batch
-    assert(files.length == 3)
-    val counts = files.map { f =>
+    assert(csvFiles().length == 3)
+    val counts = csvFiles().map { f =>
       val src = scala.io.Source.fromFile(f)
       try src.getLines().size - 1 finally src.close() // minus header
-    }.sorted.toSeq
+    }.sorted
     assert(counts == Seq(500, 2000, 2000))
-    assert(spark.read.option("header", "true").csv(out).count() == 4500)
+    def readAll() = spark.read
+      .option("header", "true").option("recursiveFileLookup", "true").csv(out)
+    assert(readAll().count() == 4500)
 
-    // exactly-once: re-running against the same checkpoint must not
-    // duplicate output (offsets already committed; this is what
+    // exactly-once leg 1: re-running against the same checkpoint must
+    // not duplicate output (offsets already committed; this is what
     // replaces the reference's consumer-group offset commits)
     val q2 = BatchWriter.writeCountBatches(
       ms.toDF().withColumnRenamed("value", "event_id"), out)
     q2.awaitTermination()
-    assert(spark.read.option("header", "true").csv(out).count() == 4500)
+    assert(readAll().count() == 4500)
+
+    // exactly-once leg 2: a batch retried after a mid-write crash (files
+    // on disk, checkpoint commit missing) overwrites its own batch=<id>
+    // directory instead of appending — simulate by deleting the commit
+    // marker for the last batch and re-running
+    val commitDir = new java.io.File(s"$out/_checkpoint/commits")
+    val commits = commitDir.listFiles
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    // remove the Hadoop checksum shadow too, else the re-created commit
+    // trips ChecksumFileSystem's create(overwrite=false)
+    new java.io.File(commitDir, s".${commits.last.getName}.crc").delete()
+    commits.last.delete()
+    val q3 = BatchWriter.writeCountBatches(
+      ms.toDF().withColumnRenamed("value", "event_id"), out)
+    q3.awaitTermination()
+    assert(readAll().count() == 4500)
   }
 
   test("session_window merges events within the gap, splits across it") {
