@@ -15,11 +15,22 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val only = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Queries are independent: release this query's localCheckpoint /
+        // persist blocks before the next one. Without this, ~80 queries'
+        // worth of checkpoint blocks accumulate in storage memory and
+        // later queries run execution-memory-starved (measured 3-5x
+        // inflation on the heavy text queries late in the run).
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.sharedState.cacheManager.clearCache()
+        name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

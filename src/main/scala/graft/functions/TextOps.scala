@@ -20,14 +20,16 @@ object TextOps {
   def words(c: Column): Column = split(norm(c), " ")
 
   /** Word n-gram shingles: ["a b c","b c d",...]; empty when the doc is
-    * shorter than n (guard needed because sequence(0, negative) would
-    * produce a descending range, not an empty one).
-    */
+    * shorter than n; null words → null. Native single-pass expression —
+    * see [[graft.plans.WordShingles]] for why the transform/sequence/
+    * slice HOF formulation is quadratic in practice. */
   def shingles(w: Column, n: Int): Column =
-    when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - lit(n)),
-        i => array_join(slice(w, i + lit(1), lit(n)), " ")))
-      .otherwise(array().cast(ArrayType(StringType)))
+    graft.plans.WordShingles.shingles(w, n)
+
+  /** Distinct shingle set (first-occurrence order — `array_distinct`
+    * semantics) in the same single pass. */
+  def shingleSet(w: Column, n: Int): Column =
+    graft.plans.WordShingles.shingles(w, n, distinct = true)
 
   /** One MinHash signature component: min over shingles of a salted md5.
     * The lexicographic min over hex strings is a valid uniform min-hash

@@ -224,7 +224,7 @@ object DedupQueries {
       // (at scale: this is the "build the index, then join it" pattern)
       val c = corpus(t(s, dir, "documents"))
         .withColumn("sh",
-          array_distinct(TextOps.shingles(TextOps.words(col("text")), 5)))
+          TextOps.shingleSet(TextOps.words(col("text")), 5))
       val ex = c.select(col("doc_id"), size(col("sh")).as("nsh"),
         explode(col("sh")).as("s")).localCheckpoint()
       val pairs = ex.alias("a")
@@ -265,14 +265,16 @@ object DedupQueries {
       // tokenize->shingle->8x-minhash lineage — the LSH "index build"
       val c = corpus(t(s, dir, "documents"))
         .withColumn("sh",
-          array_distinct(TextOps.shingles(TextOps.words(col("text")), 5)))
+          TextOps.shingleSet(TextOps.words(col("text")), 5))
         .localCheckpoint()
-      val withMin = (0 until 8).foldLeft(c) { (df, i) =>
-        df.withColumn(s"m$i", TextOps.minhash(col("sh"), i))
-      }
+      // all 8 signature components in one native pass over the shingles
+      // (graft.plans.MinHashSig) instead of 8 interpreted HOF columns
+      val withMin = c.withColumn("ms",
+        graft.plans.MinHashSig.minhashSig(col("sh"), 8))
       val withBands = withMin.withColumn("bands",
         array((0 until 4).map(j =>
-          md5(concat(col(s"m${2 * j}"), col(s"m${2 * j + 1}")))): _*))
+          md5(concat(element_at(col("ms"), 2 * j + 1),
+            element_at(col("ms"), 2 * j + 2)))): _*))
       val ex = withBands.select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band_idx", "bh")))
         .localCheckpoint()
