@@ -592,7 +592,8 @@ object Queries {
     graft.operators.SimilarityQueries.registry ++
     graft.ml.MlQueries.registry ++
     graft.operators.AnalyticQueries.registry ++
-    graft.sources.SourceQueries.registry
+    graft.sources.SourceQueries.registry ++
+    graft.operators.PipelineQueries.registry
 
   private def normalize(sql: String): String =
     sql.trim.stripMargin.linesIterator.map(_.trim).filter(_.nonEmpty)
