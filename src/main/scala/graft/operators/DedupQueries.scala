@@ -464,6 +464,78 @@ object DedupQueries {
              CAST(MAX(o_orderpriority) AS VARCHAR) FROM orders
     """))
 
+  /** Duplicate-cluster assignment: connected components over the q50
+    * near-dup pair graph (Jaccard >= 0.3), by iterative min-label
+    * propagation — the step that turns pairwise dup detection into
+    * keep-one-per-cluster dedup. Each iteration is one join + one
+    * min-aggregate (both key-partitioned shuffles, no driver data);
+    * the driver only checks a 1-row convergence aggregate per round,
+    * exactly the Pregel/GraphX iteration pattern, and rounds needed =
+    * graph diameter (checkpointed lineage, bounded at 20). Oracle:
+    * DuckDB recursive CTE computing min reachable id per node. */
+  private val q99 = Q(
+    "q99_dup_clusters",
+    (s, dir) => {
+      val c = corpus(t(s, dir, "documents"))
+        .withColumn("sh",
+          TextOps.shingleSet(TextOps.words(col("text")), 5))
+      val ex = c.select(col("doc_id"), size(col("sh")).as("nsh"),
+        explode(col("sh")).as("s")).localCheckpoint()
+      val pairs = ex.alias("a")
+        .join(ex.alias("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.nsh").as("n1"), col("b.nsh").as("n2"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter").cast(DoubleType) /
+          (col("n1") + col("n2") - col("inter")) >= 0.3)
+        .select(col("d1"), col("d2"))
+      val edges = pairs
+        .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .localCheckpoint()
+      var labels = edges.select(col("d1").as("id")).distinct()
+        .withColumn("lbl", col("id")).localCheckpoint()
+      var prevSum = Long.MaxValue
+      var iter = 0
+      var converged = false
+      while (!converged && iter < 20) {
+        val prop = edges.join(labels, edges("d1") === labels("id"))
+          .select(edges("d2").as("id"), col("lbl"))
+        labels = labels.unionByName(prop)
+          .groupBy("id").agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint()
+        val lblSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+        converged = lblSum == prevSum
+        prevSum = lblSum
+        iter += 1
+      }
+      labels.groupBy(col("lbl").as("cluster"))
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(transform(array_sort(collect_list(col("id"))),
+            _.cast(StringType)), ",").as("members"))
+    },
+    Some(s"""
+      WITH RECURSIVE $shingleSql,
+      ex AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM sh),
+      p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.nsh AS n1, b.nsh AS n2,
+                   COUNT(*) AS inter
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+      pq AS (SELECT d1, d2 FROM p
+             WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.3),
+      e AS (SELECT d1 AS src, d2 AS dst FROM pq
+            UNION ALL SELECT d2, d1 FROM pq),
+      n AS (SELECT DISTINCT src AS id FROM e),
+      reach(id, m) AS (
+        SELECT id, id FROM n
+        UNION
+        SELECT e.dst, r.m FROM reach r JOIN e ON e.src = r.id),
+      lbl AS (SELECT id, MIN(m) AS cluster FROM reach GROUP BY 1)
+      SELECT cluster, COUNT(*) AS n_docs,
+             array_to_string(list_sort(list(id)), ',') AS members
+      FROM lbl GROUP BY 1
+    """))
+
   val registry: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52,
-    q82, q84, q85)
+    q82, q84, q85, q99)
 }

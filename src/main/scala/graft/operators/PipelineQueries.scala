@@ -227,5 +227,74 @@ object PipelineQueries {
       FROM hits WHERE CAST(n_hit AS DOUBLE) / n_sh >= 0.5
     """))
 
-  val registry: Seq[Q] = Seq(q89, q90, q91, q92, q93, q94, q95, q96)
+  /** ORC round-trip: write suppliers to ORC, scan it back, aggregate.
+    * Exercises the third columnar source/sink format (parquet and CSV
+    * round-trips are q70/q72); the oracle computes the same aggregate
+    * from the original parquet — a faithful round-trip is invisible. */
+  private val q97 = Q(
+    "q97_orc_roundtrip",
+    (s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_orc_").toString
+      t(s, dir, "supplier").write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("s_acctbal")).as("bal_sum"))
+    },
+    Some("""
+      SELECT s_nationkey, COUNT(*) AS n,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+      FROM supplier GROUP BY 1
+    """))
+
+  /** CDC-style MERGE (upsert): a deterministic change set — updates for
+    * keys % 7 == 0 (status -> 'U', price + 100) and inserts at
+    * key + 10,000,000 for keys % 1000 == 0 — applied to orders with the
+    * full-outer-join + coalesce pattern (MERGE without a table format:
+    * changed rows win, unmatched base rows pass through, unmatched
+    * change rows insert). One shuffle on the merge key; with bucketed
+    * base and change tables it is co-located and shuffle-free. */
+  private val q98 = Q(
+    "q98_merge_upsert",
+    (s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val changes = base.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"),
+          lit("U").as("c_status"),
+          (dec2(col("o_totalprice")) + dec2(lit(100.0)))
+            .cast(DoubleType).as("c_price"))
+        .unionByName(base.filter(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("I").as("c_status"), col("o_totalprice").as("c_price")))
+      base.join(changes, Seq("o_orderkey"), "full_outer")
+        .select(
+          coalesce(col("c_status"), col("o_orderstatus")).as("status"),
+          coalesce(col("c_price"), col("o_totalprice")).as("price"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), moneySum(col("price")).as("price_sum"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      changes AS (
+        SELECT o_orderkey, 'U' AS c_status,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    + CAST(100.0 AS DECIMAL(18,2)) AS DOUBLE) AS c_price
+        FROM base WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'I', o_totalprice
+        FROM base WHERE o_orderkey % 1000 = 0),
+      merged AS (
+        SELECT COALESCE(c.c_status, b.o_orderstatus) AS status,
+               COALESCE(c.c_price, b.o_totalprice) AS price
+        FROM base b FULL OUTER JOIN changes c USING (o_orderkey))
+      SELECT status, COUNT(*) AS n,
+             CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+      FROM merged GROUP BY 1
+    """))
+
+  val registry: Seq[Q] =
+    Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98)
 }
