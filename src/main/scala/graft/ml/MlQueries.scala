@@ -147,7 +147,22 @@ object MlQueries {
           round(element_at(col("features"), 3), 6).as("f2"),
           round(element_at(col("features"), 4), 6).as("f3"))
     },
-    None)
+    // The stub decoder is a 4-bin byte histogram; the corpus is pure
+    // ASCII (verified), so bins == regexp char-class counts and the
+    // whole mapPartitions pipeline is oracle-checkable end-to-end.
+    Some("""
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS n_bytes,
+             round(len(regexp_extract_all(text, '[\x00-\x3f]'))
+                   / CAST(length(text) AS DOUBLE), 6) AS f0,
+             round(len(regexp_extract_all(text, '[\x40-\x7f]'))
+                   / CAST(length(text) AS DOUBLE), 6) AS f1,
+             round(len(regexp_extract_all(text, '[\x80-\xbf]'))
+                   / CAST(length(text) AS DOUBLE), 6) AS f2,
+             round(len(regexp_extract_all(text, '[\xc0-\xff]'))
+                   / CAST(length(text) AS DOUBLE), 6) AS f3
+      FROM documents
+    """))
 
   val registry: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65)
 }

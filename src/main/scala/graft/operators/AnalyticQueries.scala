@@ -109,9 +109,30 @@ object AnalyticQueries {
     (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey")).as("approx_supps")),
-    None)
+        .agg(count_distinct(col("l_partkey")).as("exact_parts"),
+          count_distinct(col("l_suppkey")).as("exact_supps"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("asup"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+          (abs(col("ap") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("parts_within_5pct"),
+          (abs(col("asup") - col("exact_supps")) <=
+            col("exact_supps") * 0.05).as("supps_within_5pct")),
+    // Each engine runs its own HLL sketch and asserts it lands within
+    // 5% of its own exact count — the raw estimates differ by
+    // implementation, the accuracy contract (and the exact counts)
+    // must not. Both engines are deterministic for fixed input, so
+    // this is a stable cross-engine sketch-accuracy check.
+    Some("""
+      SELECT l_returnflag,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+             abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+               <= COUNT(DISTINCT l_partkey) * 0.05 AS parts_within_5pct,
+             abs(approx_count_distinct(l_suppkey) - COUNT(DISTINCT l_suppkey))
+               <= COUNT(DISTINCT l_suppkey) * 0.05 AS supps_within_5pct
+      FROM lineitem GROUP BY 1
+    """))
 
   /** Dedup-keep-first: one row per (user, event_type), keeping the
     * earliest event's attributes — the deterministic formulation of
