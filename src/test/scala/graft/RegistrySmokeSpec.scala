@@ -26,7 +26,13 @@ class RegistrySmokeSpec extends AnyFunSuite {
 
   Queries.registry.filterNot(q => slow(q.name)).foreach { q =>
     test(s"${q.name} runs and returns rows at sf0.001") {
-      assert(q.build(spark, dir).count() > 0)
+      val df = q.build(spark, dir)
+      // plan audit: an accidental cartesian product would "work" at
+      // sf0.001 and detonate at scale — fail it here
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct")
+      assert(df.count() > 0)
     }
   }
 
