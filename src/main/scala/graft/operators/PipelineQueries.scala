@@ -295,6 +295,30 @@ object PipelineQueries {
       FROM merged GROUP BY 1
     """))
 
+  /** Text (line-oriented) source/sink round-trip — the raw-corpus
+    * interchange format. Content equality is order-independent: line
+    * count plus a sum of per-line 32-bit md5 fingerprints (and total
+    * length), reproducible from the parquet original by the oracle. */
+  private val q100 = Q(
+    "q100_text_roundtrip",
+    (s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_text_").toString
+      t(s, dir, "documents").select(col("text"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .agg(count(lit(1)).as("n_lines"),
+          asLong(sum(md5Int32(col("value")))).as("content_sum"),
+          asLong(sum(length(col("value")))).as("sum_len"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n_lines,
+             CAST(SUM(('0x'||substr(md5(text),1,8))::BIGINT) AS BIGINT)
+               AS content_sum,
+             CAST(SUM(length(text)) AS BIGINT) AS sum_len
+      FROM documents
+    """))
+
   val registry: Seq[Q] =
-    Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98)
+    Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q100)
 }
