@@ -255,36 +255,76 @@ object SimilarityQueries {
       """
     })
 
-  /** IVF-style ANN: partition the vector space with seeded KMeans
-    * centroids (the inverted-file index), then search only the probe's
-    * cell. The complement to the hyperplane-LSH path (q55/q56): LSH
-    * buckets are data-independent, IVF cells adapt to the data
-    * distribution. KMeans has no SQL oracle -> rows-only check; recall
-    * vs the exact q53 scan is the quality measure. */
+  /** IVF-style ANN: partition the vector space into cells around
+    * centroids (the inverted-file index), assign every vector to its
+    * nearest centroid, then search only the probe's nprobe=2 best
+    * cells. Centroids here are hash-sampled data vectors
+    * (md5(vec_id) % 32 == 0) — a standard IVF centroid init — which
+    * keeps the whole operator deterministic and differentially
+    * verifiable; a production index refines the same cells with
+    * KMeans (q60 covers the trained-clustering capability). The
+    * complement to the hyperplane-LSH path (q55/q56): LSH buckets are
+    * data-independent, IVF cells adapt to the data distribution.
+    * Broadcast the centroid set; the big side is scanned once for
+    * assignment and once per probe over nprobe cells only. */
   private val q59 = Q(
     "q59_ivf_ann",
     (s, dir) => {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("fv", array_to_vector(col("v")))
-      val model = new KMeans().setK(16).setSeed(1L)
-        .setFeaturesCol("fv").setPredictionCol("cell")
-        .fit(e)
-      val assigned = model.transform(e).select(
-        col("vec_id"), col("v"), col("cell"))
-      val probe = assigned.filter(col("vec_id") === 0)
-        .select(col("v").as("pv"), col("cell").as("pcell"))
-      assigned.join(broadcast(probe),
-          col("cell") === col("pcell") && col("vec_id") =!= 0)
+      val cents = e
+        .filter(graft.functions.Exprs
+          .md5Int32(col("vec_id").cast(StringType)) % 32 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val scored = e.crossJoin(broadcast(cents))
+        .withColumn("csim", cosine(col("v"), col("cv")))
+      val byVec = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cid").asc)
+      val assigned = scored
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid").as("cell"))
+      val pcells = scored.filter(col("vec_id") === 0)
+        .orderBy(col("csim").desc, col("cid").asc).limit(2)
+        .select(col("cid").as("cell"))
+      val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+      assigned.join(broadcast(pcells), "cell")
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
         .withColumn("sim", cosine(col("v"), col("pv")))
         .orderBy(col("sim").desc, col("vec_id").asc)
         .limit(5)
         .select(col("vec_id"), col("cell").cast(LongType).as("cell"),
           round(col("sim"), 5).as("sim"))
     },
-    None)
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e
+            WHERE ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT
+                  % 32 = 0),
+      scored AS (
+        SELECT e.vec_id, e.v, c.cid,
+               list_dot_product(e.v, c.cv) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(c.cv, c.cv))) AS csim
+        FROM e CROSS JOIN c),
+      assigned AS (
+        SELECT vec_id, v, cid AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY csim DESC, cid) AS rn FROM scored)
+        WHERE rn = 1),
+      pcells AS (
+        SELECT cid AS cell FROM (
+          SELECT cid, row_number() OVER (ORDER BY csim DESC, cid) AS rn
+          FROM scored WHERE vec_id = 0)
+        WHERE rn <= 2),
+      p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+      SELECT vec_id, CAST(cell AS BIGINT) AS cell, round($duckCos, 5) AS sim
+      FROM (SELECT a.vec_id, a.cell, a.v FROM assigned a
+            JOIN pcells USING (cell) WHERE a.vec_id != 0)
+      CROSS JOIN p
+      ORDER BY $duckCos DESC, vec_id LIMIT 5
+    """))
 
   val registry: Seq[Q] = Seq(q53, q54, q55, q56, q57, q58, q59)
 }
