@@ -326,5 +326,76 @@ object SimilarityQueries {
       ORDER BY $duckCos DESC, vec_id LIMIT 5
     """))
 
-  val registry: Seq[Q] = Seq(q53, q54, q55, q56, q57, q58, q59)
+  /** ANN quality evaluation: recall@10 of the multiprobe LSH search
+    * (probe bucket plus all hamming-distance-1 buckets — 9 of 256
+    * cells) against the exact scan (q53's) — the measurement loop an
+    * ANN deployment runs before trading scan cost for recall. Both
+    * rankings are deterministic (bit-identical sims, vec_id
+    * tie-break), so even this evaluation is oracle-checked. */
+  private val q101 = Q(
+    "q101_ann_recall",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+      val exactTop = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .withColumn("sim", cosine(col("v"), col("pv")))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"))
+      val bucket = (0 until 8).map { p =>
+        when(dot(col("v"), planeSpark(p)) > 0.0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val bucketed = e.withColumn("bucket", bucket)
+      val pb = bucketed.filter(col("vec_id") === 0)
+        .select(col("v").as("pv"),
+          array(col("bucket") +:
+            (0 until 8).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
+            .as("pbuckets"))
+      val annTop = bucketed.join(broadcast(pb),
+          array_contains(col("pbuckets"), col("bucket")) &&
+            col("vec_id") =!= 0)
+        .withColumn("sim", cosine(col("v"), col("pv")))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"))
+      // one flag-union + two aggregates — no 1-row cross joins
+      exactTop.select(col("vec_id"), lit(1L).as("e"), lit(0L).as("a"))
+        .unionByName(annTop.select(col("vec_id"), lit(0L).as("e"),
+          lit(1L).as("a")))
+        .groupBy(col("vec_id"))
+        .agg(max(col("e")).as("e"), max(col("a")).as("a"))
+        .agg(sum(col("e")).as("n_exact"), sum(col("a")).as("n_ann"),
+          count_if(col("e") === 1 && col("a") === 1).as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 6))
+    },
+    Some {
+      val bits = (0 until 8).map { p =>
+        s"(CASE WHEN list_dot_product(v, ${planeDuck(p)}) > 0.0 " +
+          s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+      exact AS (SELECT vec_id FROM e, p WHERE vec_id <> 0
+                ORDER BY $duckCos DESC, vec_id LIMIT 10),
+      b AS (SELECT vec_id, v, $bits AS bucket FROM e),
+      pb AS (SELECT v AS pv,
+                    [bucket, ${(0 until 8)
+                      .map(p => s"xor(bucket, ${1L << p})").mkString(", ")}]
+                      AS pbuckets
+             FROM b WHERE vec_id = 0),
+      ann AS (SELECT vec_id FROM b, pb
+              WHERE list_contains(pbuckets, bucket) AND vec_id <> 0
+              ORDER BY $duckCos DESC, vec_id LIMIT 10)
+      SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+             (SELECT COUNT(*) FROM ann) AS n_ann,
+             (SELECT COUNT(*) FROM exact JOIN ann USING (vec_id)) AS n_hit,
+             round(CAST((SELECT COUNT(*) FROM exact JOIN ann USING (vec_id))
+                   AS DOUBLE) /
+                   (SELECT COUNT(*) FROM exact), 6) AS recall
+      """
+    })
+
+  val registry: Seq[Q] = Seq(q53, q54, q55, q56, q57, q58, q59, q101)
 }
