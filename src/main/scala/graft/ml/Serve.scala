@@ -1,8 +1,12 @@
 package graft.ml
 
 import org.apache.spark.ml.PipelineModel
+import org.apache.spark.ml.classification.GBTClassificationModel
+import org.apache.spark.ml.clustering.KMeansModel
+import org.apache.spark.ml.feature.{StandardScalerModel, VectorAssembler}
 import org.apache.spark.ml.functions.vector_to_array
-import org.apache.spark.ml.linalg.{Vector => MlVector}
+import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+import org.apache.spark.ml.regression.GBTRegressionModel
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -70,5 +74,59 @@ object Serve {
     val p = row.getAs[MlVector]("probability")(1)
     (row.getDouble(0),
       BigDecimal(p).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  // -------------------------------------------------------------------
+  // Driver-local scoring — no Spark job per request.
+  //
+  // The reference disables whole-stage codegen at serve time because
+  // 1-row Spark inference is too slow (api.py:58). The Spark-native
+  // answer is not to launch jobs at all for a single probe: extract the
+  // fitted parameters once and evaluate on the driver. Equality with
+  // the transform path is asserted in TrainerSpec; distributed scoring
+  // (above) remains the batch path.
+  // -------------------------------------------------------------------
+
+  private def stage[T](model: PipelineModel)(pf: PartialFunction[Any, T]): T =
+    model.stages.collectFirst(pf).getOrElse(
+      throw new IllegalArgumentException(
+        s"pipeline ${model.uid} lacks expected stage"))
+
+  /** Assemble the payload in the pipeline's own feature order. */
+  private def assembled(model: PipelineModel,
+      payload: Map[String, Double]): MlVector = {
+    val cols = stage(model) { case a: VectorAssembler => a }.getInputCols
+    Vectors.dense(cols.map(c => payload.getOrElse(c, 0.0)))
+  }
+
+  /** StandardScaler's exact transform: (x - mean) * (std==0 ? 0 : 1/std). */
+  private def zscale(s: StandardScalerModel, v: MlVector): MlVector =
+    Vectors.dense(Array.tabulate(v.size) { i =>
+      val shifted = v(i) - s.mean(i)
+      if (s.std(i) == 0.0) 0.0 else shifted / s.std(i)
+    })
+
+  /** Models 1-2, local: assemble -> z-scale -> nearest centroid. */
+  def localCluster(model: PipelineModel, payload: Map[String, Double]): Int = {
+    val scaler = stage(model) { case s: StandardScalerModel => s }
+    val kmeans = stage(model) { case k: KMeansModel => k }
+    kmeans.predict(zscale(scaler, assembled(model, payload)))
+  }
+
+  /** Model 4, local: assemble -> GBT sum-of-trees, rounded 2 dp. */
+  def localEnergy(model: PipelineModel, payload: Map[String, Double]): Double = {
+    val gbt = stage(model) { case g: GBTRegressionModel => g }
+    BigDecimal(gbt.predict(assembled(model, payload)))
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Model 5, local: (label, P(high-protein) rounded 4 dp). */
+  def localProtein(model: PipelineModel,
+      payload: Map[String, Double]): (Double, Double) = {
+    val gbt = stage(model) { case g: GBTClassificationModel => g }
+    val probs = gbt.predictProbability(assembled(model, payload))
+    val label = if (probs(1) > probs(0)) 1.0 else 0.0
+    (label,
+      BigDecimal(probs(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 }

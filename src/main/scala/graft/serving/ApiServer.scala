@@ -58,11 +58,15 @@ class ApiServer(spark: SparkSession, modelDir: String, port: Int = 0) {
     ex.close()
   }
 
+  /** Single-probe requests score driver-locally (Serve.local*) — no
+    * Spark job per HTTP request; the reference instead had to disable
+    * whole-stage codegen to make per-request Spark plans tolerable
+    * (api.py:58). Model 3 stays distributed: it scans the snapshot
+    * table, which is a data-plane operation. */
   private def predict(modelId: Int, payload: Map[String, Double]): String =
     modelId match {
       case 1 | 2 =>
-        val cluster = Serve.predictCluster(models(modelId),
-          Serve.inputRow(spark, payload))
+        val cluster = Serve.localCluster(models(modelId), payload)
         s"""{"model_id":$modelId,"model_type":"clustering","prediction":$cluster}"""
       case 3 =>
         val recs = Serve.recommend(spark, models(3),
@@ -72,12 +76,10 @@ class ApiServer(spark: SparkSession, modelDir: String, port: Int = 0) {
         }.mkString("[", ",", "]")
         s"""{"model_id":3,"model_type":"recommendation","recommendations":$items}"""
       case 4 =>
-        val energy = Serve.predictEnergy(models(4),
-          Serve.inputRow(spark, payload))
+        val energy = Serve.localEnergy(models(4), payload)
         s"""{"model_id":4,"model_type":"regression","predicted_energy_kcal":$energy}"""
       case 5 =>
-        val (label, p) = Serve.classifyProtein(models(5),
-          Serve.inputRow(spark, payload))
+        val (label, p) = Serve.localProtein(models(5), payload)
         s"""{"model_id":5,"model_type":"classification","is_high_protein":${label == 1.0},"probability":$p}"""
     }
 

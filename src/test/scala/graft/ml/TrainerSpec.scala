@@ -170,4 +170,25 @@ class TrainerSpec extends AnyFunSuite {
     assert(dists.size == 5)
     assert(dists == dists.sorted) // ascending cosine distance
   }
+
+  test("driver-local scoring equals the Spark transform path") {
+    val out = java.nio.file.Files.createTempDirectory("graft_l_").toString
+    Trainer.trainAll(syntheticFood(200), Seq("description"), out)
+    val m1 = Trainer.loadModel(out, 1)
+    val m4 = Trainer.loadModel(out, 4)
+    val m5 = Trainer.loadModel(out, 5)
+    val payloads = Seq(
+      Map("Protein-G" -> 30.0, "Energy-KCAL" -> 400.0,
+        "Total lipid (fat)-G" -> 10.0),
+      Map("Protein-G" -> 2.0),
+      Map.empty[String, Double],
+      Map("Protein-G" -> 45.0, "Energy-KCAL" -> 900.0,
+        "Carbohydrate, by difference-G" -> 80.0))
+    payloads.foreach { p =>
+      val input = Serve.inputRow(spark, p)
+      assert(Serve.localCluster(m1, p) == Serve.predictCluster(m1, input))
+      assert(Serve.localEnergy(m4, p) == Serve.predictEnergy(m4, input))
+      assert(Serve.localProtein(m5, p) == Serve.classifyProtein(m5, input))
+    }
+  }
 }
