@@ -306,6 +306,46 @@ object AnalyticQueries {
       FROM lineitem GROUP BY 1
     """))
 
+  /** Funnel analysis: users progressing signup -> first click ->
+    * purchase in event-time order. One hash aggregate builds each
+    * user's first-occurrence time per stage (conditional min — no
+    * joins, no window), a second counts stage completion; at 100 TB
+    * that is one shuffle keyed by user. */
+  private val q102 = Q(
+    "q102_funnel",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      def firstTs(tpe: String) =
+        min(when(col("event_type") === tpe, col("ts")))
+      ev.groupBy(col("user_id"))
+        .agg(firstTs("signup").as("t_signup"),
+          firstTs("click").as("t_click"),
+          firstTs("purchase").as("t_purchase"))
+        .agg(
+          count_if(col("t_signup").isNotNull).as("n_signup"),
+          count_if(col("t_signup") < col("t_click"))
+            .as("n_signup_then_click"),
+          count_if(col("t_signup") < col("t_click") &&
+            col("t_click") < col("t_purchase")).as("n_full_funnel"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup'
+                   THEN CAST(ts AS TIMESTAMP) END) AS t_signup,
+               MIN(CASE WHEN event_type = 'click'
+                   THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase'
+                   THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+        FROM events GROUP BY 1)
+      SELECT CAST(count_if(t_signup IS NOT NULL) AS BIGINT) AS n_signup,
+             CAST(count_if(t_signup < t_click) AS BIGINT)
+               AS n_signup_then_click,
+             CAST(count_if(t_signup < t_click AND t_click < t_purchase)
+               AS BIGINT) AS n_full_funnel
+      FROM f
+    """))
+
   val registry: Seq[Q] = Seq(q66, q67, q68, q69, q75, q76, q77, q78,
-    q79, q80, q81)
+    q79, q80, q81, q102)
 }
