@@ -198,5 +198,36 @@ object SourceQueries {
       FROM lineitem GROUP BY 1
     """))
 
-  val registry: Seq[Q] = Seq(q70, q71, q72, q73, q74, q86, q87)
+  /** The SQL-string entry path: the same engine surface through
+    * `spark.sql` over registered temp views — ANSI join + aggregate
+    * text shared (modulo dialect) with the oracle. Everything else in
+    * the registry uses the DataFrame API; this proves the SQL front
+    * door compiles to the same Catalyst plans. */
+  private val q103 = Q(
+    "q103_sql_entry",
+    (s, dir) => {
+      Tables.tuned(s)
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders_v o JOIN customer_v c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY c.c_mktsegment
+      """)
+    },
+    Some("""
+      SELECT c.c_mktsegment AS segment,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY c.c_mktsegment
+    """))
+
+  val registry: Seq[Q] = Seq(q70, q71, q72, q73, q74, q86, q87, q103)
 }
