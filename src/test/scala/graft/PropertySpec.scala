@@ -58,6 +58,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("shingle algebra: count, width, membership under random docs") {
+    import spark.implicits._
+    import graft.functions.TextOps
+    val docs = sample(Gen.listOfN(300, Gen.choose(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+        .map(_.mkString(" ")))))
+    val df = docs.toDF("text").withColumn("w", TextOps.words(col("text")))
+    // |shingles(w,n)| == max(0, |w|-n+1); every shingle has exactly n words
+    val bad = df.select(col("w"),
+        TextOps.shingles(col("w"), 3).as("sh"))
+      .filter(
+        size(col("sh")) =!= greatest(lit(0), size(col("w")) - lit(2)) ||
+          exists(col("sh"), s => size(split(s, " ")) =!= 3))
+    assert(bad.count() == 0)
+    // distinct variant: subset of plain, no duplicates
+    val badSet = df.select(TextOps.shingles(col("w"), 3).as("sh"),
+        TextOps.shingleSet(col("w"), 3).as("ss"))
+      .filter(size(array_except(col("ss"), col("sh"))) =!= 0 ||
+        size(col("ss")) =!= size(array_distinct(col("ss"))))
+    assert(badSet.count() == 0)
+  }
+
+  test("minhash signature: containment bound under random shingle sets") {
+    import spark.implicits._
+    // signature component of a superset is <= the subset's component
+    // (min over more hashes can only shrink lexicographically)
+    val sets = sample(Gen.listOfN(200, Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.identifier))))
+    val df = sets.map(s => (s.toArray, (s ++ Seq("extra_x")).toArray))
+      .toDF("a", "ab")
+    val sig = graft.plans.MinHashSig.minhashSig(_: org.apache.spark.sql.Column, 4)
+    val bad = df.select(sig(col("a")).as("sa"), sig(col("ab")).as("sab"))
+      .filter(exists(zip_with(col("sa"), col("sab"), (x, y) => y > x),
+        identity))
+    assert(bad.count() == 0)
+  }
+
   test("cumulative slices are monotone under any data") {
     import spark.implicits._
     val data = sample(Gen.listOfN(137,
