@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{Q, Tables}
+import graft.functions.Exprs.dec2
 
 /** Advanced analytics: as-of join, full window-function family, pivot,
   * approximate distinct — the operators a user of a mature engine
@@ -101,9 +102,10 @@ object AnalyticQueries {
       FROM orders GROUP BY 1
     """))
 
-  /** approx_count_distinct (HLL++): sketch values are engine-specific,
-    * so no SQL oracle — the companion exact counts in q27 bound the
-    * error. Rows-only check. */
+  /** approx_count_distinct (HLL++) as a sketch-accuracy contract:
+    * sketch values are engine-specific, so each engine asserts its own
+    * estimate lands within 5% of its own exact count and the oracle
+    * compares the exact counts plus the booleans. */
   private val q69 = Q(
     "q69_approx_distinct",
     (s, dir) =>
@@ -346,6 +348,54 @@ object AnalyticQueries {
       FROM f
     """))
 
+  /** Grouped ordered string aggregation (string_agg/listagg): top-3
+    * customers by balance per nation as one ordered CSV cell. Spark's
+    * collect_list gives no cross-partition order guarantee, so the
+    * deterministic formulation sorts (rank, name) structs after
+    * collection — the pattern for any order-sensitive aggregation. */
+  private val q104 = Q(
+    "q104_string_agg",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_name").asc)
+      t(s, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("rn"), col("c_name")))),
+              x => x.getField("c_name")), ",").as("top_names"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT c_nationkey, c_name,
+               row_number() OVER (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_name) AS rn
+        FROM customer)
+      SELECT c_nationkey, COUNT(*) AS n,
+             string_agg(c_name, ',' ORDER BY rn) AS top_names
+      FROM ranked WHERE rn <= 3 GROUP BY 1
+    """))
+
+  /** median() aggregate — exact interpolated p50 (== quantile_cont),
+    * deterministic across engines like q74's percentiles. */
+  private val q105 = Q(
+    "q105_median",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(median(dec2(col("l_extendedprice")).cast(DoubleType))
+          .as("median_price"),
+          median(col("l_quantity")).as("median_qty")),
+    Some("""
+      SELECT l_linestatus,
+             median(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE))
+               AS median_price,
+             median(l_quantity) AS median_qty
+      FROM lineitem GROUP BY 1
+    """))
+
   val registry: Seq[Q] = Seq(q66, q67, q68, q69, q75, q76, q77, q78,
-    q79, q80, q81, q102)
+    q79, q80, q81, q102, q104, q105)
 }
