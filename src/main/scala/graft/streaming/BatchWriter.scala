@@ -73,7 +73,7 @@ object BatchWriter {
       servers: String,
       topic: String,
       checkpoint: String): StreamingQuery =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", servers)
