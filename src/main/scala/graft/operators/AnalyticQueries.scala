@@ -396,6 +396,43 @@ object AnalyticQueries {
       FROM lineitem GROUP BY 1
     """))
 
+  /** approx_percentile (KLL/GK-family sketch) as an accuracy contract,
+    * completing the sketch family (q69 HLL, q82 MinHash): exact p50/p90
+    * are oracle-compared directly (quantile_cont semantics, as q74);
+    * each engine's own approximate quantile must land within 10% — the
+    * measured error is ~0.1%, so the margin is 100x. */
+  private val q106 = Q(
+    "q106_approx_quantile",
+    (s, dir) => {
+      val price = dec2(col("l_extendedprice")).cast(DoubleType)
+      def within(approx: org.apache.spark.sql.Column,
+          exact: org.apache.spark.sql.Column) =
+        abs(approx - exact) <= abs(exact) * 0.1
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.5)").as("p50"),
+          expr("percentile(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.9)").as("p90"),
+          percentile_approx(price, lit(0.5), lit(10000)).as("a50"),
+          percentile_approx(price, lit(0.9), lit(10000)).as("a90"))
+        .select(col("l_returnflag"), col("p50"), col("p90"),
+          within(col("a50"), col("p50")).as("p50_within_10pct"),
+          within(col("a90"), col("p90")).as("p90_within_10pct"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.5) AS p50,
+             quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.9) AS p90,
+             abs(approx_quantile(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.5)
+                 - quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.5))
+               <= abs(quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.5)) * 0.1
+               AS p50_within_10pct,
+             abs(approx_quantile(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.9)
+                 - quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.9))
+               <= abs(quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.9)) * 0.1
+               AS p90_within_10pct
+      FROM lineitem GROUP BY 1
+    """))
+
   val registry: Seq[Q] = Seq(q66, q67, q68, q69, q75, q76, q77, q78,
-    q79, q80, q81, q102, q104, q105)
+    q79, q80, q81, q102, q104, q105, q106)
 }
