@@ -319,6 +319,47 @@ object PipelineQueries {
       FROM documents
     """))
 
+  /** Intra-document repetition filter (the Gopher/C4-style quality
+    * rule): fraction of a document's 3-gram occurrences that are
+    * repeats of an earlier 3-gram in the same document; docs above 20%
+    * are flagged. Pure per-row projection over the native shingle
+    * expressions — no shuffle at all. */
+  private val q107 = Q(
+    "q107_repetition_filter",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("w", TextOps.words(col("text")))
+        .select(col("doc_id"),
+          asLong(size(TextOps.shingles(col("w"), 3))).as("n_grams"),
+          asLong(size(TextOps.shingles(col("w"), 3)) -
+            size(TextOps.shingleSet(col("w"), 3))).as("n_repeats"))
+        .withColumn("rep_frac",
+          round(when(col("n_grams") > 0,
+            col("n_repeats").cast(DoubleType) / col("n_grams"))
+            .otherwise(0.0), 6))
+        .withColumn("flagged", col("rep_frac") > 0.2)
+        .select(col("doc_id"), col("n_grams"), col("rep_frac"),
+          col("flagged")),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               [array_to_string(w[i+1:i+3],' ') FOR i IN range(len(w)-2)] AS g
+        FROM tok)
+      SELECT doc_id,
+             CAST(len(g) AS BIGINT) AS n_grams,
+             round(CASE WHEN len(g) > 0
+                   THEN CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g)
+                   ELSE 0.0 END, 6) AS rep_frac,
+             (CASE WHEN len(g) > 0
+              THEN CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g)
+              ELSE 0.0 END) > 0.2 AS flagged
+      FROM sh
+    """))
+
   val registry: Seq[Q] =
-    Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q100)
+    Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q100, q107)
 }
