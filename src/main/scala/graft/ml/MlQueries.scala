@@ -196,5 +196,35 @@ object MlQueries {
       FROM documents
     """))
 
-  val registry: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65)
+  /** Frame-sampling plumbing over binary payloads (Multimodal
+    * .sampleFrames): 4 evenly spaced offsets + 8-byte slices per
+    * payload. Offsets and slices are pure arithmetic on the bytes, so
+    * — the corpus being ASCII — the oracle reproduces them with
+    * integer division and substring. */
+  private val q108 = Q(
+    "q108_frame_sampling",
+    (s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          col("text").cast(BinaryType).as("payload"))
+      Multimodal.sampleFrames(media, "payload", n = 4)
+        .select(col("media_id"),
+          array_join(transform(col("frame_offsets"),
+            _.cast(StringType)), ",").as("offsets"),
+          array_join(transform(col("frames"),
+            _.cast(StringType)), "|").as("frame_heads"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id AS media_id, text, octet_length(encode(text)) AS len
+        FROM documents)
+      SELECT media_id,
+             array_to_string([CAST((i * len) // 4 AS VARCHAR)
+                              FOR i IN range(4)], ',') AS offsets,
+             array_to_string([substring(text, CAST((i * len) // 4 AS INT) + 1, 8)
+                              FOR i IN range(4)], '|') AS frame_heads
+      FROM f
+    """))
+
+  val registry: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q108)
 }
