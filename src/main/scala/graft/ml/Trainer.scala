@@ -112,25 +112,47 @@ object Trainer {
     new Pipeline().setStages(Array(assembler, gbt))
   }
 
+  /** Name of the transient global-row-index column added by
+    * [[indexByOrder]]; dropped again before any slice is returned. */
+  private[ml] val RnCol = "__graft_rn"
+
+  /** Attach a contiguous 0-based Long row index under the explicit
+    * total order.
+    *
+    * Scale path: one range-partitioned sort (`orderBy` — no
+    * single-partition `Window.orderBy`) plus `zipWithIndex`'s
+    * per-partition count-then-offset pass. The index is a Long, so —
+    * unlike the previous `limit()`-based slicing — nothing here is
+    * bounded by Int.MaxValue rows. */
+  private[ml] def indexByOrder(
+      df: DataFrame, orderCols: Seq[String]): DataFrame = {
+    val ordered = df.orderBy(orderCols.map(col): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      ordered.schema.fields :+ org.apache.spark.sql.types.StructField(
+        RnCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = ordered.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(indexed, schema)
+  }
+
   /** Deterministic cumulative slices: slice k holds the first
-    * k*n/total rows under an explicit total order
+    * floor(k*n/total) rows under an explicit total order
     * (spark_model_trainer.py:208-226, made reproducible).
     *
-    * `limit` is Int-bounded, so slices are capped at ~2.1 B rows; the
-    * require makes that cap an explicit error instead of a silent
-    * `toInt` wraparound. Past that size, the global-total-order slice
-    * semantics the reference uses stop being a sane operation anyway —
-    * shard the input first. */
+    * Single-pass: the input is sorted and indexed ONCE
+    * ([[indexByOrder]], materialized eagerly so all slices see the
+    * same index) and each slice is a cheap `rn < bound` filter —
+    * versus the previous formulation's one global sort + `limit()`
+    * per slice. */
   def cumulativeSlices(
       df: DataFrame,
       orderCols: Seq[String],
       total: Int = NumModels): Seq[DataFrame] = {
-    val n = df.count()
-    require(n <= Int.MaxValue.toLong,
-      s"cumulativeSlices: $n rows exceeds limit()'s Int bound; " +
-        "shard the input before slicing")
-    val ordered = df.orderBy(orderCols.map(col): _*)
-    (1 to total).map(k => ordered.limit((n * k / total).toInt))
+    val indexed = indexByOrder(df, orderCols).localCheckpoint(eager = true)
+    val n = indexed.count()
+    (1 to total).map(k =>
+      indexed.filter(col(RnCol) < lit(n * k / total)).drop(RnCol))
   }
 
   /** The full reference training run: prepare, label, persist, 5
@@ -145,14 +167,38 @@ object Trainer {
       orderCols: Seq[String],
       outDir: String,
       minRows: Long = 10): Map[Int, Long] = {
-    val data = withLabel(prepare(raw)).persist()
+    // MLlib fits are iterative (tens of jobs); right-size the cached
+    // training frame's partition count to the data so per-task
+    // scheduling overhead doesn't dominate tiny fits. repartition (a
+    // shuffle of the already-indexed cached rows), NOT coalesce —
+    // coalesce would collapse the upstream sort's parallelism too.
+    val prepared =
+      indexByOrder(withLabel(prepare(raw)), orderCols).persist()
+    val n = prepared.count()
+    val parts = math.max(1, math.min(
+      prepared.rdd.getNumPartitions, (n / 4096L + 1L).toInt))
+    val indexed = prepared.repartition(parts).persist()
     try {
-      val results = cumulativeSlices(data, orderCols).zipWithIndex.flatMap {
-        case (slice, idx) =>
-          val k = idx + 1
-          val nRows = slice.count()
+      indexed.count() // materialize before dropping the pre-shuffle cache
+      prepared.unpersist()
+      // The 5 fits are independent seeded pipelines over nested slices
+      // of the SAME cached frame: run them concurrently (the
+      // CrossValidator-parallelism pattern). Each fit is a chain of
+      // tiny jobs whose cost is per-job scheduling latency, so
+      // overlapping them collapses wall time without changing any
+      // result — every pipeline is seeded and fit in isolation.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(NumModels)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val futures = (1 to NumModels).flatMap { k =>
+          // contiguous 0-based index => filter(rn < b) has exactly b
+          // rows; no per-slice count() jobs needed
+          val nRows = n * k / NumModels
           if (nRows < minRows) None
-          else {
+          else Some(Future {
+            val slice = indexed.filter(col(RnCol) < lit(nRows)).drop(RnCol)
             k match {
               case 1 | 2 =>
                 clusteringPipeline().fit(slice)
@@ -172,11 +218,12 @@ object Trainer {
                 classificationPipeline().fit(slice)
                   .write.overwrite().save(s"$outDir/model_$k")
             }
-            Some(k -> nRows)
-          }
-      }
-      results.toMap
-    } finally data.unpersist()
+            k -> nRows
+          })
+        }
+        futures.map(Await.result(_, Duration.Inf)).toMap
+      } finally pool.shutdown()
+    } finally indexed.unpersist()
   }
 
   def loadModel(dir: String, k: Int): PipelineModel =
