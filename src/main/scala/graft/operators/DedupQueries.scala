@@ -31,6 +31,12 @@ object DedupQueries {
 
   /** documents ∪ exact copies (doc_id<20, +200000) ∪ near copies
     * (doc_id<10, +100000, last word dropped). */
+  /** Max document frequency a shingle may have and still participate
+    * in exact-Jaccard candidate generation (q50): a shingle shared by
+    * m documents contributes m^2 candidate rows, so boilerplate
+    * shingles above this df are pruned before the self-join. */
+  private val MaxShingleDf = 32
+
   private def corpus(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     val exact = docs.filter(col("doc_id") < 20)
@@ -213,27 +219,46 @@ object DedupQueries {
       FROM scored GROUP BY 1, 2
     """))
 
-  /** n-gram Jaccard near-dup: explode distinct 5-shingles, self-join on
-    * shingle (candidates = pairs sharing ≥1 shingle; the join count IS
-    * the intersection size), Jaccard ≥ 0.3. */
+  /** n-gram Jaccard near-dup, the exact baseline: candidate pairs from
+    * a self-join of the exploded 5-shingle index, verified with exact
+    * Jaccard >= 0.3 over the full shingle sets.
+    *
+    * Hot-shingle guard: shingles present in more than [[MaxShingleDf]]
+    * documents (boilerplate) are dropped BEFORE the self-join — one
+    * such shingle shared by m docs would otherwise emit m^2 candidate
+    * rows, the classic skew blow-up on real corpora. Standard
+    * candidate pruning: a >=0.3-Jaccard pair that shares ONLY
+    * ultra-common shingles is theoretically droppable, but the
+    * Jaccard values themselves stay exact (computed on the full sets,
+    * q51's verify pattern). */
   private val q50 = Q(
     "q50_ngram_jaccard",
     (s, dir) => {
-      // materialize the exploded shingle table once — the self-join
-      // would otherwise recompute tokenize+shingle on both sides
-      // (at scale: this is the "build the index, then join it" pattern)
+      // materialize the shingle-set table once — the candidate join and
+      // both verify joins reuse it instead of recomputing
+      // tokenize+shingle (at scale: "build the index, then join it")
       val c = corpus(t(s, dir, "documents"))
         .withColumn("sh",
           TextOps.shingleSet(TextOps.words(col("text")), 5))
-      val ex = c.select(col("doc_id"), size(col("sh")).as("nsh"),
-        explode(col("sh")).as("s")).localCheckpoint()
-      val pairs = ex.alias("a")
-        .join(ex.alias("b"),
+        .localCheckpoint()
+      val ex = c.select(col("doc_id"), explode(col("sh")).as("s"))
+      val rare = ex.groupBy(col("s"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxShingleDf)
+        .select(col("s"))
+      val exKept = ex.join(rare, "s").localCheckpoint()
+      val cand = exKept.alias("a")
+        .join(exKept.alias("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          col("a.nsh").as("n1"), col("b.nsh").as("n2"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val shTab = c.select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+      cand
+        .join(shTab.select(col("doc_id").as("d1"), col("sh").as("sh1"),
+          col("nsh").as("n1")), "d1")
+        .join(shTab.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+          col("nsh").as("n2")), "d2")
+        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
         .withColumn("jaccard",
           col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
         .filter(col("jaccard") >= 0.3)
@@ -241,14 +266,21 @@ object DedupQueries {
     },
     Some(s"""
       WITH $shingleSql,
-      ex AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM sh),
-      p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.nsh AS n1, b.nsh AS n2,
-                   COUNT(*) AS inter
-            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2, 3, 4)
+      ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= $MaxShingleDf),
+      exk AS (SELECT doc_id, s FROM ex JOIN rare USING (s)),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM exk a JOIN exk b
+               ON a.s = b.s AND a.doc_id < b.doc_id),
+      v AS (SELECT d1, d2,
+                   len(list_intersect(s1.sh, s2.sh)) AS inter,
+                   len(s1.sh) AS n1, len(s2.sh) AS n2
+            FROM cand
+            JOIN sh s1 ON s1.doc_id = d1
+            JOIN sh s2 ON s2.doc_id = d2)
       SELECT d1, d2,
              round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jac
-      FROM p WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.3
+      FROM v WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.3
     """))
 
   /** MinHash + LSH near-dup: 8 salted-md5 minhash components, 4 bands
@@ -380,10 +412,13 @@ object DedupQueries {
 
   /** SimHash near-dup pairs by hamming distance: 32-bit signatures
     * (q52's formula widened — 16 bits collide heavily on this small
-    * vocabulary), blocked on the top 16 bits (one band; production
-    * rotates bands so no <=k-distance pair can escape), pairs kept at
-    * distance <= 3 via xor + popcount — integer arithmetic only, so
-    * the oracle is exact. */
+    * vocabulary), pigeonhole-blocked on ALL 4 disjoint 8-bit bands: a
+    * pair at distance <= 3 differs in at most 3 bands, so it MUST
+    * collide on at least one of the 4 — no qualifying pair can escape
+    * the blocking. Candidates come from one (band_index, band_value)
+    * equi-join over the exploded bands (4n rows, the standard LSH
+    * banding shape — never all-pairs), deduped before the popcount
+    * filter. Integer arithmetic only, so the oracle is exact. */
   private val q84 = Q(
     "q84_simhash_hamming",
     (s, dir) => {
@@ -392,15 +427,19 @@ object DedupQueries {
         .selectExpr("doc_id", s"$hw AS hw", s"$nw AS nw")
         .selectExpr("doc_id",
           s"${TextOps.simhashSparkExprOver("hw", "nw", 32)} AS sh")
-        .withColumn("blk", expr("sh div 65536"))
         .localCheckpoint()
-      sh.alias("a").join(sh.alias("b"),
-          col("a.blk") === col("b.blk") &&
+      val bands = sh.select(col("doc_id"), col("sh"),
+        posexplode(array((0 until 4).map(i =>
+          expr(s"(sh div ${1L << (8 * i)}) % 256")): _*))
+          .as(Seq("band_i", "band")))
+      bands.alias("a").join(bands.alias("b"),
+          col("a.band_i") === col("b.band_i") &&
+            col("a.band") === col("b.band") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          col("a.sh").as("s1"), col("b.sh").as("s2"))
-        .withColumn("dist", expr("bit_count(s1 ^ s2)").cast(LongType))
-        .filter(col("dist") <= 3)
+          expr("bit_count(a.sh ^ b.sh)").cast(LongType).as("dist"))
+        .filter(col("dist") <= 3) // before distinct: the dedup shuffle
+        .distinct()               // then carries only qualifying pairs
         .select(col("d1"), col("d2"), col("dist"))
     },
     Some {
@@ -410,12 +449,17 @@ object DedupQueries {
       sh AS (
         SELECT doc_id, ${TextOps.simhashDuckExprOver("hw", "nw", 32)} AS sh
         FROM hws),
-      blocked AS (SELECT doc_id, sh, sh // 65536 AS blk FROM sh)
-      SELECT a.doc_id AS d1, b.doc_id AS d2,
-             CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
-      FROM blocked a JOIN blocked b
-        ON a.blk = b.blk AND a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      bands AS (
+        SELECT doc_id, sh, i AS band_i, (sh // (1 << (8 * i))) % 256 AS band
+        FROM sh, range(4) t(i)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+               a.sh AS s1, b.sh AS s2
+        FROM bands a JOIN bands b
+          ON a.band_i = b.band_i AND a.band = b.band
+         AND a.doc_id < b.doc_id)
+      SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS dist
+      FROM cand WHERE bit_count(xor(s1, s2)) <= 3
       """
     })
 

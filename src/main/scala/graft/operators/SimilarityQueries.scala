@@ -258,23 +258,27 @@ object SimilarityQueries {
   /** IVF-style ANN: partition the vector space into cells around
     * centroids (the inverted-file index), assign every vector to its
     * nearest centroid, then search only the probe's nprobe=2 best
-    * cells. Centroids here are hash-sampled data vectors
-    * (md5(vec_id) % 32 == 0) — a standard IVF centroid init — which
-    * keeps the whole operator deterministic and differentially
-    * verifiable; a production index refines the same cells with
-    * KMeans (q60 covers the trained-clustering capability). The
-    * complement to the hyperplane-LSH path (q55/q56): LSH buckets are
-    * data-independent, IVF cells adapt to the data distribution.
-    * Broadcast the centroid set; the big side is scanned once for
-    * assignment and once per probe over nprobe cells only. */
+    * cells. Centroids are a FIXED-SIZE deterministic sample: the K=32
+    * data vectors with the smallest md5(vec_id) (hash-rank top-K) — a
+    * standard IVF centroid init that stays differentially verifiable;
+    * a production index refines the same cells with KMeans (q60
+    * covers the trained-clustering capability). The complement to the
+    * hyperplane-LSH path (q55/q56): LSH buckets are data-independent,
+    * IVF cells adapt to the data distribution.
+    * Scale path: the centroid pick plans to TakeOrderedAndProject
+    * (never a full sort) and K is a constant, so the broadcast build
+    * side is provably bounded and assignment costs n x K — unlike a
+    * modulo sample, whose centroid count (and broadcast) would grow
+    * linearly with n. */
   private val q59 = Q(
     "q59_ivf_ann",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val cents = e
-        .filter(graft.functions.Exprs
-          .md5Int32(col("vec_id").cast(StringType)) % 32 === 0)
+        .orderBy(md5(col("vec_id").cast(StringType).cast(BinaryType)),
+          col("vec_id"))
+        .limit(32)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val scored = e.crossJoin(broadcast(cents))
         .withColumn("csim", cosine(col("v"), col("cv")))
@@ -300,8 +304,7 @@ object SimilarityQueries {
     Some(s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       c AS (SELECT vec_id AS cid, v AS cv FROM e
-            WHERE ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT
-                  % 32 = 0),
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
       scored AS (
         SELECT e.vec_id, e.v, c.cid,
                list_dot_product(e.v, c.cv) /
