@@ -112,9 +112,11 @@ object Trainer {
     new Pipeline().setStages(Array(assembler, gbt))
   }
 
-  /** Name of the transient global-row-index column added by
-    * [[indexByOrder]]; dropped again before any slice is returned. */
-  private[ml] val RnCol = "__graft_rn"
+  /** Name of the global-row-index column added by [[indexByOrder]];
+    * dropped before any training slice is returned, but kept in the
+    * `food_data` serving artifact, where it doubles as the stable
+    * record id the README detail route looks up by. */
+  private[graft] val RnCol = "__graft_rn"
 
   /** Attach a contiguous 0-based Long row index under the explicit
     * total order.
@@ -192,6 +194,13 @@ object Trainer {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(NumModels)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       try {
+        // data-plane artifact: the indexed frame the slices are cut
+        // from, persisted so the serving layer (ApiServer's README
+        // routes /stats, /find_allergen, /food_details) can serve the
+        // EXACT per-model cumulative slices (rn < n*k/5) after training
+        val dataWrite = Future {
+          indexed.write.mode("overwrite").parquet(s"$outDir/food_data")
+        }
         val futures = (1 to NumModels).flatMap { k =>
           // contiguous 0-based index => filter(rn < b) has exactly b
           // rows; no per-slice count() jobs needed
@@ -221,6 +230,7 @@ object Trainer {
             k -> nRows
           })
         }
+        Await.result(dataWrite, Duration.Inf)
         futures.map(Await.result(_, Duration.Inf)).toMap
       } finally pool.shutdown()
     } finally indexed.unpersist()

@@ -15,9 +15,13 @@ import graft.ml.{Serve, Trainer}
   * Flask: `POST /predict/<model_id>` routes by model type over the
   * artifacts a Trainer run produced, `GET /health` reports the
   * tri-state healthy/degraded/unhealthy summary from per-model load
-  * flags (api.py:240-269). Built on the JDK HTTP server — no extra
-  * dependencies — with the engine's distributed recommend path instead
-  * of the reference's driver-side sklearn KNN.
+  * flags (api.py:240-269), and the three README data-surface routes
+  * (README.md:116-132) — `GET /find_allergen/model<k>?allergy=x`,
+  * `GET /food_details/model<k>/<id>`, `GET /stats/model<k>` — serve
+  * model k's cumulative data slice from the food_data artifact. Built
+  * on the JDK HTTP server — no extra dependencies — with the engine's
+  * distributed recommend path instead of the reference's driver-side
+  * sklearn KNN.
   *
   * Request payloads are the reference's flat JSON objects
   * (feature name -> number); absent features default to 0.0
@@ -102,6 +106,116 @@ class ApiServer(spark: SparkSession, modelDir: String, port: Int = 0) {
           s"""{"error":"model_id must be 1..${Trainer.NumModels}"}""")
       case _ =>
         respond(ex, 405, """{"error":"POST only"}""")
+    }
+  })
+
+  // ------------------------------------------------------------------
+  // README data-surface routes (reference README.md:116-132): each
+  // serves model k's cumulative training slice (rn < n*k/NumModels)
+  // from the food_data artifact trainAll wrote. These are data-plane
+  // operations, so they run as (tiny, pruned) Spark jobs — the scan
+  // pushes both the slice bound and the route predicate into parquet.
+  // ------------------------------------------------------------------
+
+  private val foods: Option[org.apache.spark.sql.DataFrame] =
+    Try(spark.read.parquet(s"$modelDir/food_data")).toOption
+  private val foodCount: Long = foods.map(_.count()).getOrElse(0L)
+
+  /** Parse the `model<k>` path segment; None for malformed/unknown. */
+  private def modelSeg(seg: String): Option[Int] =
+    if (seg.startsWith("model"))
+      Try(seg.stripPrefix("model").toInt).toOption
+        .filter(k => k >= 1 && k <= Trainer.NumModels)
+    else None
+
+  private def sliceBound(k: Int): Long = foodCount * k / Trainer.NumModels
+
+  private def withSlice(ex: HttpExchange, seg: String)(
+      f: (Int, org.apache.spark.sql.DataFrame) => Unit): Unit =
+    (modelSeg(seg), foods) match {
+      case (None, _) =>
+        respond(ex, 404, """{"error":"unknown model"}""")
+      case (_, None) =>
+        respond(ex, 404, """{"error":"no food_data artifact loaded"}""")
+      case (Some(k), Some(df)) =>
+        f(k, df.filter(org.apache.spark.sql.functions.col(Trainer.RnCol) <
+          sliceBound(k)))
+    }
+
+  /** GET /stats/model<k> — record count of the model's data slice
+    * (README.md:128-132). */
+  server.createContext("/stats/", (ex: HttpExchange) => {
+    val seg = ex.getRequestURI.getPath.stripPrefix("/stats/")
+    withSlice(ex, seg) { (k, _) =>
+      // contiguous index => the slice size is n*k/NumModels by
+      // construction; no job needed for a count
+      respond(ex, 200,
+        s"""{"model":"model$k","total_records":${sliceBound(k)}}""")
+    }
+  })
+
+  /** GET /find_allergen/model<k>?allergy=<name> — case-insensitive
+    * substring search over the slice's descriptions
+    * (README.md:116-120). */
+  server.createContext("/find_allergen/", (ex: HttpExchange) => {
+    import org.apache.spark.sql.functions.{col, lower}
+    val seg = ex.getRequestURI.getPath.stripPrefix("/find_allergen/")
+    val allergy = Option(ex.getRequestURI.getQuery).getOrElse("")
+      .split("&").collectFirst {
+        case p if p.startsWith("allergy=") =>
+          java.net.URLDecoder.decode(
+            p.stripPrefix("allergy="), StandardCharsets.UTF_8)
+      }
+    (allergy, seg) match {
+      case (None, _) =>
+        respond(ex, 400, """{"error":"allergy query parameter required"}""")
+      case (Some(a), _) => withSlice(ex, seg) { (k, slice) =>
+        val hits = slice
+          .filter(lower(col(graft.ml.FoodSchema.descriptionCol))
+            .contains(a.toLowerCase))
+          .select(col(Trainer.RnCol), col(graft.ml.FoodSchema.descriptionCol))
+          .orderBy(col(Trainer.RnCol))
+          .limit(100).collect()
+        val items = hits.map { r =>
+          s"""{"id":${r.getLong(0)},"description":"${jsonEscape(r.getString(1))}"}"""
+        }.mkString("[", ",", "]")
+        respond(ex, 200,
+          s"""{"model":"model$k","allergy":"${jsonEscape(a)}",""" +
+            s""""count":${hits.length},"matches":$items}""")
+      }
+    }
+  })
+
+  /** GET /food_details/model<k>/<id> — point lookup by the stable row
+    * id within the model's slice (README.md:122-126). */
+  server.createContext("/food_details/", (ex: HttpExchange) => {
+    import org.apache.spark.sql.functions.col
+    val parts = ex.getRequestURI.getPath
+      .stripPrefix("/food_details/").split("/")
+    (parts.lift(0), parts.lift(1).flatMap(s => Try(s.toLong).toOption)) match {
+      case (Some(seg), Some(id)) => withSlice(ex, seg) { (k, slice) =>
+        slice.filter(col(Trainer.RnCol) === id).collect().headOption match {
+          case None =>
+            respond(ex, 404,
+              s"""{"error":"id $id not in model$k's slice"}""")
+          case Some(row) =>
+            val fields = row.schema.fields.zipWithIndex
+              .filter { case (f, _) => f.name != Trainer.RnCol }
+              .map { case (f, i) =>
+                val v =
+                  if (row.isNullAt(i)) "null"
+                  else row.get(i) match {
+                    case s: String => s""""${jsonEscape(s)}""""
+                    case x => x.toString
+                  }
+                s""""${jsonEscape(f.name)}":$v"""
+              }.mkString("{", ",", "}")
+            respond(ex, 200,
+              s"""{"model":"model$k","id":$id,"details":$fields}""")
+        }
+      }
+      case _ =>
+        respond(ex, 404, """{"error":"/food_details/model<k>/<id>"}""")
     }
   })
 

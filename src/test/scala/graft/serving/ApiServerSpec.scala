@@ -96,6 +96,45 @@ class ApiServerSpec extends AnyFunSuite {
     } finally s.stop()
   }
 
+  test("stats route reports each model's cumulative slice size") {
+    val r5 = get("/stats/model5")
+    assert(r5.statusCode() == 200)
+    assert(r5.body().contains(""""total_records":200"""))
+    val r1 = get("/stats/model1")
+    assert(r1.statusCode() == 200)
+    assert(r1.body().contains(""""total_records":40"""))
+    assert(get("/stats/model9").statusCode() == 404)
+    assert(get("/stats/nonsense").statusCode() == 404)
+  }
+
+  test("find_allergen searches descriptions within the model slice") {
+    // descriptions are food_1..food_200 ordered lexicographically;
+    // model5 = full data, so 'food_13' matches exactly food_13 + food_130..139
+    val r = get("/find_allergen/model5?allergy=FOOD_13")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains(""""count":11"""))
+    assert(r.body().contains(""""allergy":"FOOD_13""""))
+    assert(r.body().contains("food_13"))
+    // a slice-respecting search: model1 holds the first 40 rows in
+    // description order (food_1, food_10, food_100, ...)
+    val r1 = get("/find_allergen/model1?allergy=food_199")
+    assert(r1.statusCode() == 200)
+    assert(r1.body().contains(""""count":0"""))
+    assert(get("/find_allergen/model1").statusCode() == 400)
+  }
+
+  test("food_details looks up a row by id within the model slice") {
+    val r = get("/food_details/model5/0")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains(""""id":0"""))
+    assert(r.body().contains(""""description":"food_"""))
+    assert(r.body().contains("Protein-G"))
+    // id 150 exists in the data but is outside model1's 40-row slice
+    assert(get("/food_details/model1/150").statusCode() == 404)
+    assert(get("/food_details/model5/999999").statusCode() == 404)
+    assert(get("/food_details/model5/abc").statusCode() == 404)
+  }
+
   test("flat JSON parser handles the reference payload shapes") {
     val s = new ApiServer(spark, modelDir)
     val m = s.parseFlatJson(
