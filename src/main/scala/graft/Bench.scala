@@ -15,6 +15,21 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
+    // streaming-machinery warmup (state-store coordinator, WAL, stream
+    // execution threads): measured ~2s charged to the first streaming
+    // query in the JVM otherwise
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val ms = MemoryStream[Long]
+      ms.addData(1L, 2L, 3L)
+      val q = ms.toDF().groupBy().count()
+        .writeStream.outputMode("complete").format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(15000); q.stop()
+    } catch { case _: Throwable => () }
     val only = args.toSet
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }

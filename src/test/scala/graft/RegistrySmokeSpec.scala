@@ -36,6 +36,43 @@ class RegistrySmokeSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Golden plan gates: the heavy hitters must keep the physical-plan
+  // features they were designed around — a regression here "works" at
+  // test scale and detonates at 100x. (BucketingSpec pins the
+  // zero-Exchange bucketed join; SkewSpec pins AQE skew handling.)
+  // ------------------------------------------------------------------
+
+  private def planOf(name: String): String =
+    Queries.registry.find(_.name == name)
+      .getOrElse(fail(s"unknown query $name"))
+      .build(spark, dir).queryExecution.executedPlan.toString
+
+  test("golden plans: filters reach the parquet scans") {
+    val pushed = """PushedFilters: \[[^\]]""".r
+    Seq("q01_pricing_summary", "q09_point_lookup", "q53_cosine_knn")
+      .foreach { n =>
+        assert(pushed.findFirstIn(planOf(n)).nonEmpty,
+          s"$n has no non-empty PushedFilters in its scan")
+      }
+  }
+
+  test("golden plans: dimension/probe sides broadcast") {
+    Seq("q13_join_revenue_by_nation", "q28_shipping_priority",
+      "q96_contamination", "q59_ivf_ann").foreach { n =>
+      assert(planOf(n).contains("BroadcastExchange"),
+        s"$n no longer broadcasts its small side")
+    }
+  }
+
+  test("golden plans: global top-k plans as TakeOrderedAndProject") {
+    Seq("q20_topk_orders", "q28_shipping_priority", "q53_cosine_knn",
+      "q59_ivf_ann").foreach { n =>
+      assert(planOf(n).contains("TakeOrderedAndProject"),
+        s"$n's top-k degraded to a full global sort")
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
