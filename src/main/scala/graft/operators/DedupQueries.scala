@@ -580,6 +580,62 @@ object DedupQueries {
       FROM lbl GROUP BY 1
     """))
 
+  /** Shingle containment (|A∩B| / min(|A|,|B|) >= 0.9): catches a
+    * document CONTAINED in a larger one — the supersetting case
+    * Jaccard under-scores when lengths diverge (a 100-word doc pasted
+    * into a 10,000-word doc has Jaccard ~0.01 but containment ~1.0).
+    * Same df-pruned candidate machinery as q50; only the verify metric
+    * differs. */
+  private val q112 = Q(
+    "q112_containment",
+    (s, dir) => {
+      val c = corpus(t(s, dir, "documents"))
+        .withColumn("sh",
+          TextOps.shingleSet(TextOps.words(col("text")), 5))
+        .localCheckpoint()
+      val ex = c.select(col("doc_id"), explode(col("sh")).as("s"))
+      val rare = ex.groupBy(col("s"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxShingleDf)
+        .select(col("s"))
+      val exKept = ex.join(rare, "s").localCheckpoint()
+      val cand = exKept.alias("a")
+        .join(exKept.alias("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val shTab = c.select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+      cand
+        .join(shTab.select(col("doc_id").as("d1"), col("sh").as("sh1"),
+          col("nsh").as("n1")), "d1")
+        .join(shTab.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+          col("nsh").as("n2")), "d2")
+        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+        .withColumn("containment",
+          col("inter").cast(DoubleType) / least(col("n1"), col("n2")))
+        .filter(col("containment") >= 0.9)
+        .select(col("d1"), col("d2"),
+          round(col("containment"), 6).as("containment"))
+    },
+    Some(s"""
+      WITH $shingleSql,
+      ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= $MaxShingleDf),
+      exk AS (SELECT doc_id, s FROM ex JOIN rare USING (s)),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM exk a JOIN exk b
+               ON a.s = b.s AND a.doc_id < b.doc_id),
+      v AS (SELECT d1, d2,
+                   len(list_intersect(s1.sh, s2.sh)) AS inter,
+                   least(len(s1.sh), len(s2.sh)) AS mn
+            FROM cand
+            JOIN sh s1 ON s1.doc_id = d1
+            JOIN sh s2 ON s2.doc_id = d2)
+      SELECT d1, d2,
+             round(CAST(inter AS DOUBLE) / mn, 6) AS containment
+      FROM v WHERE CAST(inter AS DOUBLE) / mn >= 0.9
+    """))
+
   val registry: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52,
-    q82, q84, q85, q99)
+    q82, q84, q85, q99, q112)
 }

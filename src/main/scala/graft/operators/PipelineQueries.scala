@@ -360,6 +360,231 @@ object PipelineQueries {
       FROM sh
     """))
 
+  /** Okapi BM25 relevance ranking over the corpus for a fixed query —
+    * the retrieval scorer a data pipeline uses for quality-weighted
+    * sampling and search-style eval sets. One pass computes per-doc
+    * term frequencies and length; the corpus stats (N, avgdl, per-term
+    * df) reduce to a single broadcast row; scoring is then a pure
+    * projection. At scale: no shuffle beyond the one stats aggregate.
+    * k1=1.2, b=0.75, IDF = ln(1 + (N-df+0.5)/(df+0.5)). */
+  private val q109 = {
+    val terms = Seq("merge", "sort", "tree")
+    val k1 = 1.2
+    val b = 0.75
+    Q(
+      "q109_bm25_ranking",
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+          .withColumn("dl", size(col("w")).cast(DoubleType))
+        val tf = terms.zipWithIndex.foldLeft(tok) { case (d, (term, i)) =>
+          d.withColumn(s"tf$i",
+            size(filter(col("w"), x => x === term)).cast(DoubleType))
+        }.drop("w")
+        val aggs = count(lit(1)).cast(DoubleType).as("n") +:
+          avg(col("dl")).as("avgdl") +:
+          terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1).otherwise(0))
+              .cast(DoubleType).as(s"df$i"))
+        val stats = tf.agg(aggs.head, aggs.tail: _*)
+        val score = terms.indices.map { i =>
+          val idf = log(lit(1.0) +
+            (col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+          idf * (col(s"tf$i") * lit(k1 + 1)) /
+            (col(s"tf$i") +
+              lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+        }.reduce(_ + _)
+        tf.crossJoin(broadcast(stats))
+          .select(col("doc_id"), round(score, 4).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some {
+        val w = """string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ')"""
+        val tfCols = terms.zipWithIndex.map { case (term, i) =>
+          s"CAST(len(list_filter(w, x -> x = '$term')) AS DOUBLE) AS tf$i"
+        }.mkString(", ")
+        val dfCols = terms.indices.map(i =>
+          s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+          .mkString(", ")
+        val score = terms.indices.map(i =>
+          s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * ${k1 + 1}) / " +
+            s"(tf$i + $k1 * (${1.0 - b} + $b * dl / avgdl))")
+          .mkString(" + ")
+        s"""
+        WITH tok AS (SELECT doc_id, $w AS w FROM documents),
+        tf AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, $tfCols FROM tok),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+                         $dfCols FROM tf)
+        SELECT doc_id, round($score, 4) AS bm25
+        FROM tf, stats
+        ORDER BY round($score, 4) DESC, doc_id LIMIT 10
+        """
+      })
+  }
+
+  /** Fixed-size token chunking with overlap (chunk=64 tokens,
+    * stride=48 — 16-token overlap): the standard context-window
+    * packing step before tokenizer/training. Pure per-row generate +
+    * projection — zero shuffles, embarrassingly parallel at any
+    * scale. */
+  private val q110 = Q(
+    "q110_token_chunking",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        .select(col("doc_id"), col("w"),
+          posexplode(
+            sequence(lit(0), greatest(size(col("w")) - 1, lit(0)), lit(48)))
+            .as(Seq("chunk_id", "off")))
+        .withColumn("chunk", slice(col("w"), col("off") + 1, lit(64)))
+        .select(col("doc_id"), asLong(col("chunk_id")).as("chunk_id"),
+          asLong(col("off")).as("off"),
+          asLong(size(col("chunk"))).as("n_tokens"),
+          array_join(slice(col("chunk"), 1, 5), " ").as("chunk_head")),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ') AS w
+        FROM documents),
+      offs AS (
+        SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 48)) AS off
+        FROM tok)
+      SELECT doc_id, CAST(off // 48 AS BIGINT) AS chunk_id,
+             CAST(off AS BIGINT) AS off,
+             CAST(len(w[off+1:off+64]) AS BIGINT) AS n_tokens,
+             array_to_string(w[off+1:off+5], ' ') AS chunk_head
+      FROM offs
+    """))
+
+  /** PII redaction: email + phone patterns replaced with typed
+    * placeholder tokens, with per-doc match counts. The corpus is
+    * synthetic CS text with no PII, so a deterministic contact line is
+    * appended per doc (both engines append the same line) to prove the
+    * redaction fires; per-row projection, no shuffle. */
+  private val q111 = Q(
+    "q111_pii_redaction",
+    (s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+?[0-9][0-9 -]{6,}[0-9]"
+      t(s, dir, "documents")
+        .withColumn("aug",
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or +1 555-01"), col("doc_id")))
+        .withColumn("no_email",
+          regexp_replace(col("aug"), emailRe, "<EMAIL>"))
+        .withColumn("red",
+          regexp_replace(col("no_email"), phoneRe, "<PHONE>"))
+        .select(col("doc_id"),
+          asLong(regexp_count(col("aug"), lit(emailRe))).as("n_emails"),
+          asLong(regexp_count(col("no_email"), lit(phoneRe))).as("n_phones"),
+          // last-60-chars via explicit arithmetic — identical clipping
+          // semantics in both engines for strings shorter than 60
+          expr("substring(red, greatest(length(red) - 59, 1), 60)")
+            .as("redacted_tail"))
+    },
+    Some("""
+      WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@example.com or +1 555-01' || doc_id AS aug
+        FROM documents),
+      re AS (
+        SELECT doc_id, aug,
+               regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g') AS no_email
+        FROM aug)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(aug,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_emails,
+             CAST(len(regexp_extract_all(no_email,
+               '\+?[0-9][0-9 -]{6,}[0-9]')) AS BIGINT) AS n_phones,
+             substring(regexp_replace(no_email, '\+?[0-9][0-9 -]{6,}[0-9]',
+                                      '<PHONE>', 'g'),
+                       greatest(length(regexp_replace(no_email,
+                         '\+?[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g')) - 59, 1),
+                       60) AS redacted_tail
+      FROM re
+    """))
+
+  /** Bloom-filter decontamination — q96's scale path. q96 broadcasts
+    * the full benchmark shingle SET, which grows with the benchmark;
+    * here the benchmark reduces to a constant-size bit array
+    * (m=131072 bits as 2048 bit_or-aggregated longs, k=3 salted-md5
+    * probes), so the broadcast is ~16 KB NO MATTER how large the
+    * benchmark suite gets. Every hash is md5-based, so the oracle
+    * reproduces the bitmap — and therefore the exact same
+    * false-positive set — bit for bit. */
+  private val q113 = {
+    val m = 131072L
+    val k = 3
+    Q(
+      "q113_bloom_decontamination",
+      (s, dir) => {
+        def positions(gram: org.apache.spark.sql.Column) =
+          array((0 until k).map(i =>
+            md5Int32(concat(lit(s"$i|"), gram)) % m): _*)
+        val ex = t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextOps.shingleSet(TextOps.words(col("text")), 8).as("sh"))
+          .select(col("doc_id"), asLong(size(col("sh"))).as("n_sh"),
+            explode(col("sh")).as("gram"))
+        val bitmap = ex.filter(col("doc_id") % 97 === 0)
+          .select(explode(positions(col("gram"))).as("pos"))
+          .select(expr("pos div 63").as("word_idx"),
+            expr("shiftleft(cast(1 as bigint), cast(pos % 63 as int))")
+              .as("bit"))
+          .groupBy(col("word_idx"))
+          .agg(expr("bit_or(bit)").as("bits"))
+        ex.select(col("doc_id"), col("n_sh"), col("gram"),
+            explode(positions(col("gram"))).as("pos"))
+          .withColumn("word_idx", expr("pos div 63"))
+          .join(broadcast(bitmap), Seq("word_idx"), "left")
+          .withColumn("hit", coalesce(
+            expr("(bits & shiftleft(cast(1 as bigint), cast(pos % 63 as int))) != 0"),
+            lit(false)))
+          .groupBy(col("doc_id"), col("n_sh"), col("gram"))
+          .agg(expr("bool_and(hit)").as("maybe"))
+          .filter(col("maybe"))
+          .groupBy(col("doc_id"), col("n_sh"))
+          .agg(count(lit(1)).as("n_hit"))
+          .withColumn("ratio",
+            round(col("n_hit").cast(DoubleType) / col("n_sh"), 6))
+          .filter(col("ratio") >= 0.5)
+          .select(col("doc_id"), col("n_sh"), col("n_hit"), col("ratio"))
+      },
+      Some {
+        def duckPos(gramExpr: String) = (0 until k).map(i =>
+          s"('0x'||substr(md5('$i|'||$gramExpr),1,8))::BIGINT % $m")
+          .mkString("[", ", ", "]")
+        s"""
+        WITH ${duckShingles(8)},
+        ex AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
+                      unnest(sh) AS gram FROM sh),
+        bpos AS (SELECT unnest(${duckPos("gram")}) AS pos
+                 FROM ex WHERE doc_id % 97 = 0),
+        bitmap AS (SELECT pos // 63 AS word_idx,
+                          bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+                   FROM bpos GROUP BY 1),
+        probe AS (SELECT doc_id, n_sh, gram, unnest(${duckPos("gram")}) AS pos
+                  FROM ex),
+        chk AS (SELECT doc_id, n_sh, gram,
+                       bool_and(COALESCE(
+                         (b.bits & (1::BIGINT << CAST(pos % 63 AS INT))) != 0,
+                         FALSE)) AS maybe
+                FROM probe LEFT JOIN bitmap b ON pos // 63 = b.word_idx
+                GROUP BY 1, 2, 3),
+        hits AS (SELECT doc_id, n_sh, COUNT(*) AS n_hit
+                 FROM chk WHERE maybe GROUP BY 1, 2)
+        SELECT doc_id, n_sh, n_hit,
+               round(CAST(n_hit AS DOUBLE) / n_sh, 6) AS ratio
+        FROM hits WHERE CAST(n_hit AS DOUBLE) / n_sh >= 0.5
+        """
+      })
+  }
+
   val registry: Seq[Q] =
-    Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q100, q107)
+    Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q100, q107,
+      q109, q110, q111, q113)
 }
