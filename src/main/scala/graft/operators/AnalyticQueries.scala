@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{Q, Tables}
-import graft.functions.Exprs.dec2
+import graft.functions.Exprs.{asLong, dec2}
 
 /** Advanced analytics: as-of join, full window-function family, pivot,
   * approximate distinct — the operators a user of a mature engine
@@ -433,6 +433,47 @@ object AnalyticQueries {
       FROM lineitem GROUP BY 1
     """))
 
+  /** Per-group robust outlier detection (median + MAD, the
+    * data-quality rule that survives skew where mean/std don't):
+    * flag rows whose absolute deviation from the group median exceeds
+    * 3x the group's median absolute deviation. Two median passes +
+    * two broadcast-able joins of tiny per-group stat tables; exact
+    * interpolated medians match quantile_cont in both engines. */
+  private val q116 = Q(
+    "q116_robust_outliers",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_mktsegment"),
+          dec2(col("c_acctbal")).cast(DoubleType).as("bal"))
+      val med = c.groupBy(col("c_mktsegment"))
+        .agg(median(col("bal")).as("med"))
+      val dev = c.join(broadcast(med), "c_mktsegment")
+        .withColumn("adev", abs(col("bal") - col("med")))
+      val mad = dev.groupBy(col("c_mktsegment"))
+        .agg(median(col("adev")).as("mad"))
+      dev.join(broadcast(mad), "c_mktsegment")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("med")), 4).as("med"),
+          round(min(col("mad")), 4).as("mad"),
+          asLong(sum(when(col("adev") > col("mad") * 3, 1).otherwise(0)))
+            .as("n_outliers"))
+    },
+    Some("""
+      WITH c AS (SELECT c_mktsegment,
+                        CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+                 FROM customer),
+      med AS (SELECT c_mktsegment, median(bal) AS med FROM c GROUP BY 1),
+      dev AS (SELECT c.c_mktsegment, bal, med, abs(bal - med) AS adev
+              FROM c JOIN med USING (c_mktsegment)),
+      mad AS (SELECT c_mktsegment, median(adev) AS mad FROM dev GROUP BY 1)
+      SELECT d.c_mktsegment, COUNT(*) AS n,
+             round(MIN(med), 4) AS med, round(MIN(mad), 4) AS mad,
+             CAST(SUM(CASE WHEN adev > mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+      FROM dev d JOIN mad USING (c_mktsegment) GROUP BY 1
+    """))
+
   val registry: Seq[Q] = Seq(q66, q67, q68, q69, q75, q76, q77, q78,
-    q79, q80, q81, q102, q104, q105, q106)
+    q79, q80, q81, q102, q104, q105, q106, q116)
 }

@@ -584,7 +584,93 @@ object PipelineQueries {
       })
   }
 
+  /** Inverted-index construction (term -> posting list): the core
+    * search/retrieval build step. One shuffle to (term, doc) term
+    * frequencies, one to per-term stats; posting heads are
+    * deterministic (collected doc ids are array_sort'ed — collect
+    * order is NOT deterministic — then sliced). Top-50 terms under a
+    * total (df desc, term) order. */
+  private val q114 = Q(
+    "q114_inverted_index",
+    (s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+      tok.groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), asLong(sum(col("tf"))).as("total_tf"),
+          array_join(transform(
+            slice(array_sort(collect_list(col("doc_id"))), 1, 10),
+            x => x.cast(StringType)), ",").as("postings_head"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(50)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ')) AS term
+        FROM documents),
+      tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2)
+      SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+             array_to_string((list(doc_id ORDER BY doc_id))[1:10], ',')
+               AS postings_head
+      FROM tf GROUP BY 1 ORDER BY df DESC, term LIMIT 50
+    """))
+
+  /** Snapshot diff (CDC-style dataset versioning): full outer join of
+    * two table versions on the key, classifying every key as
+    * added/removed/changed/unchanged plus the net money delta per
+    * class — the audit step between two pipeline runs. Versions are
+    * derived deterministically from the orders table (different modulo
+    * filters; changed rows get +10.00) so both engines diff identical
+    * inputs. Exact DECIMAL(18,2) arithmetic throughout. */
+  private val q115 = Q(
+    "q115_snapshot_diff",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          dec2(col("o_totalprice")).as("price_a"))
+      val b = o.filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 5 === 0,
+            dec2(col("o_totalprice")) + dec2(lit(10)))
+            .otherwise(dec2(col("o_totalprice"))).as("price_b"))
+      a.join(b, Seq("k"), "full_outer")
+        .withColumn("status",
+          when(col("price_a").isNull, "added")
+            .when(col("price_b").isNull, "removed")
+            .when(col("price_a") =!= col("price_b"), "changed")
+            .otherwise("unchanged"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          (sum(coalesce(col("price_b"), dec2(lit(0))) -
+            coalesce(col("price_a"), dec2(lit(0)))))
+            .cast(DoubleType).as("net_delta"))
+    },
+    Some("""
+      WITH a AS (SELECT o_orderkey AS k,
+                        CAST(o_totalprice AS DECIMAL(18,2)) AS price_a
+                 FROM orders WHERE o_orderkey % 11 != 0),
+      b AS (SELECT o_orderkey AS k,
+                   CASE WHEN o_orderkey % 5 = 0
+                        THEN CAST(o_totalprice AS DECIMAL(18,2))
+                             + CAST(10 AS DECIMAL(18,2))
+                        ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price_b
+            FROM orders WHERE o_orderkey % 13 != 0),
+      d AS (SELECT CASE WHEN price_a IS NULL THEN 'added'
+                        WHEN price_b IS NULL THEN 'removed'
+                        WHEN price_a != price_b THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   COALESCE(price_b, CAST(0 AS DECIMAL(18,2)))
+                     - COALESCE(price_a, CAST(0 AS DECIMAL(18,2))) AS delta
+            FROM a FULL OUTER JOIN b USING (k))
+      SELECT status, COUNT(*) AS n,
+             CAST(SUM(delta) AS DOUBLE) AS net_delta
+      FROM d GROUP BY 1
+    """))
+
   val registry: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q100, q107,
-      q109, q110, q111, q113)
+      q109, q110, q111, q113, q114, q115)
 }
