@@ -194,5 +194,47 @@ object StreamQueries {
       FROM events
     """))
 
-  val registry: Seq[Q] = Seq(q40, q41, q42, q43, q44)
+  /** Streaming deduplication — exactly-once ingestion over an
+    * at-least-once transport. The source is deliberately doubled (a
+    * self-union, simulating redelivery); `withWatermark` +
+    * `dropDuplicates(event_id)` holds per-key state only within the
+    * watermark horizon, so state is bounded at 100 TB rather than
+    * growing with the stream's lifetime. The downstream aggregate must
+    * then equal the batch answer over the UNIQUE events — which is
+    * exactly what the oracle asserts. */
+  private val q117 = Q(
+    "q117_stream_dedup",
+    (s, dir) => {
+      Tables.tuned(s)
+      val name = "graft_dedup_" + UUID.randomUUID().toString.replace("-", "")
+      def src = s.readStream
+        .schema(eventsRawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val doubled = src.unionByName(src) // simulated redelivery
+      val deduped = doubled
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+      val agg = deduped
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_value"))
+      val query = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(name)
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1
+    """))
+
+  val registry: Seq[Q] = Seq(q40, q41, q42, q43, q44, q117)
 }

@@ -59,7 +59,8 @@ class RegistrySmokeSpec extends AnyFunSuite {
 
   test("golden plans: dimension/probe sides broadcast") {
     Seq("q13_join_revenue_by_nation", "q28_shipping_priority",
-      "q96_contamination", "q59_ivf_ann").foreach { n =>
+      "q96_contamination", "q59_ivf_ann", "q113_bloom_decontamination",
+      "q109_bm25_ranking", "q116_robust_outliers").foreach { n =>
       assert(planOf(n).contains("BroadcastExchange"),
         s"$n no longer broadcasts its small side")
     }
