@@ -474,6 +474,55 @@ object AnalyticQueries {
       FROM dev d JOIN mad USING (c_mktsegment) GROUP BY 1
     """))
 
+  /** Bucketed range join (point-in-interval): events matched to time
+    * intervals via an equi-join on coarse time buckets, then an exact
+    * containment filter — the scalable formulation of
+    * `ON ms BETWEEN start AND end`. A naive inequality join plans as a
+    * nested loop scoring every (event, interval) pair; bucketing bounds
+    * candidates to the <=2 buckets each interval spans, and the join
+    * stays a hash join (broadcast here since the interval side is tiny;
+    * a shuffle hash join on the bucket key when it isn't). Intervals
+    * are derived deterministically from min(ts): 50 two-hour windows
+    * spaced four hours apart. */
+  private val q118 = {
+    val w = 7200000L // bucket width == interval width (2h in ms)
+    Q(
+      "q118_range_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(unix_millis(col("ts")).as("ms"), col("value"))
+        val intervals = ev.agg(min(col("ms")).as("min_ms"))
+          .select(col("min_ms"), explode(sequence(lit(0L), lit(49L))).as("i"))
+          .select(col("i").as("interval_id"),
+            (col("min_ms") + col("i") * lit(14400000L)).as("start_ms"))
+          .withColumn("end_ms", col("start_ms") + lit(w))
+        val ibuck = intervals.select(col("interval_id"), col("start_ms"),
+          col("end_ms"),
+          explode(array_distinct(array(
+            expr(s"start_ms div $w"), expr(s"(end_ms - 1) div $w")))).as("b"))
+        ev.withColumn("b", expr(s"ms div $w"))
+          .join(broadcast(ibuck), "b")
+          .filter(col("ms") >= col("start_ms") && col("ms") < col("end_ms"))
+          .groupBy(col("interval_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+              .as("sum_value"))
+      },
+      Some("""
+        WITH ev AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, value
+                    FROM events),
+        m AS (SELECT MIN(ms) AS min_ms FROM ev),
+        iv AS (SELECT i AS interval_id,
+                      min_ms + i * 14400000 AS start_ms,
+                      min_ms + i * 14400000 + 7200000 AS end_ms
+               FROM m, range(50) t(i))
+        SELECT interval_id, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM ev JOIN iv ON ms >= start_ms AND ms < end_ms
+        GROUP BY 1
+      """))
+  }
+
   val registry: Seq[Q] = Seq(q66, q67, q68, q69, q75, q76, q77, q78,
-    q79, q80, q81, q102, q104, q105, q106, q116)
+    q79, q80, q81, q102, q104, q105, q106, q116, q118)
 }
