@@ -111,4 +111,62 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(sets.last.size == 137)
   }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    Queries.registry.find(_.name == name).get.build(spark, sfDir)
+
+  test("bloom decontamination is a superset of exact decontamination") {
+    // same benchmark set, same >=0.5 ratio rule: the bloom filter can
+    // only ADD hits (false positives), never lose one, and per doc its
+    // hit count must dominate the exact count
+    val exact = run("q96_contamination")
+      .select("doc_id", "n_hit").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = run("q113_bloom_decontamination")
+      .select("doc_id", "n_hit").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.keySet.subsetOf(bloom.keySet),
+      s"bloom lost docs: ${exact.keySet -- bloom.keySet}")
+    exact.foreach { case (doc, nHit) =>
+      assert(bloom(doc) >= nHit, s"doc $doc: bloom ${bloom(doc)} < exact $nHit")
+    }
+  }
+
+  test("containment dominates Jaccard on every shared candidate pair") {
+    // |A∩B|/min >= |A∩B|/union, so any pair surviving q50's 0.3 Jaccard
+    // cut has containment >= its Jaccard value
+    val jac = run("q50_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cont = run("q112_containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac.nonEmpty)
+    jac.foreach { case (pair, j) =>
+      cont.get(pair).foreach(c => assert(c >= j - 1e-9, s"$pair: $c < $j"))
+    }
+  }
+
+  test("token chunks cover every token and respect the 64/48 geometry") {
+    val chunks = run("q110_token_chunking")
+      .select("doc_id", "chunk_id", "off", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // offsets advance by exactly the stride and start at 0
+      sorted.zipWithIndex.foreach { case ((_, cid, off, n), i) =>
+        assert(cid == i && off == i * 48L)
+        assert(n >= 1 && n <= 64)
+      }
+      // every token index < off_last + n_last is covered: consecutive
+      // chunks overlap (next off <= prev off + 64) except a final short
+      // chunk, which by construction starts within the previous chunk
+      sorted.sliding(2).foreach {
+        case Array((_, _, o1, n1), (_, _, o2, _)) =>
+          assert(o2 <= o1 + n1, "gap between consecutive chunks")
+        case _ =>
+      }
+    }
+  }
 }
