@@ -377,10 +377,13 @@ object PipelineQueries {
         val tok = t(s, dir, "documents")
           .select(col("doc_id"), TextOps.words(col("text")).as("w"))
           .withColumn("dl", size(col("w")).cast(DoubleType))
+        // materialize once: tf feeds BOTH the stats aggregate and the
+        // scoring projection (a diamond plan) — without this the
+        // tokenize+tf pass runs twice per action
         val tf = terms.zipWithIndex.foldLeft(tok) { case (d, (term, i)) =>
           d.withColumn(s"tf$i",
             size(filter(col("w"), x => x === term)).cast(DoubleType))
-        }.drop("w")
+        }.drop("w").localCheckpoint()
         val aggs = count(lit(1)).cast(DoubleType).as("n") +:
           avg(col("dl")).as("avgdl") +:
           terms.indices.map(i =>
@@ -525,11 +528,14 @@ object PipelineQueries {
         def positions(gram: org.apache.spark.sql.Column) =
           array((0 until k).map(i =>
             md5Int32(concat(lit(s"$i|"), gram)) % m): _*)
+        // materialize once: the exploded shingle table feeds both the
+        // bitmap build and the probe side
         val ex = t(s, dir, "documents")
           .select(col("doc_id"),
             TextOps.shingleSet(TextOps.words(col("text")), 8).as("sh"))
           .select(col("doc_id"), asLong(size(col("sh"))).as("n_sh"),
             explode(col("sh")).as("gram"))
+          .localCheckpoint()
         val bitmap = ex.filter(col("doc_id") % 97 === 0)
           .select(explode(positions(col("gram"))).as("pos"))
           .select(expr("pos div 63").as("word_idx"),

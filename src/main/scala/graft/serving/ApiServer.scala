@@ -35,6 +35,10 @@ class ApiServer(spark: SparkSession, modelDir: String, port: Int = 0) {
     }.toMap
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // the JDK server's default executor is the caller thread — serialize
+  // -free concurrent request handling needs a real pool (the driver-side
+  // scoring in Serve.local* is stateless, so handlers are thread-safe)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
 
   def boundPort: Int = server.getAddress.getPort
 

@@ -135,6 +135,21 @@ class ApiServerSpec extends AnyFunSuite {
     assert(get("/food_details/model5/abc").statusCode() == 404)
   }
 
+  test("concurrent requests are served in parallel without errors") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val payload = """{"Protein-G": 30.0, "Energy-KCAL": 400.0}"""
+    val futures = (1 to 16).map { i =>
+      Future {
+        if (i % 2 == 0) get("/health").statusCode()
+        else post(s"/predict/${1 + i % 2 * 3}", payload).statusCode()
+      }
+    }
+    val codes = futures.map(Await.result(_, 30.seconds))
+    assert(codes.forall(_ == 200), s"unexpected codes: $codes")
+  }
+
   test("flat JSON parser handles the reference payload shapes") {
     val s = new ApiServer(spark, modelDir)
     val m = s.parseFlatJson(
