@@ -523,6 +523,38 @@ object AnalyticQueries {
       """))
   }
 
+  /** Equal-width histogram profiler (20 bins over event time): the
+    * distribution-profiling step of a data-quality report. Bin edges
+    * and assignment are PURE INTEGER arithmetic over epoch-millis —
+    * (ms - min) * 20 div (range + 1) — so bin boundaries are exact and
+    * engine-independent (a double-width histogram can disagree at the
+    * edges in the last ulp). One stats aggregate broadcast to a
+    * single-pass binning projection. */
+  private val q119 = Q(
+    "q119_histogram_profile",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(unix_millis(col("ts")).as("ms"),
+          col("value"))
+      val stats = ev.agg(min(col("ms")).as("min_ms"), max(col("ms")).as("max_ms"))
+      ev.crossJoin(broadcast(stats))
+        .withColumn("bin",
+          expr("(ms - min_ms) * 20 div (max_ms - min_ms + 1)"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_value"))
+    },
+    Some("""
+      WITH ev AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, value
+                  FROM events),
+      st AS (SELECT MIN(ms) AS min_ms, MAX(ms) AS max_ms FROM ev)
+      SELECT (ms - min_ms) * 20 // (max_ms - min_ms + 1) AS bin,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM ev, st GROUP BY 1
+    """))
+
   val registry: Seq[Q] = Seq(q66, q67, q68, q69, q75, q76, q77, q78,
-    q79, q80, q81, q102, q104, q105, q106, q116, q118)
+    q79, q80, q81, q102, q104, q105, q106, q116, q118, q119)
 }
