@@ -119,23 +119,32 @@ object Trainer {
   private[graft] val RnCol = "__graft_rn"
 
   /** Attach a contiguous 0-based Long row index under the explicit
-    * total order.
+    * total order. Returns an eagerly MATERIALIZED frame
+    * (localCheckpoint) — callers slice it without re-running the sort.
     *
-    * Scale path: one range-partitioned sort (`orderBy` — no
-    * single-partition `Window.orderBy`) plus `zipWithIndex`'s
-    * per-partition count-then-offset pass. The index is a Long, so —
-    * unlike the previous `limit()`-based slicing — nothing here is
-    * bounded by Int.MaxValue rows. */
+    * Scale path: the sorted rows are cached BEFORE `zipWithIndex`,
+    * because ZippedWithIndexRDD eagerly runs a count job to compute
+    * per-partition offsets — uncached, that job plus the downstream
+    * materialization would each execute the reduce-side sort. So: one
+    * range-partitioned sort (`orderBy` — never a single-partition
+    * `Window.orderBy`), one cached count pass, one indexing pass. The
+    * index is a Long, so — unlike the previous `limit()`-based
+    * slicing — nothing here is bounded by Int.MaxValue rows. */
   private[ml] def indexByOrder(
       df: DataFrame, orderCols: Seq[String]): DataFrame = {
     val ordered = df.orderBy(orderCols.map(col): _*)
     val schema = org.apache.spark.sql.types.StructType(
       ordered.schema.fields :+ org.apache.spark.sql.types.StructField(
         RnCol, org.apache.spark.sql.types.LongType, nullable = false))
-    val indexed = ordered.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-    }
-    df.sparkSession.createDataFrame(indexed, schema)
+    val sortedRdd = ordered.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val indexed = sortedRdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }
+      df.sparkSession.createDataFrame(indexed, schema)
+        .localCheckpoint(eager = true)
+    } finally sortedRdd.unpersist(false)
   }
 
   /** Deterministic cumulative slices: slice k holds the first
@@ -151,7 +160,7 @@ object Trainer {
       df: DataFrame,
       orderCols: Seq[String],
       total: Int = NumModels): Seq[DataFrame] = {
-    val indexed = indexByOrder(df, orderCols).localCheckpoint(eager = true)
+    val indexed = indexByOrder(df, orderCols)
     val n = indexed.count()
     (1 to total).map(k =>
       indexed.filter(col(RnCol) < lit(n * k / total)).drop(RnCol))
@@ -172,17 +181,15 @@ object Trainer {
     // MLlib fits are iterative (tens of jobs); right-size the cached
     // training frame's partition count to the data so per-task
     // scheduling overhead doesn't dominate tiny fits. repartition (a
-    // shuffle of the already-indexed cached rows), NOT coalesce —
+    // shuffle of the already-materialized indexed rows), NOT coalesce —
     // coalesce would collapse the upstream sort's parallelism too.
-    val prepared =
-      indexByOrder(withLabel(prepare(raw)), orderCols).persist()
+    val prepared = indexByOrder(withLabel(prepare(raw)), orderCols)
     val n = prepared.count()
     val parts = math.max(1, math.min(
       prepared.rdd.getNumPartitions, (n / 4096L + 1L).toInt))
     val indexed = prepared.repartition(parts).persist()
     try {
-      indexed.count() // materialize before dropping the pre-shuffle cache
-      prepared.unpersist()
+      indexed.count()
       // The 5 fits are independent seeded pipelines over nested slices
       // of the SAME cached frame: run them concurrently (the
       // CrossValidator-parallelism pattern). Each fit is a chain of

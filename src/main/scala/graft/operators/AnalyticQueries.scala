@@ -447,8 +447,12 @@ object AnalyticQueries {
           dec2(col("c_acctbal")).cast(DoubleType).as("bal"))
       val med = c.groupBy(col("c_mktsegment"))
         .agg(median(col("bal")).as("med"))
+      // materialize: dev feeds both the MAD aggregate and the final
+      // join (a diamond) — uncached, the customer scan + median join
+      // would re-execute on each branch
       val dev = c.join(broadcast(med), "c_mktsegment")
         .withColumn("adev", abs(col("bal") - col("med")))
+        .localCheckpoint()
       val mad = dev.groupBy(col("c_mktsegment"))
         .agg(median(col("adev")).as("mad"))
       dev.join(broadcast(mad), "c_mktsegment")

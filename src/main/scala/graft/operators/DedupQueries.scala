@@ -231,41 +231,44 @@ object DedupQueries {
     * ultra-common shingles is theoretically droppable, but the
     * Jaccard values themselves stay exact (computed on the full sets,
     * q51's verify pattern). */
-  private val q50 = Q(
-    "q50_ngram_jaccard",
-    (s, dir) => {
-      // materialize the shingle-set table once — the candidate join and
-      // both verify joins reuse it instead of recomputing
-      // tokenize+shingle (at scale: "build the index, then join it")
-      val c = corpus(t(s, dir, "documents"))
-        .withColumn("sh",
-          TextOps.shingleSet(TextOps.words(col("text")), 5))
-        .localCheckpoint()
-      val ex = c.select(col("doc_id"), explode(col("sh")).as("s"))
-      val rare = ex.groupBy(col("s"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxShingleDf)
-        .select(col("s"))
-      val exKept = ex.join(rare, "s").localCheckpoint()
-      val cand = exKept.alias("a")
-        .join(exKept.alias("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-      val shTab = c.select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
-      cand
-        .join(shTab.select(col("doc_id").as("d1"), col("sh").as("sh1"),
-          col("nsh").as("n1")), "d1")
-        .join(shTab.select(col("doc_id").as("d2"), col("sh").as("sh2"),
-          col("nsh").as("n2")), "d2")
-        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
-        .withColumn("jaccard",
-          col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
-        .filter(col("jaccard") >= 0.3)
-        .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jac"))
-    },
-    Some(s"""
-      WITH $shingleSql,
+  /** Shared candidate machinery for the exact near-dup verifiers (q50
+    * Jaccard, q112 containment): build the 5-shingle-set index
+    * (materialized once — "build the index, then join it"), generate
+    * candidate pairs from a self-join restricted to shingles with
+    * document frequency <= [[MaxShingleDf]], and join candidates back
+    * to both sides' FULL shingle sets. Returns
+    * (d1, d2, inter, n1, n2); only the scoring metric differs between
+    * the two queries. */
+  private def prunedPairStats(docs: DataFrame): DataFrame = {
+    val c = corpus(docs)
+      .withColumn("sh",
+        TextOps.shingleSet(TextOps.words(col("text")), 5))
+      .localCheckpoint()
+    val ex = c.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = ex.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+      .select(col("s"))
+    val exKept = ex.join(rare, "s").localCheckpoint()
+    val cand = exKept.alias("a")
+      .join(exKept.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val shTab = c.select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+    cand
+      .join(shTab.select(col("doc_id").as("d1"), col("sh").as("sh1"),
+        col("nsh").as("n1")), "d1")
+      .join(shTab.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+        col("nsh").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("sh1"), col("sh2"))).as("inter"),
+        col("n1"), col("n2"))
+  }
+
+  /** The same machinery as DuckDB CTEs, ending in
+    * v(d1, d2, inter, n1, n2). */
+  private val prunedPairSql: String = s"""$shingleSql,
       ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
       rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= $MaxShingleDf),
       exk AS (SELECT doc_id, s FROM ex JOIN rare USING (s)),
@@ -277,7 +280,18 @@ object DedupQueries {
                    len(s1.sh) AS n1, len(s2.sh) AS n2
             FROM cand
             JOIN sh s1 ON s1.doc_id = d1
-            JOIN sh s2 ON s2.doc_id = d2)
+            JOIN sh s2 ON s2.doc_id = d2)"""
+
+  private val q50 = Q(
+    "q50_ngram_jaccard",
+    (s, dir) =>
+      prunedPairStats(t(s, dir, "documents"))
+        .withColumn("jaccard",
+          col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= 0.3)
+        .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jac")),
+    Some(s"""
+      WITH $prunedPairSql
       SELECT d1, d2,
              round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jac
       FROM v WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.3
@@ -588,52 +602,18 @@ object DedupQueries {
     * differs. */
   private val q112 = Q(
     "q112_containment",
-    (s, dir) => {
-      val c = corpus(t(s, dir, "documents"))
-        .withColumn("sh",
-          TextOps.shingleSet(TextOps.words(col("text")), 5))
-        .localCheckpoint()
-      val ex = c.select(col("doc_id"), explode(col("sh")).as("s"))
-      val rare = ex.groupBy(col("s"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxShingleDf)
-        .select(col("s"))
-      val exKept = ex.join(rare, "s").localCheckpoint()
-      val cand = exKept.alias("a")
-        .join(exKept.alias("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-      val shTab = c.select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
-      cand
-        .join(shTab.select(col("doc_id").as("d1"), col("sh").as("sh1"),
-          col("nsh").as("n1")), "d1")
-        .join(shTab.select(col("doc_id").as("d2"), col("sh").as("sh2"),
-          col("nsh").as("n2")), "d2")
-        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+    (s, dir) =>
+      prunedPairStats(t(s, dir, "documents"))
         .withColumn("containment",
           col("inter").cast(DoubleType) / least(col("n1"), col("n2")))
         .filter(col("containment") >= 0.9)
         .select(col("d1"), col("d2"),
-          round(col("containment"), 6).as("containment"))
-    },
+          round(col("containment"), 6).as("containment")),
     Some(s"""
-      WITH $shingleSql,
-      ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-      rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= $MaxShingleDf),
-      exk AS (SELECT doc_id, s FROM ex JOIN rare USING (s)),
-      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-               FROM exk a JOIN exk b
-               ON a.s = b.s AND a.doc_id < b.doc_id),
-      v AS (SELECT d1, d2,
-                   len(list_intersect(s1.sh, s2.sh)) AS inter,
-                   least(len(s1.sh), len(s2.sh)) AS mn
-            FROM cand
-            JOIN sh s1 ON s1.doc_id = d1
-            JOIN sh s2 ON s2.doc_id = d2)
+      WITH $prunedPairSql
       SELECT d1, d2,
-             round(CAST(inter AS DOUBLE) / mn, 6) AS containment
-      FROM v WHERE CAST(inter AS DOUBLE) / mn >= 0.9
+             round(CAST(inter AS DOUBLE) / least(n1, n2), 6) AS containment
+      FROM v WHERE CAST(inter AS DOUBLE) / least(n1, n2) >= 0.9
     """))
 
   val registry: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52,

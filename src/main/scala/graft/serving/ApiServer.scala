@@ -37,8 +37,11 @@ class ApiServer(spark: SparkSession, modelDir: String, port: Int = 0) {
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // the JDK server's default executor is the caller thread — serialize
   // -free concurrent request handling needs a real pool (the driver-side
-  // scoring in Serve.local* is stateless, so handlers are thread-safe)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  // scoring in Serve.local* is stateless, so handlers are thread-safe).
+  // HttpServer.stop() does NOT terminate a caller-supplied executor, so
+  // stop() below must shut it down or its non-daemon threads outlive us.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(pool)
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -164,11 +167,15 @@ class ApiServer(spark: SparkSession, modelDir: String, port: Int = 0) {
   server.createContext("/find_allergen/", (ex: HttpExchange) => {
     import org.apache.spark.sql.functions.{col, lower}
     val seg = ex.getRequestURI.getPath.stripPrefix("/find_allergen/")
-    val allergy = Option(ex.getRequestURI.getQuery).getOrElse("")
+    // parse the RAW query: getQuery already percent-decodes, so using it
+    // would both double-decode (throwing on literal '%') and let an
+    // encoded '&' in the value truncate the term at the split
+    val allergy = Option(ex.getRequestURI.getRawQuery).getOrElse("")
       .split("&").collectFirst {
         case p if p.startsWith("allergy=") =>
-          java.net.URLDecoder.decode(
-            p.stripPrefix("allergy="), StandardCharsets.UTF_8)
+          Try(java.net.URLDecoder.decode(
+            p.stripPrefix("allergy="), StandardCharsets.UTF_8))
+            .getOrElse(p.stripPrefix("allergy="))
       }
     (allergy, seg) match {
       case (None, _) =>
@@ -210,6 +217,9 @@ class ApiServer(spark: SparkSession, modelDir: String, port: Int = 0) {
                   if (row.isNullAt(i)) "null"
                   else row.get(i) match {
                     case s: String => s""""${jsonEscape(s)}""""
+                    // NaN/Infinity are not legal JSON number literals
+                    case d: Double if d.isNaN || d.isInfinite => "null"
+                    case f: Float if f.isNaN || f.isInfinite => "null"
                     case x => x.toString
                   }
                 s""""${jsonEscape(f.name)}":$v"""
@@ -243,5 +253,5 @@ class ApiServer(spark: SparkSession, modelDir: String, port: Int = 0) {
   })
 
   def start(): ApiServer = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }

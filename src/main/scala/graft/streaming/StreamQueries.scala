@@ -213,9 +213,15 @@ object StreamQueries {
         .parquet(dir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val doubled = src.unionByName(src) // simulated redelivery
+      // dropDuplicatesWithinWatermark — NOT plain dropDuplicates("id"):
+      // state for an event-time-less key set is never evicted, whereas
+      // the within-watermark variant drops a key's state once the
+      // watermark passes it, which is what actually bounds state at
+      // scale (redeliveries arrive within the transport's replay
+      // horizon, well inside the watermark delay)
       val deduped = doubled
         .withWatermark("ts", "1 hour")
-        .dropDuplicates("event_id")
+        .dropDuplicatesWithinWatermark("event_id")
       val agg = deduped
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
