@@ -191,6 +191,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.find(_.user_id == 1).get.value == 1.0) // first kept
   }
 
+  test("full cross-batch redelivery reduces to the exact unique answer") {
+    // the q117 semantics: an at-least-once transport redelivers a whole
+    // earlier batch within the watermark horizon; dedup state must
+    // absorb the replay and pass through only genuinely new events
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val deduped = ms.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id")
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("redeliver_test")
+      .start()
+    ms.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1.0),
+      Ev(2, ts("2024-01-01 10:05:00"), 2.0))
+    q.processAllAvailable()
+    ms.addData( // batch 2: full replay of batch 1 + one new event
+      Ev(1, ts("2024-01-01 10:00:00"), 1.0),
+      Ev(2, ts("2024-01-01 10:05:00"), 2.0),
+      Ev(3, ts("2024-01-01 10:30:00"), 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("redeliver_test").as[Ev].collect()
+    assert(out.map(_.user_id).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("mapGroupsWithState keeps running per-user max across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
