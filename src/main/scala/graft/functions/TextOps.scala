@@ -104,4 +104,18 @@ object TextOps {
     s"[CAST(('0x'||substr(md5(w),1,8)) AS BIGINT) " +
       s"FOR w IN list_distinct(string_split($textCol, ' '))]",
     s"len(list_distinct(string_split($textCol, ' ')))")
+
+  /** Wide (60-bit) word hashes — 15 md5 hex digits — for signatures
+    * beyond 32 bits. 60, not 64: neither engine's shift/arithmetic
+    * ever touches the Long sign bit. */
+  def wordHashSparkExprWide(textCol: String): (String, String) = (
+    s"transform(array_distinct(split($textCol, ' ')), " +
+      "w -> cast(conv(substring(md5(w),1,15),16,10) as bigint))",
+    s"size(array_distinct(split($textCol, ' ')))")
+
+  /** DuckDB rendering of [[wordHashSparkExprWide]]. */
+  def wordHashDuckExprWide(textCol: String): (String, String) = (
+    s"[CAST(('0x'||substr(md5(w),1,15)) AS BIGINT) " +
+      s"FOR w IN list_distinct(string_split($textCol, ' '))]",
+    s"len(list_distinct(string_split($textCol, ' ')))")
 }

@@ -424,27 +424,31 @@ object DedupQueries {
       FROM ex GROUP BY 1
     """))
 
-  /** SimHash near-dup pairs by hamming distance: 32-bit signatures
-    * (q52's formula widened — 16 bits collide heavily on this small
-    * vocabulary), pigeonhole-blocked on ALL 4 disjoint 8-bit bands: a
-    * pair at distance <= 3 differs in at most 3 bands, so it MUST
-    * collide on at least one of the 4 — no qualifying pair can escape
-    * the blocking. Candidates come from one (band_index, band_value)
-    * equi-join over the exploded bands (4n rows, the standard LSH
-    * banding shape — never all-pairs), deduped before the popcount
-    * filter. Integer arithmetic only, so the oracle is exact. */
+  /** SimHash near-dup pairs by hamming distance: 60-bit signatures
+    * (q52's 16-bit formula widened — small signatures collide heavily,
+    * and the BAND width is what bounds bucket cardinality at scale),
+    * pigeonhole-blocked on ALL 4 disjoint 15-bit bands: a pair at
+    * distance <= 3 differs in at most 3 bands, so it MUST collide on
+    * at least one of the 4 — no qualifying pair can escape the
+    * blocking. 15-bit bands give 32,768 buckets per band (8-bit bands'
+    * 256 buckets would go quadratic-within-bucket on a billion-doc
+    * corpus); 60 bits, not 64, so no engine touches the sign bit.
+    * Candidates come from one (band_index, band_value) equi-join over
+    * the exploded bands (4n rows, the standard LSH banding shape —
+    * never all-pairs), filtered by popcount before the dedup.
+    * Integer arithmetic only, so the oracle is exact. */
   private val q84 = Q(
     "q84_simhash_hamming",
     (s, dir) => {
-      val (hw, nw) = TextOps.wordHashSparkExpr("text")
+      val (hw, nw) = TextOps.wordHashSparkExprWide("text")
       val sh = t(s, dir, "documents")
         .selectExpr("doc_id", s"$hw AS hw", s"$nw AS nw")
         .selectExpr("doc_id",
-          s"${TextOps.simhashSparkExprOver("hw", "nw", 32)} AS sh")
+          s"${TextOps.simhashSparkExprOver("hw", "nw", 60)} AS sh")
         .localCheckpoint()
       val bands = sh.select(col("doc_id"), col("sh"),
         posexplode(array((0 until 4).map(i =>
-          expr(s"(sh div ${1L << (8 * i)}) % 256")): _*))
+          expr(s"(sh div ${1L << (15 * i)}) % 32768")): _*))
           .as(Seq("band_i", "band")))
       bands.alias("a").join(bands.alias("b"),
           col("a.band_i") === col("b.band_i") &&
@@ -457,23 +461,24 @@ object DedupQueries {
         .select(col("d1"), col("d2"), col("dist"))
     },
     Some {
-      val (hw, nw) = TextOps.wordHashDuckExpr("text")
+      val (hw, nw) = TextOps.wordHashDuckExprWide("text")
       s"""
       WITH hws AS (SELECT doc_id, $hw AS hw, $nw AS nw FROM documents),
       sh AS (
-        SELECT doc_id, ${TextOps.simhashDuckExprOver("hw", "nw", 32)} AS sh
+        SELECT doc_id, ${TextOps.simhashDuckExprOver("hw", "nw", 60)} AS sh
         FROM hws),
       bands AS (
-        SELECT doc_id, sh, i AS band_i, (sh // (1 << (8 * i))) % 256 AS band
+        SELECT doc_id, sh, i AS band_i,
+               (sh // (1 << (15 * i))) % 32768 AS band
         FROM sh, range(4) t(i)),
       cand AS (
         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
-               a.sh AS s1, b.sh AS s2
+               CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
         FROM bands a JOIN bands b
           ON a.band_i = b.band_i AND a.band = b.band
-         AND a.doc_id < b.doc_id)
-      SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS dist
-      FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3)
+      SELECT d1, d2, dist FROM cand
       """
     })
 
