@@ -592,21 +592,26 @@ object PipelineQueries {
 
   /** Inverted-index construction (term -> posting list): the core
     * search/retrieval build step. One shuffle to (term, doc) term
-    * frequencies, one to per-term stats; posting heads are
-    * deterministic (collected doc ids are array_sort'ed — collect
-    * order is NOT deterministic — then sliced). Top-50 terms under a
-    * total (df desc, term) order. */
+    * frequencies; the per-term window and the stats aggregate then
+    * share that partitioning (no extra exchange). Only the first 10
+    * doc ids per term are collected — `collect_list` over ALL of a
+    * stop-word's postings would hold unbounded per-term state at
+    * scale — and sorted before joining (collect order is NOT
+    * deterministic). Top-50 terms under a total (df desc, term)
+    * order. */
   private val q114 = Q(
     "q114_inverted_index",
     (s, dir) => {
       val tok = t(s, dir, "documents")
         .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+      val byTerm = Window.partitionBy(col("term")).orderBy(col("doc_id"))
       tok.groupBy(col("term"), col("doc_id"))
         .agg(count(lit(1)).as("tf"))
+        .withColumn("rn", row_number().over(byTerm))
         .groupBy(col("term"))
         .agg(count(lit(1)).as("df"), asLong(sum(col("tf"))).as("total_tf"),
           array_join(transform(
-            slice(array_sort(collect_list(col("doc_id"))), 1, 10),
+            array_sort(collect_list(when(col("rn") <= 10, col("doc_id")))),
             x => x.cast(StringType)), ",").as("postings_head"))
         .orderBy(col("df").desc, col("term"))
         .limit(50)
