@@ -71,9 +71,10 @@ object TextOps {
       intDiv = "div")
 
   /** The word-hash array / distinct-word-count Spark SQL fragments. */
-  def wordHashSparkExpr(textCol: String): (String, String) = (
+  def wordHashSparkExpr(
+      textCol: String, hexDigits: Int = 8): (String, String) = (
     s"transform(array_distinct(split($textCol, ' ')), " +
-      "w -> cast(conv(substring(md5(w),1,8),16,10) as bigint))",
+      s"w -> cast(conv(substring(md5(w),1,$hexDigits),16,10) as bigint))",
     s"size(array_distinct(split($textCol, ' ')))")
 
   private def simhashTerms(hw: String, nw: String, bits: Int,
@@ -99,23 +100,20 @@ object TextOps {
     simhashTerms(hwCol, nwCol, bits, sizeFn = "len",
       filterFn = "list_filter", intDiv = "//")
 
-  /** The word-hash / word-count DuckDB SQL fragments. */
-  def wordHashDuckExpr(textCol: String): (String, String) = (
-    s"[CAST(('0x'||substr(md5(w),1,8)) AS BIGINT) " +
+  /** The word-hash / word-count DuckDB SQL fragments.
+    * `hexDigits` sets the hash width (4 bits per digit). */
+  def wordHashDuckExpr(textCol: String, hexDigits: Int = 8): (String, String) = (
+    s"[CAST(('0x'||substr(md5(w),1,$hexDigits)) AS BIGINT) " +
       s"FOR w IN list_distinct(string_split($textCol, ' '))]",
     s"len(list_distinct(string_split($textCol, ' ')))")
 
   /** Wide (60-bit) word hashes — 15 md5 hex digits — for signatures
     * beyond 32 bits. 60, not 64: neither engine's shift/arithmetic
     * ever touches the Long sign bit. */
-  def wordHashSparkExprWide(textCol: String): (String, String) = (
-    s"transform(array_distinct(split($textCol, ' ')), " +
-      "w -> cast(conv(substring(md5(w),1,15),16,10) as bigint))",
-    s"size(array_distinct(split($textCol, ' ')))")
+  def wordHashSparkExprWide(textCol: String): (String, String) =
+    wordHashSparkExpr(textCol, hexDigits = 15)
 
   /** DuckDB rendering of [[wordHashSparkExprWide]]. */
-  def wordHashDuckExprWide(textCol: String): (String, String) = (
-    s"[CAST(('0x'||substr(md5(w),1,15)) AS BIGINT) " +
-      s"FOR w IN list_distinct(string_split($textCol, ' '))]",
-    s"len(list_distinct(string_split($textCol, ' ')))")
+  def wordHashDuckExprWide(textCol: String): (String, String) =
+    wordHashDuckExpr(textCol, hexDigits = 15)
 }
