@@ -595,8 +595,10 @@ object Queries {
     graft.sources.SourceQueries.registry ++
     graft.operators.PipelineQueries.registry
 
+  // NO stripMargin here: its margin char is '|', so an oracle line that
+  // begins with a '||' concatenation would silently lose a pipe
   private def normalize(sql: String): String =
-    sql.trim.stripMargin.linesIterator.map(_.trim).filter(_.nonEmpty)
+    sql.trim.linesIterator.map(_.trim).filter(_.nonEmpty)
       .mkString(" ")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -681,7 +681,80 @@ object PipelineQueries {
       FROM d GROUP BY 1
     """))
 
+  /** Length-bucketed inference batching: group documents into
+    * token-length buckets (16-token-wide, capped at 8) and report each
+    * bucket's padding waste — the fraction of a padded batch that is
+    * padding if every doc pads to the bucket max. The metric that
+    * decides whether an inference fleet needs length-aware batching.
+    * Integer bucketing, exact aggregates, one shuffle. */
+  private val q120 = Q(
+    "q120_length_buckets",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.words(col("text"))).cast(LongType).as("n_tokens"))
+        .withColumn("bucket", least(expr("n_tokens div 16"), lit(8L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("n_tokens")).as("max_tokens"),
+          asLong(sum(col("n_tokens"))).as("sum_tokens"))
+        .withColumn("padding_waste",
+          round(lit(1.0) - col("sum_tokens").cast(DoubleType) /
+            (col("n_docs") * col("max_tokens")), 6)),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               CAST(len(string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ')) AS BIGINT)
+                 AS n_tokens
+        FROM documents),
+      b AS (SELECT doc_id, n_tokens,
+                   least(n_tokens // 16, 8) AS bucket FROM tok)
+      SELECT bucket, COUNT(*) AS n_docs, MAX(n_tokens) AS max_tokens,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+             round(1.0 - CAST(SUM(n_tokens) AS DOUBLE) /
+                   (COUNT(*) * MAX(n_tokens)), 6) AS padding_waste
+      FROM b GROUP BY 1
+    """))
+
+  /** URL canonicalization + dedup: normalize scheme/host case and
+    * strip trailing slashes before grouping — the crawl-dedup step
+    * that catches the same page fetched under cosmetically different
+    * URLs. URLs are synthesized deterministically per doc (the corpus
+    * has no URL column), with collisions and case/slash variants by
+    * construction; both engines build identical inputs. */
+  private val q121 = Q(
+    "q121_url_dedup",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("url",
+          concat(
+            when(col("doc_id") % 3 === 0, "HTTPS://WWW.Example")
+              .otherwise("https://www.example"),
+            (col("doc_id") % 7).cast(StringType),
+            lit(".com/page/"), (col("doc_id") % 50).cast(StringType),
+            when(col("doc_id") % 2 === 0, "/").otherwise("")))
+        .withColumn("canonical",
+          regexp_replace(lower(col("url")), "/+$", ""))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_dups"),
+          min(col("doc_id")).as("keep_doc"))
+        .filter(col("n_dups") > 1),
+    Some("""
+      WITH u AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Example'
+                     ELSE 'https://www.example' END)
+               || CAST(doc_id % 7 AS VARCHAR) || '.com/page/'
+               || CAST(doc_id % 50 AS VARCHAR)
+               || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) AS url
+        FROM documents),
+      c AS (SELECT doc_id, regexp_replace(lower(url), '/+$', '') AS canonical
+            FROM u)
+      SELECT canonical, COUNT(*) AS n_dups, MIN(doc_id) AS keep_doc
+      FROM c GROUP BY 1 HAVING COUNT(*) > 1
+    """))
+
   val registry: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q100, q107,
-      q109, q110, q111, q113, q114, q115)
+      q109, q110, q111, q113, q114, q115, q120, q121)
 }
