@@ -68,22 +68,36 @@ object MinHashSig {
     false
   }
 
+  /** Per-width cache of the "<i>|" salt prefixes as bytes — computed
+    * once per JVM instead of once per (shingle, component). */
+  private val saltCaches =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def salts(k: Int): Array[Array[Byte]] =
+    saltCaches.computeIfAbsent(k,
+      kk => Array.tabulate(kk)(s => (s.toString + "|").getBytes))
+
   /** Shared by interpreted eval and generated code (public +
-    * Java-callable from codegen'd classes). */
+    * Java-callable from codegen'd classes). The inner loop is
+    * allocation-free: salt prefixes are cached, the digest writes into
+    * a reused buffer, and minima copy bytes only when they improve. */
   def signature(shingles: ArrayData, k: Int): ArrayData = {
     val n = shingles.numElements()
     val minima = new Array[Array[Byte]](k)
     val md = digest.get()
+    val saltBytes = salts(k)
+    val buf = new Array[Byte](16)
     var i = 0
     while (i < n) {
       val shingleBytes = shingles.getUTF8String(i).getBytes
       var s = 0
       while (s < k) {
         md.reset()
-        md.update(String.valueOf(s).getBytes)
-        md.update('|'.toByte)
-        val d = md.digest(shingleBytes)
-        if (minima(s) == null || less(d, minima(s))) minima(s) = d
+        md.update(saltBytes(s))
+        md.update(shingleBytes)
+        md.digest(buf, 0, 16)
+        if (minima(s) == null) minima(s) = java.util.Arrays.copyOf(buf, 16)
+        else if (less(buf, minima(s)))
+          System.arraycopy(buf, 0, minima(s), 0, 16)
         s += 1
       }
       i += 1
