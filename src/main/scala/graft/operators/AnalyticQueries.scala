@@ -559,6 +559,49 @@ object AnalyticQueries {
       FROM ev, st GROUP BY 1
     """))
 
+  /** Z-order (Morton) clustering key: interleave the bits of two join/
+    * filter keys so that sorting by the single z value co-locates rows
+    * that are close in BOTH dimensions — the data-layout trick behind
+    * multi-column data skipping (write sorted by z; min/max stats then
+    * prune files for predicates on either key). The kernel is pure
+    * integer arithmetic (16 bits per key, 32-bit z), bit-identical in
+    * both engines; the query emits per-z-range row counts + per-range
+    * key min/max spans, demonstrating the clustering property the
+    * layout buys. */
+  private val q122 = {
+    def morton(x: String, y: String, intDiv: String): String =
+      (0 until 16).map { i =>
+        val p = 1L << i
+        val zx = 1L << (2 * i)
+        val zy = 1L << (2 * i + 1)
+        s"(($x $intDiv $p) % 2) * $zx + (($y $intDiv $p) % 2) * $zy"
+      }.mkString(" + ")
+    Q(
+      "q122_zorder_layout",
+      (s, dir) =>
+        // keys are scaled into the 16-bit z-domain first (standard
+        // z-order bucketization — values map to fixed-width buckets)
+        t(s, dir, "lineitem")
+          .select((col("l_orderkey") % 65536).as("x"),
+            ((col("l_suppkey") * 6553) % 65536).as("y"))
+          .withColumn("z", expr(morton("x", "y", "div")))
+          .withColumn("z_range", expr("z div 268435456")) // 16 ranges
+          .groupBy(col("z_range"))
+          .agg(count(lit(1)).as("n"),
+            min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+            min(col("y")).as("min_y"), max(col("y")).as("max_y")),
+      Some(s"""
+        WITH k AS (SELECT l_orderkey % 65536 AS x,
+                          (l_suppkey * 6553) % 65536 AS y
+                   FROM lineitem),
+        z AS (SELECT x, y, ${morton("x", "y", "//")} AS z FROM k)
+        SELECT z // 268435456 AS z_range, COUNT(*) AS n,
+               MIN(x) AS min_x, MAX(x) AS max_x,
+               MIN(y) AS min_y, MAX(y) AS max_y
+        FROM z GROUP BY 1
+      """))
+  }
+
   val registry: Seq[Q] = Seq(q66, q67, q68, q69, q75, q76, q77, q78,
-    q79, q80, q81, q102, q104, q105, q106, q116, q118, q119)
+    q79, q80, q81, q102, q104, q105, q106, q116, q118, q119, q122)
 }
