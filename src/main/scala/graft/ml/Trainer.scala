@@ -119,8 +119,13 @@ object Trainer {
   private[graft] val RnCol = "__graft_rn"
 
   /** Attach a contiguous 0-based Long row index under the explicit
-    * total order. Returns an eagerly MATERIALIZED frame
-    * (localCheckpoint) — callers slice it without re-running the sort.
+    * total order. Returns an eagerly MATERIALIZED frame (persisted
+    * indexed RDD) plus a release hook — callers slice the frame
+    * without re-running the sort, then call the hook to free the
+    * block-manager storage (idempotent; unreleased storage is
+    * eventually reclaimed by ContextCleaner once the RDD is GC'd, but
+    * explicit release is what keeps repeated training runs from
+    * accumulating blocks).
     *
     * Scale path: the sorted rows are cached BEFORE `zipWithIndex`,
     * because ZippedWithIndexRDD eagerly runs a count job to compute
@@ -131,7 +136,7 @@ object Trainer {
     * index is a Long, so — unlike the previous `limit()`-based
     * slicing — nothing here is bounded by Int.MaxValue rows. */
   private[ml] def indexByOrder(
-      df: DataFrame, orderCols: Seq[String]): DataFrame = {
+      df: DataFrame, orderCols: Seq[String]): (DataFrame, () => Unit) = {
     val ordered = df.orderBy(orderCols.map(col): _*)
     val schema = org.apache.spark.sql.types.StructType(
       ordered.schema.fields :+ org.apache.spark.sql.types.StructField(
@@ -139,11 +144,12 @@ object Trainer {
     val sortedRdd = ordered.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val indexed = sortedRdd.zipWithIndex.map { case (r, i) =>
+      val indexedRdd = sortedRdd.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-      }
-      df.sparkSession.createDataFrame(indexed, schema)
-        .localCheckpoint(eager = true)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      indexedRdd.count() // eager: materialize while the sort is cached
+      val frame = df.sparkSession.createDataFrame(indexedRdd, schema)
+      (frame, () => indexedRdd.unpersist(false): Unit)
     } finally sortedRdd.unpersist(false)
   }
 
@@ -155,16 +161,28 @@ object Trainer {
     * ([[indexByOrder]], materialized eagerly so all slices see the
     * same index) and each slice is a cheap `rn < bound` filter —
     * versus the previous formulation's one global sort + `limit()`
-    * per slice. */
+    * per slice. The second element is the storage-release hook: call
+    * it once the slices are consumed (the slices read the released
+    * blocks lazily, so release AFTER the last action over them;
+    * un-released storage falls back to ContextCleaner on GC). */
+  def cumulativeSlicesReleasable(
+      df: DataFrame,
+      orderCols: Seq[String],
+      total: Int = NumModels): (Seq[DataFrame], () => Unit) = {
+    val (indexed, release) = indexByOrder(df, orderCols)
+    val n = indexed.count()
+    ((1 to total).map(k =>
+      indexed.filter(col(RnCol) < lit(n * k / total)).drop(RnCol)),
+      release)
+  }
+
+  /** [[cumulativeSlicesReleasable]] without the hook — storage is
+    * reclaimed by ContextCleaner once the returned frames are GC'd. */
   def cumulativeSlices(
       df: DataFrame,
       orderCols: Seq[String],
-      total: Int = NumModels): Seq[DataFrame] = {
-    val indexed = indexByOrder(df, orderCols)
-    val n = indexed.count()
-    (1 to total).map(k =>
-      indexed.filter(col(RnCol) < lit(n * k / total)).drop(RnCol))
-  }
+      total: Int = NumModels): Seq[DataFrame] =
+    cumulativeSlicesReleasable(df, orderCols, total)._1
 
   /** The full reference training run: prepare, label, persist, 5
     * cumulative slices, one model per slice, artifacts saved under
@@ -183,13 +201,17 @@ object Trainer {
     // scheduling overhead doesn't dominate tiny fits. repartition (a
     // shuffle of the already-materialized indexed rows), NOT coalesce —
     // coalesce would collapse the upstream sort's parallelism too.
-    val prepared = indexByOrder(withLabel(prepare(raw)), orderCols)
+    val (prepared, releasePrepared) = indexByOrder(
+      withLabel(prepare(raw)), orderCols)
     val n = prepared.count()
     val parts = math.max(1, math.min(
       prepared.rdd.getNumPartitions, (n / 4096L + 1L).toInt))
     val indexed = prepared.repartition(parts).persist()
     try {
       indexed.count()
+      // indexed is materialized — the pre-repartition index blocks are
+      // no longer needed (release is idempotent; also in the finally)
+      releasePrepared()
       // The 5 fits are independent seeded pipelines over nested slices
       // of the SAME cached frame: run them concurrently (the
       // CrossValidator-parallelism pattern). Each fit is a chain of
@@ -240,7 +262,7 @@ object Trainer {
         Await.result(dataWrite, Duration.Inf)
         futures.map(Await.result(_, Duration.Inf)).toMap
       } finally pool.shutdown()
-    } finally indexed.unpersist()
+    } finally { releasePrepared(); indexed.unpersist() }
   }
 
   def loadModel(dir: String, k: Int): PipelineModel =

@@ -31,10 +31,16 @@ object DedupQueries {
 
   /** documents ∪ exact copies (doc_id<20, +200000) ∪ near copies
     * (doc_id<10, +100000, last word dropped). */
-  /** Max document frequency a shingle may have and still participate
-    * in exact-Jaccard candidate generation (q50): a shingle shared by
-    * m documents contributes m^2 candidate rows, so boilerplate
-    * shingles above this df are pruned before the self-join. */
+  /** Per-shingle posting-list cap for the bounded-candidate near-dup
+    * verifiers (q50 Jaccard, q112 containment): each shingle
+    * contributes at most this many postings (the lowest doc_ids,
+    * deterministic) to candidate generation, so one boilerplate
+    * shingle shared by m documents emits at most cap^2 candidate rows
+    * instead of m^2 — the classic skew blow-up on real corpora.
+    * Unlike dropping hot shingles outright, sampling keeps heavily
+    * replicated clusters discoverable: the cap lowest doc_ids of such
+    * a cluster still pair up (and q45/q46/q51 cover the full cluster
+    * membership). */
   private val MaxShingleDf = 32
 
   private def corpus(docs: DataFrame): DataFrame = {
@@ -219,37 +225,36 @@ object DedupQueries {
       FROM scored GROUP BY 1, 2
     """))
 
-  /** n-gram Jaccard near-dup, the exact baseline: candidate pairs from
-    * a self-join of the exploded 5-shingle index, verified with exact
-    * Jaccard >= 0.3 over the full shingle sets.
+  /** Shared candidate machinery for the bounded-candidate near-dup
+    * verifiers (q50 Jaccard, q112 containment): build the 5-shingle-set
+    * index (materialized once — "build the index, then join it"),
+    * generate candidate pairs from a self-join of per-shingle posting
+    * lists capped at [[MaxShingleDf]] entries (lowest doc_ids —
+    * deterministic, no rand()), and join candidates back to both
+    * sides' FULL shingle sets. Returns (d1, d2, inter, n1, n2); only
+    * the scoring metric differs between the two queries.
     *
-    * Hot-shingle guard: shingles present in more than [[MaxShingleDf]]
-    * documents (boilerplate) are dropped BEFORE the self-join — one
-    * such shingle shared by m docs would otherwise emit m^2 candidate
-    * rows, the classic skew blow-up on real corpora. Standard
-    * candidate pruning: a >=0.3-Jaccard pair that shares ONLY
-    * ultra-common shingles is theoretically droppable, but the
-    * Jaccard values themselves stay exact (computed on the full sets,
-    * q51's verify pattern). */
-  /** Shared candidate machinery for the exact near-dup verifiers (q50
-    * Jaccard, q112 containment): build the 5-shingle-set index
-    * (materialized once — "build the index, then join it"), generate
-    * candidate pairs from a self-join restricted to shingles with
-    * document frequency <= [[MaxShingleDf]], and join candidates back
-    * to both sides' FULL shingle sets. Returns
-    * (d1, d2, inter, n1, n2); only the scoring metric differs between
-    * the two queries. */
+    * Recall contract (NOT all-pairs-exact): a pair is found iff both
+    * docs are among the [[MaxShingleDf]] lowest doc_ids of some shared
+    * shingle; scores themselves are exact (computed on the full sets,
+    * q51's verify pattern). Pairs of a >cap-replicated cluster beyond
+    * its cap lowest members are covered by q45/q46/q51, not here. */
   private def prunedPairStats(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val c = corpus(docs)
       .withColumn("sh",
         TextOps.shingleSet(TextOps.words(col("text")), 5))
       .localCheckpoint()
     val ex = c.select(col("doc_id"), explode(col("sh")).as("s"))
-    val rare = ex.groupBy(col("s"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf)
-      .select(col("s"))
-    val exKept = ex.join(rare, "s").localCheckpoint()
+    // cap each shingle's posting list at the MaxShingleDf lowest
+    // doc_ids: bounded candidates (cap^2 per shingle) without erasing
+    // replicated clusters the way dropping the whole shingle would
+    val exKept = ex
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(col("s")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= MaxShingleDf)
+      .drop("rk")
+      .localCheckpoint()
     val cand = exKept.alias("a")
       .join(exKept.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -270,8 +275,11 @@ object DedupQueries {
     * v(d1, d2, inter, n1, n2). */
   private val prunedPairSql: String = s"""$shingleSql,
       ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-      rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= $MaxShingleDf),
-      exk AS (SELECT doc_id, s FROM ex JOIN rare USING (s)),
+      exk AS (SELECT doc_id, s FROM (
+                SELECT doc_id, s,
+                       row_number() OVER (PARTITION BY s ORDER BY doc_id) AS rk
+                FROM ex)
+              WHERE rk <= $MaxShingleDf),
       cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                FROM exk a JOIN exk b
                ON a.s = b.s AND a.doc_id < b.doc_id),
@@ -603,8 +611,8 @@ object DedupQueries {
     * document CONTAINED in a larger one — the supersetting case
     * Jaccard under-scores when lengths diverge (a 100-word doc pasted
     * into a 10,000-word doc has Jaccard ~0.01 but containment ~1.0).
-    * Same df-pruned candidate machinery as q50; only the verify metric
-    * differs. */
+    * Same capped-posting candidate machinery as q50; only the verify
+    * metric differs. */
   private val q112 = Q(
     "q112_containment",
     (s, dir) =>

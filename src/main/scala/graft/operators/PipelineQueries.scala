@@ -514,7 +514,8 @@ object PipelineQueries {
   /** Bloom-filter decontamination — q96's scale path. q96 broadcasts
     * the full benchmark shingle SET, which grows with the benchmark;
     * here the benchmark reduces to a constant-size bit array
-    * (m=131072 bits as 2048 bit_or-aggregated longs, k=3 salted-md5
+    * (m=131072 bits as ceil(131072/63)=2081 bit_or-aggregated longs —
+    * 63 positions per word to stay off the sign bit, k=3 salted-md5
     * probes), so the broadcast is ~16 KB NO MATTER how large the
     * benchmark suite gets. Every hash is md5-based, so the oracle
     * reproduces the bitmap — and therefore the exact same

@@ -144,6 +144,11 @@ class ApiServer(spark: SparkSession, modelDir: String, port: Int = 0) {
         respond(ex, 404, """{"error":"unknown model"}""")
       case (_, None) =>
         respond(ex, 404, """{"error":"no food_data artifact loaded"}""")
+      case (Some(k), _) if !models.contains(k) =>
+        // a slice trainAll skipped (< minRows) has no model_k artifact;
+        // describing its data would report on a model that was never
+        // trained — 404, matching the reference's per-model load flags
+        respond(ex, 404, s"""{"error":"model $k not loaded"}""")
       case (Some(k), Some(df)) =>
         f(k, df.filter(org.apache.spark.sql.functions.col(Trainer.RnCol) <
           sliceBound(k)))
@@ -182,8 +187,11 @@ class ApiServer(spark: SparkSession, modelDir: String, port: Int = 0) {
         respond(ex, 400, """{"error":"allergy query parameter required"}""")
       case (Some(a), _) => withSlice(ex, seg) { (k, slice) =>
         val hits = slice
+          // Locale.ROOT to match Spark's locale-independent lower():
+          // default-locale toLowerCase maps 'I' to dotless-i under a
+          // Turkish JVM locale and the match silently fails
           .filter(lower(col(graft.ml.FoodSchema.descriptionCol))
-            .contains(a.toLowerCase))
+            .contains(a.toLowerCase(java.util.Locale.ROOT)))
           .select(col(Trainer.RnCol), col(graft.ml.FoodSchema.descriptionCol))
           .orderBy(col(Trainer.RnCol))
           .limit(100).collect()
