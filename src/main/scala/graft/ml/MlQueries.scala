@@ -40,7 +40,10 @@ object MlQueries {
           .setHandleInvalid("skip"),
         new StandardScaler().setInputCol("f").setOutputCol("sf")
           .setWithMean(true).setWithStd(true),
-        new KMeans().setK(5).setSeed(1L).setFeaturesCol("sf")))
+        new KMeans().setK(5).setSeed(1L).setFeaturesCol("sf")
+          .setMaxIter(10))) // demo-sized (q61/q62 precedent): each Lloyd
+      // iteration is a driver-roundtrip job, so the default 20 doubles
+      // wall time for no contract change; Trainer keeps the default
       pipeline.fit(df).transform(df)
         .agg(count_distinct(col("prediction")).as("n_clusters"),
           count(lit(1)).as("n_rows"))

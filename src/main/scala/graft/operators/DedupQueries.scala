@@ -629,6 +629,81 @@ object DedupQueries {
       FROM v WHERE CAST(inter AS DOUBLE) / least(n1, n2) >= 0.9
     """))
 
+  /** Sparse TF-IDF cosine all-pairs similarity over the rare-term
+    * vocabulary — semantic near-dup that survives word REORDERING,
+    * which defeats every shingle-based detector above (a shuffled
+    * paragraph keeps its TF vector but no 5-gram).
+    *
+    * The scale design is the classic sparse similarity join: vectors
+    * live as (doc, term, weight) posting rows; the dot product is a
+    * term-wise equi-join + groupBy-sum, so only pairs SHARING a term
+    * are ever scored, never n^2. The vocabulary is restricted to terms
+    * with df <= [[MaxShingleDf]] (IDF-speak: the only terms carrying
+    * meaningful weight; stop-word postings would contribute df^2 join
+    * rows for near-zero IDF), which bounds per-term join fan-out at
+    * df^2 <= 1024 — same skew ceiling as the shingle verifiers.
+    * Cosine is exact over that vocabulary; ln() is involved, so both
+    * engines round to 4 places (the q109 discipline). */
+  private val q124 = Q(
+    "q124_tfidf_cosine",
+    (s, dir) => {
+      val c = corpus(t(s, dir, "documents"))
+      val nDocs = c.agg(count(lit(1)).as("n_docs"))
+      val tf = c.select(col("doc_id"),
+          explode(TextOps.words(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("w"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxShingleDf)
+      // posting rows (doc, term, tf*idf weight), materialized once —
+      // they feed the norm aggregate and BOTH sides of the dot join
+      val wts = tf.join(dfreq, "w")
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("w"),
+          (col("tf") * log(col("n_docs").cast(DoubleType) / col("df")))
+            .as("wt"))
+        .localCheckpoint()
+      val nrm = wts.groupBy(col("doc_id"))
+        .agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
+      val dot = wts.alias("a")
+        .join(wts.alias("b"),
+          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(sum(col("a.wt") * col("b.wt")).as("dot"))
+      dot
+        .join(nrm.select(col("doc_id").as("d1"), col("nrm").as("nrm1")), "d1")
+        .join(nrm.select(col("doc_id").as("d2"), col("nrm").as("nrm2")), "d2")
+        .withColumn("cos",
+          round(col("dot") / (col("nrm1") * col("nrm2")), 4))
+        .filter(col("cos") >= 0.3)
+        .select(col("d1"), col("d2"), col("cos"))
+    },
+    Some {
+      val w = """string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ')"""
+      s"""
+      WITH $corpusSql,
+      terms AS (SELECT doc_id, unnest($w) AS w FROM corpus),
+      tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      dfreq AS (SELECT w, COUNT(*) AS df FROM tf
+                GROUP BY 1 HAVING COUNT(*) <= $MaxShingleDf),
+      n AS (SELECT COUNT(*) AS n_docs FROM corpus),
+      wts AS (SELECT doc_id, t.w,
+                     tf * ln(CAST(n_docs AS DOUBLE) / df) AS wt
+              FROM tf t JOIN dfreq d ON t.w = d.w CROSS JOIN n),
+      nrm AS (SELECT doc_id, sqrt(SUM(wt * wt)) AS nrm FROM wts GROUP BY 1),
+      dot AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                     SUM(a.wt * b.wt) AS dot
+              FROM wts a JOIN wts b
+              ON a.w = b.w AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+      SELECT d1, d2, round(dot / (x.nrm * y.nrm), 4) AS cos
+      FROM dot
+      JOIN nrm x ON d1 = x.doc_id
+      JOIN nrm y ON d2 = y.doc_id
+      WHERE round(dot / (x.nrm * y.nrm), 4) >= 0.3
+    """})
+
   val registry: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52,
-    q82, q84, q85, q99, q112)
+    q82, q84, q85, q99, q112, q124)
 }

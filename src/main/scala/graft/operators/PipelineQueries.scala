@@ -755,7 +755,109 @@ object PipelineQueries {
       FROM c GROUP BY 1 HAVING COUNT(*) > 1
     """))
 
+  /** Count-min-sketch heavy hitters — frequency estimation whose STATE
+    * is constant-size no matter the corpus: d=3 hash rows x w=1024
+    * buckets of plain counts. Sums are trivially mergeable, so the
+    * sketch build is one map-side-combining groupBy over ≤ d*w cells —
+    * at 100 TB the shuffle moves at most 3072 rows per partition,
+    * versus an exact top-k whose (term, count) shuffle grows with the
+    * vocabulary. The estimate for a term is the MIN over its d cells
+    * (each cell only ever over-counts, never under — the CMS
+    * invariant, surfaced here as `overcount >= 0` with the exact
+    * count joined alongside). All hashing is salted md5
+    * ([[graft.functions.Exprs.md5Int32]]), so the oracle rebuilds the
+    * bit-identical sketch — including its collisions. Probe side here
+    * scores every distinct term for the demo top-20; at scale you
+    * probe candidate terms against the broadcast sketch. */
+  private val q123 = {
+    val w = 1024L // buckets per hash row
+    val d = 3 // hash rows
+    def positions(term: org.apache.spark.sql.Column) =
+      array((0 until d).map(i =>
+        md5Int32(concat(lit(s"$i|"), term)) % w): _*)
+    Q(
+      "q123_countmin_topk",
+      (s, dir) => {
+        // one occurrence row per token: feeds both the sketch build
+        // and the exact-count comparison, so materialize once
+        val occ = t(s, dir, "documents")
+          .select(explode(TextOps.words(col("text"))).as("word"))
+          .localCheckpoint()
+        val cells = occ
+          .select(posexplode(positions(col("word"))).as(Seq("row_i", "pos")))
+          .groupBy(col("row_i"), col("pos"))
+          .agg(count(lit(1)).as("cnt"))
+        occ.groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
+          .select(col("word"), col("n_exact"),
+            posexplode(positions(col("word"))).as(Seq("row_i", "pos")))
+          .join(broadcast(cells), Seq("row_i", "pos"))
+          .groupBy(col("word"), col("n_exact"))
+          .agg(min(col("cnt")).as("est"))
+          .orderBy(col("est").desc, col("word").asc)
+          .limit(20)
+          .select(col("word"), col("est"), col("n_exact"),
+            (col("est") - col("n_exact")).as("overcount"))
+      },
+      Some {
+        def duckPos(i: Int) =
+          s"('0x'||substr(md5('$i|'||word),1,8))::BIGINT % $w"
+        s"""
+        WITH tok AS (
+          SELECT unnest(string_split(regexp_replace(trim(lower(text)),'\\s+',' ','g'),' ')) AS word
+          FROM documents),
+        occ AS (${(0 until d).map(i =>
+          s"SELECT word, $i AS row_i, ${duckPos(i)} AS pos FROM tok")
+          .mkString(" UNION ALL ")}),
+        cells AS (SELECT row_i, pos, COUNT(*) AS cnt
+                  FROM occ GROUP BY 1, 2),
+        exact AS (SELECT word, COUNT(*) AS n_exact FROM tok GROUP BY 1),
+        probe AS (${(0 until d).map(i =>
+          s"SELECT word, n_exact, $i AS row_i, ${duckPos(i)} AS pos FROM exact")
+          .mkString(" UNION ALL ")}),
+        est AS (SELECT word, n_exact, MIN(cnt) AS est
+                FROM probe JOIN cells USING (row_i, pos)
+                GROUP BY 1, 2)
+        SELECT word, est, n_exact, est - n_exact AS overcount
+        FROM est ORDER BY est DESC, word ASC LIMIT 20
+      """})
+  }
+
+  /** Unigram-entropy quality score: H = ln(n) - (sum tf*ln tf)/n over
+    * each document's token distribution — the standard "repetitive
+    * slop" detector (a doc that repeats one phrase scores near 0; rich
+    * text scores near ln(n_tokens)). One narrow groupBy chain per doc,
+    * no joins, no shuffle beyond the per-doc aggregate; ln() rounds to
+    * 4 places on both engines (q109 discipline). */
+  private val q125 = Q(
+    "q125_entropy_quality",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+        .groupBy(col("doc_id"))
+        .agg(asLong(sum(col("tf"))).as("n_tokens"),
+          sum(col("tf").cast(DoubleType) * log(col("tf"))).as("s"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(log(col("n_tokens")) - col("s") / col("n_tokens"), 4)
+            .as("entropy"))
+        .withColumn("low_entropy", col("entropy") < 3.0),
+    Some("""
+      WITH terms AS (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ')) AS w
+        FROM documents),
+      tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      agg AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                     SUM(CAST(tf AS DOUBLE) * ln(tf)) AS s
+              FROM tf GROUP BY 1)
+      SELECT doc_id, n_tokens,
+             round(ln(n_tokens) - s / n_tokens, 4) AS entropy,
+             round(ln(n_tokens) - s / n_tokens, 4) < 3.0 AS low_entropy
+      FROM agg
+    """))
+
   val registry: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q100, q107,
-      q109, q110, q111, q113, q114, q115, q120, q121)
+      q109, q110, q111, q113, q114, q115, q120, q121, q123, q125)
 }

@@ -81,4 +81,54 @@ class RegistrySmokeSpec extends AnyFunSuite {
   test("every oracle key has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  // ------------------------------------------------------------------
+  // Operator invariants the oracle equality can't express on its own
+  // (it checks both engines agree; these check the MATH is right).
+  // ------------------------------------------------------------------
+
+  private def rowsOf(name: String) =
+    Queries.registry.find(_.name == name)
+      .getOrElse(fail(s"unknown query $name"))
+      .build(spark, dir).collect()
+
+  test("q123 count-min estimates dominate exact counts") {
+    val rows = rowsOf("q123_countmin_topk")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val over = r.getAs[Long]("overcount")
+      assert(over >= 0L, s"CMS under-counted ${r.getAs[String]("word")}")
+      assert(r.getAs[Long]("est") ===
+        r.getAs[Long]("n_exact") + over)
+    }
+  }
+
+  test("q124 cosine is bounded and finds the planted exact copies") {
+    val rows = rowsOf("q124_tfidf_cosine")
+    rows.foreach { r =>
+      val cos = r.getAs[Double]("cos")
+      assert(cos >= 0.3 - 1e-9 && cos <= 1.0 + 1e-9,
+        s"cos out of range: $cos")
+    }
+    // corpus() plants byte-identical copies at doc_id+200000: identical
+    // TF vectors must score exactly 1 regardless of the df cap
+    val exactPairs = rows.collect {
+      case r if r.getAs[Long]("d2") == r.getAs[Long]("d1") + 200000L =>
+        r.getAs[Double]("cos")
+    }
+    assert(exactPairs.nonEmpty, "no planted exact-copy pair surfaced")
+    exactPairs.foreach(c => assert(c >= 0.9999, s"exact copy scored $c"))
+  }
+
+  test("q125 entropy lies in [0, ln n_tokens]") {
+    rowsOf("q125_entropy_quality").foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val n = r.getAs[Long]("n_tokens")
+      assert(h >= -1e-9, s"negative entropy $h")
+      // the emitted entropy is round(.,4), which can exceed the exact
+      // ln(n) bound by up to half an ulp of the 4th decimal
+      assert(h <= math.log(n.toDouble) + 5.1e-5,
+        s"entropy $h exceeds ln($n)")
+    }
+  }
 }
