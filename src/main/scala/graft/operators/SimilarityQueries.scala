@@ -269,7 +269,15 @@ object SimilarityQueries {
     * (never a full sort) and K is a constant, so the broadcast build
     * side is provably bounded and assignment costs n x K — unlike a
     * modulo sample, whose centroid count (and broadcast) would grow
-    * linearly with n. */
+    * linearly with n. Assignment is a SLIM (vec_id, cid, csim)
+    * aggregation — max_by with a deterministic (csim desc, cid asc)
+    * tie-break — so map-side partial aggregation collapses the n x K
+    * scores to ~n rows before any exchange and the 64-dim vectors are
+    * never replicated K-fold through a shuffle (the previous
+    * row_number window moved all n x K vector-carrying rows); vectors
+    * re-attach via one equi-join on vec_id. The scored table is
+    * materialized once for its two consumers (assignment + probe-cell
+    * pick). */
   private val q59 = Q(
     "q59_ivf_ann",
     (s, dir) => {
@@ -280,20 +288,22 @@ object SimilarityQueries {
           col("vec_id"))
         .limit(32)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
-      val scored = e.crossJoin(broadcast(cents))
-        .withColumn("csim", cosine(col("v"), col("cv")))
-      val byVec = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cid").asc)
-      val assigned = scored
-        .withColumn("rn", row_number().over(byVec))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cid").as("cell"))
-      val pcells = scored.filter(col("vec_id") === 0)
+      val slim = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          cosine(col("v"), col("cv")).as("csim"))
+        .localCheckpoint()
+      // nearest centroid == row_number()=1 under (csim desc, cid asc),
+      // expressed as an aggregation: max of (csim, -cid) lexicographic
+      val assigned = slim.groupBy(col("vec_id"))
+        .agg(max_by(col("cid"),
+          struct(col("csim"), (lit(0L) - col("cid")).as("ncid"))).as("cell"))
+      val pcells = slim.filter(col("vec_id") === 0)
         .orderBy(col("csim").desc, col("cid").asc).limit(2)
         .select(col("cid").as("cell"))
       val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
       assigned.join(broadcast(pcells), "cell")
         .filter(col("vec_id") =!= 0)
+        .join(e, "vec_id")
         .crossJoin(broadcast(probe))
         .withColumn("sim", cosine(col("v"), col("pv")))
         .orderBy(col("sim").desc, col("vec_id").asc)

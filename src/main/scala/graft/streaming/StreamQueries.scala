@@ -242,5 +242,72 @@ object StreamQueries {
       FROM events GROUP BY 1
     """))
 
-  val registry: Seq[Q] = Seq(q40, q41, q42, q43, q44, q117)
+  /** Watermarked stream-stream time-interval join — the attribution
+    * shape (view -> action within 5 minutes, per user). Both sides
+    * carry a watermark and the join condition bounds a_ts to
+    * [v_ts, v_ts + 5 min], which is what lets Spark EVICT join state:
+    * a view older than watermark - 5 min can never match a future
+    * action, so state is bounded by the interval x arrival rate, not
+    * by the stream's history — the property that keeps this join
+    * runnable forever at scale. The streamed join emits append-mode
+    * pairs; a batch aggregate over the sink then makes the output
+    * deterministic, and the oracle replays the identical interval
+    * join relationally. */
+  private val q126 = Q(
+    "q126_stream_stream_join",
+    (s, dir) => {
+      Tables.tuned(s)
+      val name = "graft_ssj_" + UUID.randomUUID().toString.replace("-", "")
+      def src = s.readStream
+        .schema(eventsRawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val views = src.filter(col("event_id") % 2 === 0)
+        .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+          col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val acts = src.filter(col("event_id") % 2 === 1)
+        .select(col("user_id").as("a_user"), col("event_id").as("a_id"),
+          col("ts").as("a_ts"), col("value").as("a_value"))
+        .withWatermark("a_ts", "1 hour")
+      val joined = views.join(acts,
+        col("v_user") === col("a_user") &&
+          col("a_ts") >= col("v_ts") &&
+          col("a_ts") <= col("v_ts") + expr("INTERVAL 5 MINUTES"))
+      val query = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(name)
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("v_id")).as("n_views"),
+          count_distinct(col("a_id")).as("n_acts"),
+          sum(col("a_value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("attributed_value"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, value,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                 FROM events),
+      v AS (SELECT user_id, event_id AS v_id, us AS v_us
+            FROM e WHERE event_id % 2 = 0),
+      a AS (SELECT user_id, event_id AS a_id, us AS a_us, value
+            FROM e WHERE event_id % 2 = 1),
+      j AS (SELECT v.user_id, v_id, a_id, value
+            FROM v JOIN a ON v.user_id = a.user_id
+            AND a_us >= v_us AND a_us <= v_us + 5*60*1000000)
+      SELECT user_id, COUNT(*) AS n_pairs,
+             COUNT(DISTINCT v_id) AS n_views,
+             COUNT(DISTINCT a_id) AS n_acts,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS attributed_value
+      FROM j GROUP BY 1
+    """))
+
+  val registry: Seq[Q] = Seq(q40, q41, q42, q43, q44, q117, q126)
 }
