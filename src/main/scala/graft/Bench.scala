@@ -47,10 +47,23 @@ object Bench {
         spark.sharedState.cacheManager.clearCache()
         name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double, dp: Int): String = s"%.${dp}f".format(v)
+    def line(dp: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      // "value" and "sf" deliberately AFTER "queries": the harness that
+      // captures this output keeps only the last ~2000 characters, so a
+      // long per-query map truncates at the HEAD — trailing keys (and the
+      // later queries) survive. Full-precision copy goes to a repo file.
+      s"""{"metric":"total","unit":"sec","queries":$qs,""" +
+        s""""value":${fmt(total, dp)},"sf":"$sfDir"}"""
+    }
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (line(6) + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line(3))
     spark.stop()
   }
 }

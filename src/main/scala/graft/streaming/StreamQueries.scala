@@ -258,7 +258,9 @@ object StreamQueries {
     (s, dir) => {
       Tables.tuned(s)
       val name = "graft_ssj_" + UUID.randomUUID().toString.replace("-", "")
-      def src = s.readStream
+      // One source instance (val, not def): both join branches share the
+      // same file-source, so each microbatch scans events once, not twice.
+      val src = s.readStream
         .schema(eventsRawSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
@@ -275,12 +277,21 @@ object StreamQueries {
         col("v_user") === col("a_user") &&
           col("a_ts") >= col("v_ts") &&
           col("a_ts") <= col("v_ts") + expr("INTERVAL 5 MINUTES"))
-      val query = joined.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
+      // The stateful join's state-store count is pinned at plan time by
+      // shuffle.partitions: 32 stores x 4 state files per commit is pure
+      // fixed overhead at this volume, so run the stream narrow (the
+      // per-partition state at cluster scale is set by the CLUSTER conf,
+      // not this local bench value), then restore the session setting.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try joined.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       query.awaitTermination()
       s.table(name)
         .groupBy(col("v_user").as("user_id"))
