@@ -857,7 +857,159 @@ object PipelineQueries {
       FROM agg
     """))
 
+  /** Target-mixture resampling: reshape the corpus toward a uniform
+    * source mixture. Per-source rate = min(1, total/(k·n_src)) —
+    * overrepresented sources are downsampled to the uniform share,
+    * underrepresented ones kept whole — applied as a deterministic
+    * md5 parts-per-million threshold (never `rand()`: the kept set is
+    * identical across runs, engines, and cluster sizes, and stable
+    * under appends). The rate table is k rows → broadcast; the corpus
+    * side filters map-side with no shuffle, so at 100 TB this is one
+    * scan + one tiny aggregate. */
+  private val q127 = Q(
+    "q127_domain_mixture",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val counts = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_before"))
+      val totals = counts.agg(asLong(sum(col("n_before"))).as("total"),
+        count(lit(1)).as("k"))
+      val rates = counts.crossJoin(broadcast(totals))
+        .withColumn("rate_ppm",
+          floor(least(lit(1.0),
+            col("total").cast(DoubleType) / (col("k") * col("n_before")))
+            * 1000000).cast(LongType))
+        .select(col("source"), col("n_before"), col("rate_ppm"))
+      docs.join(broadcast(rates), "source")
+        .filter(md5Int32(col("doc_id").cast(StringType)) % 1000000
+          < col("rate_ppm"))
+        .groupBy(col("source"), col("n_before"), col("rate_ppm"))
+        .agg(asLong(count(lit(1))).as("n_after"))
+        .select(col("source"), col("n_before"), col("rate_ppm"),
+          col("n_after"))
+    },
+    Some("""
+      WITH c AS (SELECT source, COUNT(*) AS n_before
+                 FROM documents GROUP BY 1),
+      t AS (SELECT CAST(SUM(n_before) AS BIGINT) AS total, COUNT(*) AS k
+            FROM c),
+      r AS (SELECT source, n_before,
+                   CAST(FLOOR(LEAST(1.0,
+                     CAST(total AS DOUBLE) / (k * n_before)) * 1000000)
+                     AS BIGINT) AS rate_ppm
+            FROM c CROSS JOIN t)
+      SELECT r.source, r.n_before, r.rate_ppm,
+             CAST(COUNT(*) AS BIGINT) AS n_after
+      FROM documents d JOIN r ON d.source = r.source
+      WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+            % 1000000 < rate_ppm
+      GROUP BY 1, 2, 3
+    """))
+
+  /** Sequence packing: concatenate documents (in a deterministic
+    * hash order) and chunk the token stream into fixed 256-token
+    * training sequences — the standard LLM-pretraining packing, where
+    * a document may straddle a sequence boundary. Packing is done
+    * within 16 hash shards (window cumsum partitioned by shard), never
+    * over a global order: a single-partition global window would
+    * serialize at 100 TB, while shard-local packing matches how
+    * per-worker packers actually run and keeps every window partition
+    * parallel. Reports per-shard packing stats including how many docs
+    * split across a boundary. */
+  private val q128 = Q(
+    "q128_sequence_packing",
+    (s, dir) => {
+      val budget = 256
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          asLong(size(TextOps.words(col("text")))).as("n_tok"),
+          (md5Int32(col("doc_id").cast(StringType)) % 16).as("shard"))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum_end", sum(col("n_tok")).over(w))
+        .withColumn("splits",
+          expr(s"(cum_end - n_tok) div $budget != (cum_end - 1) div $budget"))
+        .groupBy(col("shard"))
+        .agg(asLong(count(lit(1))).as("n_docs"),
+          asLong(sum(col("n_tok"))).as("total_tokens"),
+          asLong(expr(s"(sum(n_tok) - 1) div $budget + 1")).as("n_seqs"),
+          asLong(sum(col("splits").cast(IntegerType))).as("n_split_docs"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               CAST(len(string_split(regexp_replace(trim(lower(text)),
+                 '\s+',' ','g'),' ')) AS BIGINT) AS n_tok,
+               ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+                 % 16 AS shard
+        FROM documents),
+      c AS (SELECT shard, n_tok,
+                   SUM(n_tok) OVER (PARTITION BY shard
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum_end
+            FROM tok)
+      SELECT shard, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             CAST((SUM(n_tok) - 1) // 256 + 1 AS BIGINT) AS n_seqs,
+             CAST(SUM(CASE WHEN (cum_end - n_tok) // 256
+                                != (cum_end - 1) // 256
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+      FROM c GROUP BY 1
+    """))
+
+  /** Corpus unigram-LM quality score: every token scores
+    * ln(count(w)/N) against a language model fit on the corpus itself;
+    * a document's mean log-probability flags statistical outliers
+    * (corrupt text, wrong-language shards, random strings) — the
+    * classic cheap stand-in for perplexity filtering. The vocabulary
+    * is an aggregate of the same exploded tokens (one shuffle), the
+    * token↔vocab join is a plain equi-join on the word — hot words
+    * join 1:1 against a single vocab row, so there is no skew
+    * amplification, and AQE handles the residual partition skew.
+    * Per-token ln rounds to 6dp into DECIMAL(18,6) so the per-doc sum
+    * is order-independent and engine-exact (q109 ln-ulp discipline);
+    * output is the bottom-10 by mean log-prob under a total order. */
+  private val q129 = Q(
+    "q129_unigram_logprob",
+    (s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val totals = vocab.agg(asLong(sum(col("cnt"))).as("n_total"))
+      tok.join(vocab, "w")
+        .crossJoin(broadcast(totals))
+        .select(col("doc_id"),
+          round(log(col("cnt").cast(DoubleType) / col("n_total")), 6)
+            .cast(DecimalType(18, 6)).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("lp")).as("slp"))
+        .select(col("doc_id"), asLong(col("n_tok")).as("n_tok"),
+          round(col("slp").cast(DoubleType) / col("n_tok"), 4)
+            .as("mean_logprob"))
+        .orderBy(col("mean_logprob").asc, col("doc_id").asc)
+        .limit(10)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(trim(lower(text)),
+                 '\s+',' ','g'),' ')) AS w
+        FROM documents),
+      vocab AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM vocab),
+      lp AS (SELECT doc_id,
+                    CAST(round(ln(CAST(cnt AS DOUBLE) / n_total), 6)
+                      AS DECIMAL(18,6)) AS lp
+             FROM tok JOIN vocab USING (w) CROSS JOIN t)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS mean_logprob
+      FROM lp GROUP BY 1
+      ORDER BY mean_logprob ASC, doc_id ASC LIMIT 10
+    """))
+
   val registry: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q100, q107,
-      q109, q110, q111, q113, q114, q115, q120, q121, q123, q125)
+      q109, q110, q111, q113, q114, q115, q120, q121, q123, q125,
+      q127, q128, q129)
 }
