@@ -704,6 +704,160 @@ object DedupQueries {
       WHERE round(dot / (x.nrm * y.nrm), 4) >= 0.3
     """})
 
+  /** First-seen n-gram novelty — per document, how much of it has the
+    * corpus already seen in EARLIER documents (doc_id = ingestion
+    * order)? The inverted-index aggregate (shingle -> min(doc_id))
+    * is one shuffle; the join back is equi on the shingle and each
+    * shingle matches exactly ONE first-seen row, so hot boilerplate
+    * shingles cause no fan-out amplification — unlike a pairwise
+    * overlap join, this stays linear in total postings at 100 TB.
+    * Low-novelty documents are the near-duplicates / boilerplate
+    * continuations a pretraining pipeline down-weights. */
+  private val q130 = Q(
+    "q130_novelty_score",
+    (s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.shingleSet(TextOps.words(col("text")), 5)).as("g"))
+      val first = sh.groupBy(col("g"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast(LongType).as("n_sh"),
+          sum((col("first_doc") < col("doc_id")).cast(IntegerType))
+            .cast(LongType).as("n_seen"))
+        .withColumn("novelty",
+          round(lit(1.0) - col("n_seen").cast(DoubleType) / col("n_sh"), 6))
+    },
+    Some {
+      val w = """string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ')"""
+      s"""
+      WITH tok AS (SELECT doc_id, $w AS w FROM documents),
+      sh AS (SELECT doc_id,
+                    unnest(list_distinct([array_to_string(w[i+1:i+5],' ')
+                                          FOR i IN range(len(w)-4)])) AS g
+             FROM tok),
+      first AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+      agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+                     CAST(SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_seen
+              FROM sh JOIN first USING (g) GROUP BY 1)
+      SELECT doc_id, n_sh, n_seen,
+             round(1.0 - CAST(n_seen AS DOUBLE) / n_sh, 6) AS novelty
+      FROM agg
+      """
+    })
+
+  /** Incremental shard deduplication — the production ingest shape:
+    * a NEW shard arrives and must be deduplicated against the
+    * accumulated HISTORY, not all-pairs against itself. History here
+    * is the original corpus; the incoming shard carries 20 exact
+    * copies, 10 near copies (last word dropped), and 15 genuinely new
+    * documents (word order reversed — same vocabulary, disjoint
+    * 5-gram shingles). Exact matches go through a hash anti/semi join
+    * on md5(normalized text); near matches through the q51 MinHash
+    * band join (incoming bands x history bands — candidate pairs only
+    * where a band bucket collides, never |new| x |history|) verified
+    * by exact Jaccard >= 0.5. At 100 TB the history side is a compact
+    * signature table (hash + 4 band hashes per doc, not text), so the
+    * per-shard cost is O(|shard| + collisions), independent of
+    * history's raw bytes. */
+  private val q133 = Q(
+    "q133_incremental_dedup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = TextOps.words(col("text"))
+      val incoming = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            array_join(slice(w, lit(1), size(w) - 1), " ").as("text")))
+        .unionByName(docs.filter(col("doc_id") < 15)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            array_join(reverse(w), " ").as("text")))
+      def sig(d: DataFrame): DataFrame = {
+        val withSh = d.select(col("doc_id"),
+          md5(TextOps.norm(col("text"))).as("h"),
+          TextOps.shingleSet(TextOps.words(col("text")), 5).as("sh"))
+        val ms = graft.plans.MinHashSig.minhashSig(col("sh"), 8)
+        withSh.withColumn("bands",
+          array((0 until 4).map(j =>
+            md5(concat(element_at(ms, 2 * j + 1),
+              element_at(ms, 2 * j + 2)))): _*))
+      }
+      val hist = sig(docs.select(col("doc_id"), col("text")))
+        .localCheckpoint()
+      val inc = sig(incoming).localCheckpoint()
+      val exact = inc.join(hist.select(col("h")).distinct(), Seq("h"),
+          "left_semi")
+        .select(col("doc_id"))
+      val incBands = inc.join(exact, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("sh"),
+          posexplode(col("bands")).as(Seq("bi", "bh")))
+      val histBands = hist
+        .select(col("doc_id").as("hid"), col("sh").as("hsh"),
+          posexplode(col("bands")).as(Seq("bi", "bh")))
+      val near = incBands.join(histBands, Seq("bi", "bh"))
+        .withColumn("inter", size(array_intersect(col("sh"), col("hsh"))))
+        .withColumn("uni",
+          size(col("sh")) + size(col("hsh")) - col("inter"))
+        .filter(col("inter").cast(DoubleType) / col("uni") >= 0.5)
+        .select(col("doc_id")).distinct()
+      val counts = inc.agg(count(lit(1)).cast(LongType).as("n_incoming"))
+        .crossJoin(broadcast(
+          exact.agg(count(lit(1)).cast(LongType).as("n_exact"))))
+        .crossJoin(broadcast(
+          near.agg(count(lit(1)).cast(LongType).as("n_near"))))
+      counts.select(col("n_incoming"), col("n_exact"), col("n_near"),
+        (col("n_incoming") - col("n_exact") - col("n_near")).as("n_new"))
+    },
+    Some {
+      val w = """string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ')"""
+      val mins = (0 until 8).map(i =>
+        s"list_min([md5('$i|'||s) FOR s IN sh]) AS m$i").mkString(", ")
+      val bandSel = (0 until 4).map(j =>
+        s"SELECT doc_id, $j AS bi, md5(m${2 * j}||m${2 * j + 1}) AS bh, sh FROM %s")
+      s"""
+      WITH incoming AS (
+        SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id < 20
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+               array_to_string(($w)[1:len($w)-1], ' ') AS text
+        FROM documents WHERE doc_id < 10
+        UNION ALL
+        SELECT doc_id + 300000 AS doc_id,
+               array_to_string(list_reverse($w), ' ') AS text
+        FROM documents WHERE doc_id < 15),
+      hsig AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)),'\\s+',' ','g')) AS h,
+                      list_distinct([array_to_string(($w)[i+1:i+5],' ')
+                                     FOR i IN range(len($w)-4)]) AS sh
+               FROM documents),
+      isig AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)),'\\s+',' ','g')) AS h,
+                      list_distinct([array_to_string(($w)[i+1:i+5],' ')
+                                     FOR i IN range(len($w)-4)]) AS sh
+               FROM incoming),
+      hmh AS (SELECT doc_id, sh, $mins FROM hsig),
+      imh AS (SELECT doc_id, sh, $mins FROM isig),
+      hbands AS (${bandSel.map(_.format("hmh")).mkString(" UNION ALL ")}),
+      ibands AS (${bandSel.map(_.format("imh")).mkString(" UNION ALL ")}),
+      exact AS (SELECT DISTINCT i.doc_id FROM isig i
+                WHERE i.h IN (SELECT h FROM hsig)),
+      near AS (SELECT DISTINCT i.doc_id
+               FROM ibands i JOIN hbands h2
+               ON i.bi = h2.bi AND i.bh = h2.bh
+               WHERE i.doc_id NOT IN (SELECT doc_id FROM exact)
+                 AND CAST(len(list_intersect(i.sh, h2.sh)) AS DOUBLE)
+                     / (len(i.sh) + len(h2.sh)
+                        - len(list_intersect(i.sh, h2.sh))) >= 0.5),
+      c AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM isig) AS n_incoming,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM near) AS n_near)
+      SELECT n_incoming, n_exact, n_near,
+             n_incoming - n_exact - n_near AS n_new
+      FROM c
+      """
+    })
+
   val registry: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52,
-    q82, q84, q85, q99, q112, q124)
+    q82, q84, q85, q99, q112, q124, q130, q133)
 }

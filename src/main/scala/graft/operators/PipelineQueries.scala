@@ -1008,8 +1008,126 @@ object PipelineQueries {
       ORDER BY mean_logprob ASC, doc_id ASC LIMIT 10
     """))
 
+  /** Per-language quantile quality gate: keep documents at or above
+    * their own language's 25th-percentile token count — relative
+    * thresholds per stratum, not one global cutoff (a global cutoff
+    * would gut low-resource languages whose documents run shorter).
+    * The threshold table is one exact interpolated percentile per
+    * language (groupBy agg, |langs| rows) broadcast back onto the
+    * corpus, so the filter itself is map-side — one scan + one tiny
+    * aggregate at 100 TB. Exact percentile matches DuckDB's
+    * quantile_cont bit-for-bit (q74 discipline). */
+  private val q131 = Q(
+    "q131_quantile_filter",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          asLong(size(TextOps.words(col("text")))).as("n_tok"))
+      val thr = docs.groupBy(col("lang"))
+        .agg(percentile(col("n_tok"), lit(0.25)).as("thr"),
+          asLong(count(lit(1))).as("n_before"))
+      docs.join(broadcast(thr), "lang")
+        .filter(col("n_tok").cast(DoubleType) >= col("thr"))
+        .groupBy(col("lang"), col("n_before"), col("thr"))
+        .agg(asLong(count(lit(1))).as("n_after"),
+          asLong(sum(col("n_tok"))).as("kept_tokens"))
+        .select(col("lang"), col("n_before"), col("thr"),
+          col("n_after"), col("kept_tokens"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(regexp_replace(trim(lower(text)),
+                 '\s+',' ','g'),' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      thr AS (SELECT lang, quantile_cont(n_tok, 0.25) AS thr,
+                     CAST(COUNT(*) AS BIGINT) AS n_before
+              FROM tok GROUP BY 1)
+      SELECT lang, n_before, thr,
+             CAST(COUNT(*) AS BIGINT) AS n_after,
+             CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+      FROM tok JOIN thr USING (lang)
+      WHERE CAST(n_tok AS DOUBLE) >= thr
+      GROUP BY 1, 2, 3
+    """))
+
+  /** Gopher-style rule funnel: the classic pretraining quality gates
+    * (document length, mean word length in [3,10], minimum stop-word
+    * evidence, single-token domination) evaluated as ONE conditional
+    * aggregate — per-rule rejection counts plus the pass-all count,
+    * the observability a pipeline needs to see WHICH rule is eating
+    * its corpus. All rule arithmetic is integer-exact (cross-
+    * multiplied ratios, never float division), so the verdicts are
+    * engine- and order-independent. The only shuffle is the per-doc
+    * top-token count; the final funnel is a single-row aggregate. */
+  private val q132 = Q(
+    "q132_gopher_rules",
+    (s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in")
+      val d = t(s, dir, "documents")
+        .withColumn("norm", TextOps.norm(col("text")))
+        .select(col("doc_id"),
+          size(split(col("norm"), " ")).as("n"),
+          (length(col("norm")) - (size(split(col("norm"), " ")) - 1))
+            .as("tc"),
+          TextOps.vocabHits(split(col("norm"), " "), stop).as("stop_hits"))
+      val rep = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.words(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("max_tok"))
+      d.join(rep, "doc_id")
+        .select(
+          (col("n") < 25).cast(IntegerType).as("f_short"),
+          (col("tc") < col("n") * 3 || col("tc") > col("n") * 10)
+            .cast(IntegerType).as("f_mwl"),
+          (col("stop_hits") < 2).cast(IntegerType).as("f_stop"),
+          (col("max_tok") * 8 > col("n")).cast(IntegerType).as("f_rep"))
+        .agg(asLong(count(lit(1))).as("n_docs"),
+          asLong(sum(col("f_short"))).as("fail_short"),
+          asLong(sum(col("f_mwl"))).as("fail_mean_word_len"),
+          asLong(sum(col("f_stop"))).as("fail_stopwords"),
+          asLong(sum(col("f_rep"))).as("fail_repetition"),
+          asLong(sum(
+            ((col("f_short") + col("f_mwl") + col("f_stop") + col("f_rep"))
+              === 0).cast(IntegerType))).as("pass_all"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        regexp_replace(trim(lower(text)),'\s+',' ','g') AS norm
+                 FROM documents),
+      d AS (SELECT doc_id,
+                   len(string_split(norm,' ')) AS n,
+                   len(norm) - (len(string_split(norm,' ')) - 1) AS tc,
+                   len(list_filter(string_split(norm,' '),
+                     x -> x IN ('the','a','of','and','to','in'))) AS stop_hits
+            FROM t),
+      rep AS (SELECT doc_id, MAX(c) AS max_tok
+              FROM (SELECT doc_id, w, COUNT(*) AS c
+                    FROM (SELECT doc_id, unnest(string_split(norm,' ')) AS w
+                          FROM t)
+                    GROUP BY 1, 2)
+              GROUP BY 1),
+      flags AS (SELECT
+          CASE WHEN n < 25 THEN 1 ELSE 0 END AS f_short,
+          CASE WHEN tc < n * 3 OR tc > n * 10 THEN 1 ELSE 0 END AS f_mwl,
+          CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END AS f_stop,
+          CASE WHEN max_tok * 8 > n THEN 1 ELSE 0 END AS f_rep
+        FROM d JOIN rep USING (doc_id))
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(f_short) AS BIGINT) AS fail_short,
+             CAST(SUM(f_mwl) AS BIGINT) AS fail_mean_word_len,
+             CAST(SUM(f_stop) AS BIGINT) AS fail_stopwords,
+             CAST(SUM(f_rep) AS BIGINT) AS fail_repetition,
+             CAST(SUM(CASE WHEN f_short + f_mwl + f_stop + f_rep = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+      FROM flags
+    """))
+
   val registry: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q100, q107,
       q109, q110, q111, q113, q114, q115, q120, q121, q123, q125,
-      q127, q128, q129)
+      q127, q128, q129, q131, q132)
 }

@@ -410,5 +410,156 @@ object SimilarityQueries {
       """
     })
 
-  val registry: Seq[Q] = Seq(q53, q54, q55, q56, q57, q58, q59, q101)
+  /** Product quantization + asymmetric distance computation (ADC) —
+    * the memory-bound ANN scale path: each 64-dim float vector (256
+    * bytes) compresses to 8 subspace codes of 4 bits (4 bytes, 64x),
+    * so a 100 TB embedding corpus's code table fits in ~1.6 TB of
+    * executor memory. Codebook: 16 codewords per 8-dim subspace,
+    * drawn by hash-rank sampling (deterministic stand-in for the
+    * sampled k-means a production build would run — the encode/score
+    * machinery is identical). Encoding scores n x 8 subvectors
+    * against a 128-row broadcast codebook (argmin per subspace via
+    * row_number, ties to the lowest codeword id). Query-time ADC
+    * never touches raw vectors: the probe precomputes a 128-entry
+    * distance LUT, and scoring is a broadcast hash join + an exact
+    * DECIMAL(18,6) sum of per-subspace terms (order-independent, so
+    * the ranking is engine- and partitioning-stable). Serving then
+    * re-ranks the ADC top-100 shortlist with exact distances — the
+    * standard two-stage PQ pipeline (codes select, raw vectors only
+    * for the shortlist). Output: recall@10 of both stages against the
+    * exact L2 top-10, plus the compression accounting. */
+  private val q134 = Q(
+    "q134_pq_adc",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .localCheckpoint()
+      val subs = explode(sequence(lit(0), lit(7))).as("m")
+      val cb = emb
+        .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+        .limit(16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val codebook = cb.select(col("c_id"), col("cv"), subs)
+        .select(col("m"), col("c_id"), expr("slice(cv, m*8+1, 8)").as("cw"))
+        .withColumn("cw2", dot(col("cw"), col("cw")))
+      val scored = emb.select(col("vec_id"), col("v"), subs)
+        .select(col("vec_id"), col("m"), expr("slice(v, m*8+1, 8)").as("sv"))
+        .join(broadcast(codebook), "m")
+        .withColumn("d2",
+          dot(col("sv"), col("sv")) - lit(2) * dot(col("sv"), col("cw"))
+            + col("cw2"))
+      val codes = scored
+        .withColumn("rk", row_number().over(Window
+          .partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("d2").asc, col("c_id").asc)))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("m"), col("c_id"))
+      val probe = emb.filter(col("vec_id") === 0).select(col("v").as("pv"))
+      val lut = codebook
+        .crossJoin(broadcast(probe))
+        .withColumn("qm", expr("slice(pv, m*8+1, 8)"))
+        .select(col("m"), col("c_id"),
+          round(dot(col("qm"), col("qm"))
+            - lit(2) * dot(col("qm"), col("cw")) + col("cw2"), 6)
+            .cast(DecimalType(18, 6)).as("ad2"))
+      val adcRanked = codes.filter(col("vec_id") =!= 0)
+        .join(broadcast(lut), Seq("m", "c_id"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("ad2")).as("adc"))
+      val adcTop = adcRanked
+        .orderBy(col("adc").asc, col("vec_id").asc)
+        .limit(10)
+      // production PQ serving: the code table picks a small constant
+      // shortlist, only the shortlist's raw vectors are fetched for
+      // exact re-ranking — at 100 TB that is 100 vector reads per
+      // probe instead of a full scan
+      val shortlist = adcRanked
+        .orderBy(col("adc").asc, col("vec_id").asc)
+        .limit(100)
+        .select(col("vec_id"))
+      val rerankTop = emb.join(broadcast(shortlist), "vec_id")
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          (dot(col("v"), col("v")) - lit(2) * dot(col("v"), col("pv"))
+            + dot(col("pv"), col("pv"))).as("d2"))
+        .orderBy(col("d2").asc, col("vec_id").asc)
+        .limit(10)
+      val exactTop = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          (dot(col("v"), col("v")) - lit(2) * dot(col("v"), col("pv"))
+            + dot(col("pv"), col("pv"))).as("d2"))
+        .orderBy(col("d2").asc, col("vec_id").asc)
+        .limit(10)
+      emb.agg(asLongCol(count(lit(1))).as("n_vecs"))
+        .crossJoin(broadcast(exactTop.select(col("vec_id"))
+          .join(adcTop.select(col("vec_id")), "vec_id")
+          .agg(asLongCol(count(lit(1))).as("n_hit_adc"))))
+        .crossJoin(broadcast(exactTop.select(col("vec_id"))
+          .join(rerankTop.select(col("vec_id")), "vec_id")
+          .agg(asLongCol(count(lit(1))).as("n_hit_rerank"))))
+        .select(col("n_vecs"), col("n_hit_adc"), col("n_hit_rerank"),
+          (col("n_hit_adc") / lit(10.0)).as("recall_adc"),
+          (col("n_hit_rerank") / lit(10.0)).as("recall_rerank"),
+          (col("n_vecs") * 256).as("bytes_raw"),
+          (col("n_vecs") * 4).as("bytes_pq"))
+    },
+    Some("""
+      WITH emb AS (SELECT vec_id,
+                          [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+                   FROM embeddings),
+      cb AS (SELECT vec_id AS c_id, v AS cv FROM emb
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      ms AS (SELECT unnest(range(8)) AS m),
+      codebook AS (SELECT m, c_id, cv[m*8+1:m*8+8] AS cw,
+                          list_dot_product(cv[m*8+1:m*8+8],
+                                           cv[m*8+1:m*8+8]) AS cw2
+                   FROM cb CROSS JOIN ms),
+      scored AS (SELECT vec_id, s.m, c_id,
+                        list_dot_product(sv, sv)
+                          - 2*list_dot_product(sv, cw) + cw2 AS d2
+                 FROM (SELECT vec_id, m, v[m*8+1:m*8+8] AS sv
+                       FROM emb CROSS JOIN ms) s
+                 JOIN codebook c ON s.m = c.m),
+      codes AS (SELECT vec_id, m, c_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                    ORDER BY d2, c_id) AS rk FROM scored)
+                WHERE rk = 1),
+      probe AS (SELECT v AS pv FROM emb WHERE vec_id = 0),
+      lut AS (SELECT m, c_id,
+                     CAST(round(list_dot_product(pv[m*8+1:m*8+8],
+                                                 pv[m*8+1:m*8+8])
+                       - 2*list_dot_product(pv[m*8+1:m*8+8], cw)
+                       + cw2, 6) AS DECIMAL(18,6)) AS ad2
+              FROM codebook CROSS JOIN probe),
+      ranked AS (SELECT vec_id, SUM(ad2) AS adc
+                 FROM codes JOIN lut USING (m, c_id)
+                 WHERE vec_id != 0 GROUP BY 1),
+      adc AS (SELECT vec_id FROM ranked ORDER BY adc, vec_id LIMIT 10),
+      shortlist AS (SELECT vec_id FROM ranked
+                    ORDER BY adc, vec_id LIMIT 100),
+      rerank AS (SELECT e.vec_id,
+                        list_dot_product(v, v) - 2*list_dot_product(v, pv)
+                          + list_dot_product(pv, pv) AS d2
+                 FROM emb e JOIN shortlist USING (vec_id) CROSS JOIN probe
+                 ORDER BY d2, vec_id LIMIT 10),
+      ex AS (SELECT vec_id,
+                    list_dot_product(v, v) - 2*list_dot_product(v, pv)
+                      + list_dot_product(pv, pv) AS d2
+             FROM emb CROSS JOIN probe WHERE vec_id != 0
+             ORDER BY d2, vec_id LIMIT 10),
+      hit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit_adc
+              FROM ex JOIN adc USING (vec_id)),
+      hit2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit_rerank
+               FROM ex JOIN rerank USING (vec_id)),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM emb)
+      SELECT n_vecs, n_hit_adc, n_hit_rerank,
+             n_hit_adc / 10.0 AS recall_adc,
+             n_hit_rerank / 10.0 AS recall_rerank,
+             n_vecs * 256 AS bytes_raw, n_vecs * 4 AS bytes_pq
+      FROM n CROSS JOIN hit CROSS JOIN hit2
+    """))
+
+  val registry: Seq[Q] = Seq(q53, q54, q55, q56, q57, q58, q59, q101,
+    q134)
 }
