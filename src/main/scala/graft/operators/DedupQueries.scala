@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -716,12 +717,14 @@ object DedupQueries {
   private val q130 = Q(
     "q130_novelty_score",
     (s, dir) => {
+      // first-seen as a window over the posting table — one shuffle on
+      // the shingle key (the aggregate-then-join-back formulation pays
+      // that shuffle twice plus the join)
       val sh = t(s, dir, "documents")
         .select(col("doc_id"),
           explode(TextOps.shingleSet(TextOps.words(col("text")), 5)).as("g"))
-      val first = sh.groupBy(col("g"))
-        .agg(min(col("doc_id")).as("first_doc"))
-      sh.join(first, "g")
+      sh.withColumn("first_doc",
+          min(col("doc_id")).over(Window.partitionBy(col("g"))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).cast(LongType).as("n_sh"),
           sum((col("first_doc") < col("doc_id")).cast(IntegerType))

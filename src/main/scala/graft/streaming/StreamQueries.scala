@@ -143,12 +143,17 @@ object StreamQueries {
             .as("sum_value"))
         .select(unix_timestamp(col("window.start")).as("w_start"),
           col("n"), col("sum_value"))
-      val query = agg.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
+      // narrow state-store count for the local bench (q126 discipline)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       query.awaitTermination()
       s.table(name)
     },
@@ -227,12 +232,19 @@ object StreamQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
             .as("sum_value"))
-      val query = agg.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
+      // two stateful ops x shuffle.partitions state stores is pure
+      // fixed overhead at this volume — run the stream narrow (q126
+      // discipline; the cluster conf governs real deployments)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       query.awaitTermination()
       s.table(name)
     },
