@@ -602,6 +602,113 @@ object AnalyticQueries {
       """))
   }
 
+  /** PageRank over the part co-purchase graph (parts sharing an order
+    * are linked) — iterative graph centrality as dataframe joins, the
+    * q99 connected-components discipline applied to a weighted-
+    * influence recursion. Three damped iterations (d=0.85), each one
+    * edges⋈ranks equi-join + a groupBy(dst) — the textbook scalable
+    * formulation (edges partitioned by key, no adjacency lists on the
+    * driver, no vertex state outside the cluster). All rank
+    * arithmetic is round-to-12dp DECIMAL(28,12): per-node
+    * contribution sums are then order-independent, so ranks are
+    * bit-identical across engines, partitionings, and cluster sizes —
+    * which is what makes the iteration's fixpoint reproducible.
+    * Output: top-20 parts by rank after 3 iterations. */
+  private val q135 = Q(
+    "q135_copurchase_pagerank",
+    (s, dir) => {
+      // multigraph edges: parts co-occurring in k orders contribute k
+      // parallel edge instances — PageRank over the multigraph equals
+      // the co-occurrence-weighted formulation, and skipping the
+      // DISTINCT passes saves two full-edge shuffles. Out-degree folds
+      // in as a window on src (one shuffle), so the whole index build
+      // is the self-join plus that window.
+      // annual snapshot: a 100 TB deployment runs centrality per time
+      // partition, not over all history — the 1995 order keys
+      // broadcast against the lineitem scan
+      val okeys = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey").as("l_orderkey"))
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(okeys), "l_orderkey")
+      val edgesDeg = op.alias("a").join(op.alias("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .withColumn("deg",
+          count(lit(1)).over(Window.partitionBy(col("src"))))
+        .localCheckpoint()
+      // per iteration the rank table (|parts| rows — broadcastable at
+      // any realistic part cardinality) joins map-side, so each
+      // iteration costs ONE shuffle (the groupBy dst)
+      val nodes = edgesDeg.select(col("src").as("part")).distinct()
+        .localCheckpoint()
+      val nRow = nodes.agg(count(lit(1)).as("n"))
+      var ranks = nodes.crossJoin(broadcast(nRow))
+        .select(col("part"),
+          round(lit(1.0) / col("n"), 12).cast(DecimalType(28, 12))
+            .as("pr"))
+      for (_ <- 1 to 3) {
+        // the edge relation is symmetric (both directions emitted), so
+        // every node receives contributions — no dangling-node repair
+        // join needed; an iteration is ONE bcast join + ONE groupBy
+        ranks = edgesDeg
+          .join(broadcast(ranks.withColumnRenamed("part", "src")), "src")
+          .select(col("dst"),
+            round(col("pr").cast(DoubleType) / col("deg"), 12)
+              .cast(DecimalType(28, 12)).as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("sumc"))
+          .crossJoin(broadcast(nRow))
+          .select(col("dst").as("part"),
+            round(lit(0.15) / col("n")
+              + lit(0.85) * col("sumc").cast(DoubleType),
+              12).cast(DecimalType(28, 12)).as("pr"))
+          // materialize each round (q99 discipline) — a lazy rank
+          // lineage re-executes every earlier iteration per round
+          .localCheckpoint()
+      }
+      ranks.select(col("part"),
+          round(col("pr").cast(DoubleType), 9).as("pr"))
+        .orderBy(col("pr").desc, col("part").asc)
+        .limit(20)
+    },
+    Some {
+      def iter(prev: String, cI: String, rI: String): String =
+        s"""$cI AS (SELECT dst,
+                 SUM(CAST(round(CAST(pr AS DOUBLE) / deg, 12)
+                     AS DECIMAL(28,12))) AS sumc
+               FROM edges JOIN $prev ON src = part JOIN deg USING (src)
+               GROUP BY 1),
+        $rI AS (SELECT dst AS part,
+                 CAST(round(CAST(0.15 AS DOUBLE) / n
+                   + CAST(0.85 AS DOUBLE) * CAST(sumc AS DOUBLE), 12)
+                   AS DECIMAL(28,12)) AS pr
+               FROM $cI CROSS JOIN n)"""
+      s"""
+      WITH op AS (SELECT l_orderkey, l_partkey
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  WHERE EXTRACT(year FROM o_orderdate) = 1995),
+      edges AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+                FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey != b.l_partkey),
+      deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+      nodes AS (SELECT DISTINCT src AS part FROM edges),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+      r0 AS (SELECT part,
+                    CAST(round(CAST(1.0 AS DOUBLE) / n, 12)
+                      AS DECIMAL(28,12)) AS pr
+             FROM nodes CROSS JOIN n),
+      ${iter("r0", "c1", "r1")},
+      ${iter("r1", "c2", "r2")},
+      ${iter("r2", "c3", "r3")}
+      SELECT part, round(CAST(pr AS DOUBLE), 9) AS pr
+      FROM r3 ORDER BY pr DESC, part ASC LIMIT 20
+      """
+    })
+
   val registry: Seq[Q] = Seq(q66, q67, q68, q69, q75, q76, q77, q78,
-    q79, q80, q81, q102, q104, q105, q106, q116, q118, q119, q122)
+    q79, q80, q81, q102, q104, q105, q106, q116, q118, q119, q122,
+    q135)
 }
