@@ -861,6 +861,70 @@ object DedupQueries {
       """
     })
 
+  /** Prefix-truncation dedup — the duplicate class Jaccard misses:
+    * a truncated copy of a long document shares only len(prefix)/len
+    * of its shingles, sailing under any symmetric-similarity
+    * threshold, yet is pure redundancy for training. Candidates are
+    * blocked on the md5 of the first 4 normalized words (one equi-join
+    * key — at 100 TB the block sizes are the only join fan-out, the
+    * classic prefix-blocking trade), then verified by an exact
+    * character-prefix check with a trailing-space guard so "w3" never
+    * matches "w30". The corpus plants 12 half-length truncations
+    * (doc_id+400000). */
+  private val q136 = Q(
+    "q136_prefix_dedup",
+    (s, dir) => {
+      val w = TextOps.words(col("text"))
+      val docs = t(s, dir, "documents")
+      val withTrunc = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 12)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            array_join(slice(w, lit(1), (size(w) / 2).cast(IntegerType)),
+              " ").as("text")))
+      // signature table materialized once — both join sides reuse it
+      // instead of re-normalizing the corpus (q51 index discipline)
+      val sig = withTrunc.select(col("doc_id"),
+        TextOps.norm(col("text")).as("nrm"))
+        .withColumn("nw", size(split(col("nrm"), " ")))
+        .withColumn("key",
+          md5(concat_ws(" ", slice(split(col("nrm"), " "), 1, 4))))
+        .localCheckpoint()
+      sig.alias("a").join(sig.alias("b"),
+          col("a.key") === col("b.key") &&
+            col("a.nw") < col("b.nw") &&
+            col("b.nrm").startsWith(concat(col("a.nrm"), lit(" "))))
+        .select(col("a.doc_id").as("prefix_doc"),
+          col("b.doc_id").as("full_doc"),
+          col("a.nw").cast(LongType).as("n_prefix"),
+          col("b.nw").cast(LongType).as("n_full"))
+    },
+    Some {
+      val w = """string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ')"""
+      s"""
+      WITH withTrunc AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 400000 AS doc_id,
+               array_to_string(($w)[1:CAST(len($w) // 2 AS INT)], ' ')
+                 AS text
+        FROM documents WHERE doc_id < 12),
+      sig AS (SELECT doc_id,
+                     regexp_replace(trim(lower(text)),'\\s+',' ','g') AS nrm
+              FROM withTrunc),
+      keyed AS (SELECT doc_id, nrm,
+                       len(string_split(nrm, ' ')) AS nw,
+                       md5(array_to_string(
+                         string_split(nrm, ' ')[1:4], ' ')) AS key
+                FROM sig)
+      SELECT a.doc_id AS prefix_doc, b.doc_id AS full_doc,
+             CAST(a.nw AS BIGINT) AS n_prefix,
+             CAST(b.nw AS BIGINT) AS n_full
+      FROM keyed a JOIN keyed b
+      ON a.key = b.key AND a.nw < b.nw
+         AND starts_with(b.nrm, a.nrm || ' ')
+      """
+    })
+
   val registry: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52,
-    q82, q84, q85, q99, q112, q124, q130, q133)
+    q82, q84, q85, q99, q112, q124, q130, q133, q136)
 }

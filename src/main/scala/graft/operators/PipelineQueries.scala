@@ -1126,8 +1126,65 @@ object PipelineQueries {
       FROM flags
     """))
 
+  /** Domain-shift detection: KL divergence of each source's unigram
+    * distribution from the corpus-wide distribution — the cheap
+    * monitor for "this shard is not like the others" (wrong-language
+    * dumps, template spam, schema drift) that a 100 TB ingest runs
+    * per shard before admitting it. One token explode feeds both the
+    * per-source and corpus count aggregates; the term join is equi on
+    * the word against ONE corpus row per word, so hot words cause no
+    * fan-out. Probabilities are integer-count ratios (engine-exact);
+    * each p·ln(p/q) term rounds to 8dp DECIMAL(18,8) so the per-source
+    * sum is order-independent (q109 ln-ulp discipline). */
+  private val q137 = Q(
+    "q137_kl_divergence",
+    (s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("source"), explode(TextOps.words(col("text"))).as("w"))
+      val srcCnt = tok.groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("c_sw"))
+      val srcTot = srcCnt.groupBy(col("source"))
+        .agg(sum(col("c_sw")).as("tot_s"))
+      val corpCnt = srcCnt.groupBy(col("w"))
+        .agg(sum(col("c_sw")).as("c_w"))
+      val corpTot = corpCnt.agg(sum(col("c_w")).as("tot"))
+      srcCnt.join(corpCnt, "w")
+        .join(broadcast(srcTot), "source")
+        .crossJoin(broadcast(corpTot))
+        .select(col("source"), col("tot_s"),
+          round((col("c_sw").cast(DoubleType) / col("tot_s"))
+            * log((col("c_sw").cast(DoubleType) / col("tot_s"))
+              / (col("c_w").cast(DoubleType) / col("tot"))), 8)
+            .cast(DecimalType(18, 8)).as("term"))
+        .groupBy(col("source"), col("tot_s"))
+        .agg(sum(col("term")).as("kl"))
+        .select(col("source"), asLong(col("tot_s")).as("n_tokens"),
+          round(col("kl").cast(DoubleType), 6).as("kl"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT source,
+               unnest(string_split(regexp_replace(trim(lower(text)),
+                 '\s+',' ','g'),' ')) AS w
+        FROM documents),
+      srcCnt AS (SELECT source, w, COUNT(*) AS c_sw FROM tok GROUP BY 1,2),
+      srcTot AS (SELECT source, SUM(c_sw) AS tot_s FROM srcCnt GROUP BY 1),
+      corpCnt AS (SELECT w, SUM(c_sw) AS c_w FROM srcCnt GROUP BY 1),
+      corpTot AS (SELECT SUM(c_w) AS tot FROM corpCnt),
+      terms AS (SELECT source, tot_s,
+                       CAST(round((CAST(c_sw AS DOUBLE) / tot_s)
+                         * ln((CAST(c_sw AS DOUBLE) / tot_s)
+                           / (CAST(c_w AS DOUBLE) / tot)), 8)
+                         AS DECIMAL(18,8)) AS term
+                FROM srcCnt JOIN corpCnt USING (w)
+                JOIN srcTot USING (source) CROSS JOIN corpTot)
+      SELECT source, CAST(tot_s AS BIGINT) AS n_tokens,
+             round(CAST(SUM(term) AS DOUBLE), 6) AS kl
+      FROM terms GROUP BY 1, 2
+    """))
+
   val registry: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q100, q107,
       q109, q110, q111, q113, q114, q115, q120, q121, q123, q125,
-      q127, q128, q129, q131, q132)
+      q127, q128, q129, q131, q132, q137)
 }

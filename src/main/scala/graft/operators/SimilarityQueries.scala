@@ -560,6 +560,56 @@ object SimilarityQueries {
       FROM n CROSS JOIN hit CROSS JOIN hit2
     """))
 
+  /** LSH index-health telemetry: the bucket-occupancy skew statistics
+    * an operator watches BEFORE a 100 TB bucket-join — a hot bucket is
+    * tomorrow's straggler task (bucketed-join cost is Σ bucket², so
+    * max/avg occupancy is the early-warning signal that decides
+    * whether to add hyperplanes or salt the hot keys). One scan, one
+    * aggregate; every statistic is an integer or an integer ratio, so
+    * the report is engine-exact. */
+  private val q138 = Q(
+    "q138_lsh_bucket_skew",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val bucket = (0 until 8).map { p =>
+        when(dot(col("v"), planeSpark(p)) > 0.0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      e.withColumn("bucket", bucket)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .agg(asLongCol(count(lit(1))).as("n_buckets"),
+          asLongCol(sum(col("n"))).as("n_vecs"),
+          asLongCol(max(col("n"))).as("max_bucket"),
+          asLongCol(min(col("n"))).as("min_bucket"),
+          asLongCol(sum(col("n") * col("n"))).as("sum_sq"))
+        .select(col("n_buckets"), col("n_vecs"), col("max_bucket"),
+          col("min_bucket"),
+          round(col("max_bucket") * col("n_buckets")
+            / col("n_vecs").cast(DoubleType), 6).as("skew_ratio"),
+          col("sum_sq"))
+    },
+    Some {
+      val bits = (0 until 8).map { p =>
+        s"(CASE WHEN list_dot_product(v, ${planeDuck(p)}) > 0.0 " +
+          s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      b AS (SELECT $bits AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+            FROM e GROUP BY 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(SUM(n) AS BIGINT) AS n_vecs,
+             CAST(MAX(n) AS BIGINT) AS max_bucket,
+             CAST(MIN(n) AS BIGINT) AS min_bucket,
+             round(MAX(n) * COUNT(*) / CAST(SUM(n) AS DOUBLE), 6)
+               AS skew_ratio,
+             CAST(SUM(n * n) AS BIGINT) AS sum_sq
+      FROM b
+      """
+    })
+
   val registry: Seq[Q] = Seq(q53, q54, q55, q56, q57, q58, q59, q101,
-    q134)
+    q134, q138)
 }

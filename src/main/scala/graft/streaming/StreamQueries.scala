@@ -6,7 +6,7 @@ import java.util.UUID
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.{Q, Tables}
@@ -332,5 +332,64 @@ object StreamQueries {
       FROM j GROUP BY 1
     """))
 
-  val registry: Seq[Q] = Seq(q40, q41, q42, q43, q44, q117, q126)
+  /** Custom per-key streaming state via `mapGroupsWithState` — the
+    * KeyValueGroupedDataset escape hatch for state machines the
+    * built-in windowed aggregates can't express (SURVEY §2.7). The
+    * state here is a running (count, max) per user, updated once per
+    * micro-batch; the emitted rows are the state snapshots, so the
+    * final per-user maximum across batches equals the batch aggregate
+    * the oracle computes — which is exactly the replayability
+    * contract custom state must honor. Update-mode + memory sink;
+    * monotone state means a last-write-wins max() collapse over the
+    * per-batch snapshots is deterministic whatever the batch split.
+    * (Production note: state lives in the state store, partitioned by
+    * key — per-key memory is O(1), so the operator is stable at any
+    * stream length.) */
+  private val q139 = Q(
+    "q139_stateful_user_profile",
+    (s, dir) => {
+      Tables.tuned(s)
+      import s.implicits._
+      val name = "graft_state_" + UUID.randomUUID().toString.replace("-", "")
+      val src = s.readStream
+        .schema(eventsRawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(col("user_id"), col("value"))
+        .as[(Long, Double)]
+      val updated = src.groupByKey(_._1)
+        .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+          GroupStateTimeout.NoTimeout) {
+          case (uid, evs, state) =>
+            var (c, m) = state.getOption.getOrElse((0L, Double.NegativeInfinity))
+            evs.foreach { e =>
+              c += 1
+              if (e._2 > m) m = e._2
+            }
+            state.update((c, m))
+            (uid, c, m)
+        }
+        .toDF("user_id", "n_events", "max_value")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try updated.writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      query.awaitTermination()
+      s.table(name)
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("max_value")).as("max_value"))
+    },
+    Some("""
+      SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+      FROM events GROUP BY 1
+    """))
+
+  val registry: Seq[Q] = Seq(q40, q41, q42, q43, q44, q117, q126, q139)
 }
