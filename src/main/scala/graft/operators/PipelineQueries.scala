@@ -1183,8 +1183,48 @@ object PipelineQueries {
       FROM terms GROUP BY 1, 2
     """))
 
+  /** Incremental aggregate maintenance — the materialized-view update
+    * a 100 TB pipeline runs nightly: yesterday's aggregate (the base
+    * partition, pre-aggregated and stored) merges with today's delta
+    * batch via a full-outer join on the group key, combining partial
+    * states (counts add, decimal sums add, maxes take greatest)
+    * instead of re-scanning history. The oracle computes the same
+    * aggregate from scratch over base ∪ delta — asserting the merge
+    * law incremental maintenance depends on: merge(agg(A), agg(B)) =
+    * agg(A ∪ B). Exactness comes from mergeable state types only
+    * (BIGINT counts, DECIMAL(18,2) sums, max) — a mean or a distinct
+    * count would need count+sum / a sketch to merge correctly. */
+  private val q140 = Q(
+    "q140_incremental_agg",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      def part(f: org.apache.spark.sql.Column) = ev.filter(f)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).as("sv"),
+          max(col("value")).as("mx"))
+      val base = part(col("event_id") % 10 =!= 0)
+      val delta = part(col("event_id") % 10 === 0)
+      base.alias("b").join(delta.alias("d"), Seq("event_type"),
+          "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
+            .as("n"),
+          (coalesce(col("b.sv"), lit(0).cast(DecimalType(18, 2)))
+            + coalesce(col("d.sv"), lit(0).cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("sum_value"),
+          greatest(col("b.mx"), col("d.mx")).as("max_value"))
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             MAX(value) AS max_value
+      FROM events GROUP BY 1
+    """))
+
   val registry: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q100, q107,
       q109, q110, q111, q113, q114, q115, q120, q121, q123, q125,
-      q127, q128, q129, q131, q132, q137)
+      q127, q128, q129, q131, q132, q137, q140)
 }
