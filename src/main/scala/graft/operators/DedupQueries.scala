@@ -794,13 +794,20 @@ object DedupQueries {
       val exact = inc.join(hist.select(col("h")).distinct(), Seq("h"),
           "left_semi")
         .select(col("doc_id"))
+      // the HISTORY side of the band join ships only (doc_id, band)
+      // rows — at scale history dwarfs the shard, so its shingle sets
+      // must not ride the 4-way band explode; the incoming shard (the
+      // small side) carries its own shingles, and history's rejoin
+      // from the checkpointed signature table for candidate pairs only
       val incBands = inc.join(exact, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("sh"),
           posexplode(col("bands")).as(Seq("bi", "bh")))
       val histBands = hist
-        .select(col("doc_id").as("hid"), col("sh").as("hsh"),
+        .select(col("doc_id").as("hid"),
           posexplode(col("bands")).as(Seq("bi", "bh")))
       val near = incBands.join(histBands, Seq("bi", "bh"))
+        .join(hist.select(col("doc_id").as("hid"), col("sh").as("hsh"))
+          .hint("shuffle_hash"), "hid")
         .withColumn("inter", size(array_intersect(col("sh"), col("hsh"))))
         .withColumn("uni",
           size(col("sh")) + size(col("hsh")) - col("inter"))

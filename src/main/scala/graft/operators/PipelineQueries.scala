@@ -1141,8 +1141,12 @@ object PipelineQueries {
     (s, dir) => {
       val tok = t(s, dir, "documents")
         .select(col("source"), explode(TextOps.words(col("text"))).as("w"))
+      // the (source, word) counts feed FOUR consumers (term join,
+      // per-source totals, corpus counts, corpus total) — materialize
+      // once or the tokenize+explode+aggregate runs once per consumer
       val srcCnt = tok.groupBy(col("source"), col("w"))
         .agg(count(lit(1)).as("c_sw"))
+        .localCheckpoint()
       val srcTot = srcCnt.groupBy(col("source"))
         .agg(sum(col("c_sw")).as("tot_s"))
       val corpCnt = srcCnt.groupBy(col("w"))
@@ -1204,8 +1208,12 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 2))).as("sv"),
           max(col("value")).as("mx"))
-      val base = part(col("event_id") % 10 =!= 0)
-      val delta = part(col("event_id") % 10 === 0)
+      // null-safe split: a NULL event_id fails both `% 10 === 0` and
+      // `% 10 =!= 0`, which would silently drop the row from BOTH
+      // partitions and break the merge law the query demonstrates
+      val isDelta = coalesce(col("event_id") % 10 === 0, lit(true))
+      val base = part(!isDelta)
+      val delta = part(isDelta)
       base.alias("b").join(delta.alias("d"), Seq("event_type"),
           "full_outer")
         .select(col("event_type"),

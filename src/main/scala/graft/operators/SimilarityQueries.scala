@@ -462,10 +462,15 @@ object SimilarityQueries {
           round(dot(col("qm"), col("qm"))
             - lit(2) * dot(col("qm"), col("cw")) + col("cw2"), 6)
             .cast(DecimalType(18, 6)).as("ad2"))
+      // materialize the ADC ranking once — it feeds both the top-10
+      // and the top-100 shortlist, and its lineage holds the whole
+      // encode (scoring join + argmin window), the query's most
+      // expensive stage
       val adcRanked = codes.filter(col("vec_id") =!= 0)
         .join(broadcast(lut), Seq("m", "c_id"))
         .groupBy(col("vec_id"))
         .agg(sum(col("ad2")).as("adc"))
+        .localCheckpoint()
       val adcTop = adcRanked
         .orderBy(col("adc").asc, col("vec_id").asc)
         .limit(10)

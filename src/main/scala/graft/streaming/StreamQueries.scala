@@ -22,6 +22,22 @@ object StreamQueries {
   private def t(s: SparkSession, dir: String, n: String) =
     Tables.load(Tables.tuned(s), dir, n)
 
+  /** Start a streaming query with the session's shuffle partitions —
+    * which pin the stateful operators' state-store count at plan
+    * time — narrowed to 8 for the duration of `start()`: N stores ×
+    * 4 state files per commit is pure fixed overhead at bench volume,
+    * and a cluster deployment sets the real value via its own session
+    * conf. The previous setting is always restored (StreamExecution
+    * clones the session inside `start()`, so the narrowed value is
+    * captured synchronously). */
+  private def startNarrow(s: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Raw parquet schema of the events table as the streaming file source
     * sees it (ts arrives as nanos LongType under nanosAsLong). */
   private val eventsRawSchema = StructType(Seq(
@@ -143,17 +159,12 @@ object StreamQueries {
             .as("sum_value"))
         .select(unix_timestamp(col("window.start")).as("w_start"),
           col("n"), col("sum_value"))
-      // narrow state-store count for the local bench (q126 discipline)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val query =
-        try agg.writeStream
-          .outputMode("complete")
-          .format("memory")
-          .queryName(name)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val query = startNarrow(s)(agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start())
       query.awaitTermination()
       s.table(name)
     },
@@ -232,19 +243,12 @@ object StreamQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
             .as("sum_value"))
-      // two stateful ops x shuffle.partitions state stores is pure
-      // fixed overhead at this volume — run the stream narrow (q126
-      // discipline; the cluster conf governs real deployments)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val query =
-        try agg.writeStream
-          .outputMode("complete")
-          .format("memory")
-          .queryName(name)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val query = startNarrow(s)(agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start())
       query.awaitTermination()
       s.table(name)
     },
@@ -289,21 +293,12 @@ object StreamQueries {
         col("v_user") === col("a_user") &&
           col("a_ts") >= col("v_ts") &&
           col("a_ts") <= col("v_ts") + expr("INTERVAL 5 MINUTES"))
-      // The stateful join's state-store count is pinned at plan time by
-      // shuffle.partitions: 32 stores x 4 state files per commit is pure
-      // fixed overhead at this volume, so run the stream narrow (the
-      // per-partition state at cluster scale is set by the CLUSTER conf,
-      // not this local bench value), then restore the session setting.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val query =
-        try joined.writeStream
-          .outputMode("append")
-          .format("memory")
-          .queryName(name)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val query = startNarrow(s)(joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start())
       query.awaitTermination()
       s.table(name)
         .groupBy(col("v_user").as("user_id"))
@@ -364,22 +359,20 @@ object StreamQueries {
             var (c, m) = state.getOption.getOrElse((0L, Double.NegativeInfinity))
             evs.foreach { e =>
               c += 1
-              if (e._2 > m) m = e._2
+              // NaN is greatest, matching batch max()/the oracle's MAX
+              // (a bare `>` would silently drop NaN values)
+              if (!m.isNaN && (e._2.isNaN || e._2 > m)) m = e._2
             }
             state.update((c, m))
             (uid, c, m)
         }
         .toDF("user_id", "n_events", "max_value")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val query =
-        try updated.writeStream
-          .outputMode("update")
-          .format("memory")
-          .queryName(name)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val query = startNarrow(s)(updated.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start())
       query.awaitTermination()
       s.table(name)
         .groupBy(col("user_id"))
