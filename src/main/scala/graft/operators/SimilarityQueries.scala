@@ -615,6 +615,75 @@ object SimilarityQueries {
       """
     })
 
+  /** Scalar (int8) quantization — the other standard embedding
+    * compression: per-dimension min/max ranges (64 rows, one tiny
+    * aggregate broadcast back) map each float to an 8-bit code, 4×
+    * smaller with no codebook training; the query reports exact
+    * reconstruction error (mean/max MSE) and the compression
+    * accounting — the telemetry that decides SQ8-vs-PQ-vs-raw for a
+    * 100 TB vector corpus. Squared errors round to 12dp
+    * DECIMAL(18,12) before summing, so corpus-level error statistics
+    * are order-independent and engine-exact; constant dimensions
+    * (max = min) quantize to error zero instead of dividing by zero. */
+  private val q141 = Q(
+    "q141_scalar_quantization",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val vals = emb
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+        .localCheckpoint()
+      val rng = vals.groupBy(col("d"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val err = vals.join(broadcast(rng), "d")
+        .withColumn("q",
+          when(col("mx") === col("mn"), lit(0.0))
+            .otherwise(round((col("x") - col("mn")) * 255.0
+              / (col("mx") - col("mn")), 0)))
+        .withColumn("xr",
+          col("mn") + col("q") * (col("mx") - col("mn")) / 255.0)
+        .select(col("vec_id"),
+          round((col("x") - col("xr")) * (col("x") - col("xr")), 12)
+            .cast(DecimalType(18, 12)).as("e2"))
+      val perVec = err.groupBy(col("vec_id"))
+        .agg(sum(col("e2")).as("se2"))
+      perVec
+        .agg(asLongCol(count(lit(1))).as("n_vecs"),
+          sum(col("se2")).as("tot"), max(col("se2")).as("mxv"))
+        .select(col("n_vecs"),
+          round(col("tot").cast(DoubleType) / (col("n_vecs") * 64), 9)
+            .as("mse_mean"),
+          round(col("mxv").cast(DoubleType) / 64, 9).as("mse_max"),
+          (col("n_vecs") * 256).as("bytes_raw"),
+          (col("n_vecs") * 64).as("bytes_sq8"))
+    },
+    Some("""
+      WITH emb AS (SELECT vec_id,
+                          [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+                   FROM embeddings),
+      dims AS (SELECT unnest(range(64)) AS d),
+      vals AS (SELECT vec_id, d, v[CAST(d AS INT) + 1] AS x
+               FROM emb CROSS JOIN dims),
+      rng AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM vals GROUP BY 1),
+      err AS (SELECT vec_id,
+                     CAST(round((x - xr) * (x - xr), 12)
+                       AS DECIMAL(18,12)) AS e2
+              FROM (SELECT vec_id, x,
+                           mn + (CASE WHEN mx = mn THEN 0.0
+                                      ELSE round((x - mn) * 255.0
+                                        / (mx - mn), 0) END)
+                             * (mx - mn) / 255.0 AS xr
+                    FROM vals JOIN rng USING (d))),
+      perVec AS (SELECT vec_id, SUM(e2) AS se2 FROM err GROUP BY 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             round(CAST(SUM(se2) AS DOUBLE) / (COUNT(*) * 64), 9)
+               AS mse_mean,
+             round(CAST(MAX(se2) AS DOUBLE) / 64, 9) AS mse_max,
+             CAST(COUNT(*) AS BIGINT) * 256 AS bytes_raw,
+             CAST(COUNT(*) AS BIGINT) * 64 AS bytes_sq8
+      FROM perVec
+    """))
+
   val registry: Seq[Q] = Seq(q53, q54, q55, q56, q57, q58, q59, q101,
-    q134, q138)
+    q134, q138, q141)
 }
