@@ -1231,8 +1231,61 @@ object PipelineQueries {
       FROM events GROUP BY 1
     """))
 
+  /** Fuzzy key reconciliation — the dirty-dimension repair every
+    * ingest hits: observed entity keys (here 32-char md5-derived
+    * names, with a planted 1-char-deletion typo on every 11th
+    * document's key) must re-attach to their canonical row. All-pairs
+    * edit distance is O(n·m) and unshippable; candidates are blocked
+    * on the 4-char key prefix (equi-join — the only fan-out is
+    * prefix-bucket size), then verified with levenshtein <= 2, which
+    * both engines implement as plain edit distance. Output: per
+    * canonical key, how many observations attached exactly vs.
+    * fuzzily — the reconciliation report a pipeline emits before
+    * dropping unmatched rows. */
+  private val q142 = Q(
+    "q142_fuzzy_reconcile",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), md5(col("source")).as("k"))
+      val obs = docs.select(col("doc_id"), col("source"),
+        when(col("doc_id") % 11 === 0,
+          concat(substring(col("k"), 1, 4), substring(col("k"), 6, 27)))
+          .otherwise(col("k")).as("okey"))
+      val canon = docs.select(col("source").as("c_source"),
+        col("k").as("ckey")).distinct()
+      obs.join(broadcast(canon),
+          substring(col("okey"), 1, 4) === substring(col("ckey"), 1, 4) &&
+            levenshtein(col("okey"), col("ckey")) <= 2)
+        .groupBy(col("c_source"))
+        .agg(asLong(count(lit(1))).as("n_obs"),
+          asLong(sum((col("okey") === col("ckey")).cast(IntegerType)))
+            .as("n_exact"),
+          asLong(sum((col("okey") =!= col("ckey")).cast(IntegerType)))
+            .as("n_fuzzy"))
+    },
+    Some("""
+      WITH docs AS (SELECT doc_id, source, md5(source) AS k
+                    FROM documents),
+      obs AS (SELECT doc_id, source,
+                     CASE WHEN doc_id % 11 = 0
+                          THEN substr(k, 1, 4) || substr(k, 6, 27)
+                          ELSE k END AS okey
+              FROM docs),
+      canon AS (SELECT DISTINCT source AS c_source, k AS ckey FROM docs)
+      SELECT c_source,
+             CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(CASE WHEN okey = ckey THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact,
+             CAST(SUM(CASE WHEN okey != ckey THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fuzzy
+      FROM obs JOIN canon
+      ON substr(okey, 1, 4) = substr(ckey, 1, 4)
+         AND levenshtein(okey, ckey) <= 2
+      GROUP BY 1
+    """))
+
   val registry: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q100, q107,
       q109, q110, q111, q113, q114, q115, q120, q121, q123, q125,
-      q127, q128, q129, q131, q132, q137, q140)
+      q127, q128, q129, q131, q132, q137, q140, q142)
 }

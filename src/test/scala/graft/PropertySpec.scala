@@ -169,4 +169,32 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q141 SQ8 error respects the quantization-step bound") {
+    // per dimension, |x - reconstruct(x)| <= step/2 where
+    // step = (max-min)/255, so any vector's MSE <= max_d(step^2)/4
+    val r = run("q141_scalar_quantization").collect().head
+    val steps = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(((max(col("x")) - min(col("x"))) / 255.0).as("step"))
+      .agg(max(col("step") * col("step"))).collect().head.getDouble(0)
+    val bound = steps / 4.0 + 1e-9
+    assert(r.getAs[Double]("mse_max") <= bound,
+      s"mse_max ${r.getAs[Double]("mse_max")} exceeds step bound $bound")
+    assert(r.getAs[Double]("mse_mean") <= r.getAs[Double]("mse_max"))
+  }
+
+  test("q142 reconciliation is total and unambiguous") {
+    // every document's key attaches to exactly one canonical source:
+    // per-source n_obs sums to the corpus size, and exact+fuzzy
+    // partition each group's observations
+    val rows = run("q142_fuzzy_reconcile").collect()
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_obs")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") + r.getAs[Long]("n_fuzzy")
+        == r.getAs[Long]("n_obs"))
+    }
+  }
 }
