@@ -229,5 +229,55 @@ object MlQueries {
       FROM f
     """))
 
-  val registry: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q108)
+  /** Multimodal resize through the stubbed codec: each payload carries
+    * (w, h) metadata (here a fixed 16-byte row width), resizing halves
+    * both dimensions — a quarter of the byte budget — and the output
+    * is content-addressed (sha-256) like q64. The dimension/byte
+    * arithmetic is integer-exact and the resized payload is a
+    * deterministic byte slice, so the oracle reproduces the content
+    * ids bit-for-bit; a production deployment swaps the slice for a
+    * real scaler inside the same column contract
+    * (Multimodal.resizeStub). */
+  private val q143 = Q(
+    "q143_multimodal_resize",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"),
+          octet_length(col("text")).cast(LongType).as("n_bytes"))
+        .withColumn("w", lit(16L))
+        .withColumn("h", expr("(n_bytes + 15) div 16"))
+        .withColumn("new_w", lit(8L))
+        .withColumn("new_h", expr("(h + 1) div 2"))
+      d.withColumn("resized",
+          Multimodal.resizeStub(col("payload"), col("new_w"), col("new_h")))
+        .select(col("doc_id"), col("n_bytes"), col("w"), col("h"),
+          col("new_w"), col("new_h"),
+          least(col("new_w") * col("new_h"), col("n_bytes"))
+            .as("resized_bytes"),
+          sha2(col("resized"), 256).as("content_id"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS BIGINT)
+                          AS n_bytes,
+                        text
+                 FROM documents),
+      dims AS (SELECT doc_id, n_bytes, 16 AS w,
+                      (n_bytes + 15) // 16 AS h
+               FROM d),
+      r AS (SELECT doc_id, n_bytes, w, h, 8 AS new_w,
+                   (h + 1) // 2 AS new_h
+            FROM dims)
+      SELECT r.doc_id, r.n_bytes AS n_bytes,
+             CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+             CAST(new_w AS BIGINT) AS new_w,
+             CAST(new_h AS BIGINT) AS new_h,
+             CAST(LEAST(new_w * new_h, r.n_bytes) AS BIGINT)
+               AS resized_bytes,
+             sha256(substring(d.text, 1,
+               CAST(new_w * new_h AS INT))) AS content_id
+      FROM r JOIN d USING (doc_id)
+    """))
+
+  val registry: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q108, q143)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -59,6 +59,16 @@ object Multimodal {
       }
     }
   }
+
+  /** "Resize" stub over a binary payload with (w, h) metadata: halving
+    * both dimensions keeps a quarter of the byte budget, and the stub
+    * keeps the FIRST new_w x new_h bytes (deterministic,
+    * shape-correct). A real implementation decodes, scales, and
+    * re-encodes inside the same column contract; everything around
+    * the codec — dimension arithmetic, byte budget, content id — is
+    * real and oracle-checked (q143). */
+  def resizeStub(payload: Column, newW: Column, newH: Column): Column =
+    payload.substr(lit(1), (newW * newH).cast(IntegerType))
 
   /** "Frame sampling" stub over a binary payload: evenly spaced slices,
     * the plumbing a video pipeline needs (offsets/lengths are real,
