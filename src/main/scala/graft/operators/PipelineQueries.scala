@@ -1284,8 +1284,51 @@ object PipelineQueries {
       GROUP BY 1
     """))
 
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis): each document draws key = u^(1/w) from a
+    * salted-md5 uniform u and weight w (token count — longer
+    * documents proportionally likelier), and the sample is the global
+    * top-k by key. One scan + a TakeOrderedAndProject top-k — no
+    * shuffle of the corpus, no `rand()` (the same 20 documents are
+    * selected on any engine, run, or cluster size, and the sample is
+    * stable under appends of new doc_ids). The pow() keys round to
+    * 10dp with a doc_id tiebreak so ranking is engine-exact (q109
+    * ln-ulp discipline). This is the mixture-construction primitive
+    * behind quality-weighted corpus sampling. */
+  private val q144 = Q(
+    "q144_weighted_sample",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          asLong(size(TextOps.words(col("text")))).as("w"))
+      docs
+        .withColumn("u",
+          (md5Int32(concat(lit("ws|"), col("doc_id").cast(StringType)))
+            + lit(1)).cast(DoubleType) / 4294967297.0)
+        .withColumn("key", round(pow(col("u"), lit(1.0) / col("w")), 10))
+        .orderBy(col("key").desc, col("doc_id").asc)
+        .limit(20)
+        .select(col("doc_id"), col("w"), col("key"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id,
+               CAST(len(string_split(regexp_replace(trim(lower(text)),
+                 '\s+',' ','g'),' ')) AS BIGINT) AS w
+        FROM documents),
+      keyed AS (
+        SELECT doc_id, w,
+               round(pow(
+                 (('0x'||substr(md5('ws|'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+                  + 1) / 4294967297.0,
+                 1.0 / w), 10) AS key
+        FROM docs)
+      SELECT doc_id, w, key FROM keyed
+      ORDER BY key DESC, doc_id ASC LIMIT 20
+    """))
+
   val registry: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q100, q107,
       q109, q110, q111, q113, q114, q115, q120, q121, q123, q125,
-      q127, q128, q129, q131, q132, q137, q140, q142)
+      q127, q128, q129, q131, q132, q137, q140, q142, q144)
 }
