@@ -708,7 +708,181 @@ object AnalyticQueries {
       """
     })
 
+  /** Exponentially time-decayed aggregation — the freshness-weighted
+    * rollup behind trending metrics and decayed feature stores. The
+    * decay weight 0.5^(age_days/7) (7-day half-life, floor-of-day
+    * granularity, capped at 59 days) is materialized as a bank of 60
+    * pre-rounded DECIMAL(18,12) literals shared verbatim by both
+    * engines, so the weighted sum is EXACT decimal arithmetic —
+    * order- and partition-independent — where a naive exp() weight
+    * would differ in libm low bits between engines (and between
+    * cluster runs as partial-sum order shifts). The reference point
+    * (max ts) is a 1-row broadcast aggregate; the weight lookup is a
+    * codegen'd CASE chain, no join; the only shuffle is the final
+    * 5-group aggregate, map-side partially combined. */
+  private val q148 = {
+    val weights: Seq[(Int, String)] = (0 to 59).map { k =>
+      k -> BigDecimal(math.pow(0.5, k / 7.0))
+        .setScale(12, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toString
+    }
+    def litW(s: String) =
+      lit(new java.math.BigDecimal(s)).cast(DecimalType(18, 12))
+    val sparkW = weights.tail
+      .foldLeft(when(col("age_d") === 0, litW(weights.head._2))) {
+        case (acc, (k, s)) => acc.when(col("age_d") === k, litW(s))
+      }
+    val duckW = "CASE age_d " + weights.map { case (k, s) =>
+      s"WHEN $k THEN CAST($s AS DECIMAL(18,12))"
+    }.mkString(" ") + " END"
+    Q(
+      "q148_decayed_agg",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val maxTs = ev.agg(max(unix_micros(col("ts"))).as("max_us"))
+        ev.crossJoin(broadcast(maxTs))
+          .withColumn("age_d",
+            least(expr("(max_us - unix_micros(ts)) div 86400000000"),
+              lit(59L)))
+          .withColumn("w", sparkW)
+          .groupBy(col("event_type"))
+          .agg(asLong(count(lit(1))).as("n_events"),
+            sum(dec2(col("value"))).cast(DoubleType).as("sum_value"),
+            // round the EXACT decimal sum to 6 dp before the double
+            // cast: a scale-6 decimal's numerator fits in 2^53, so
+            // both engines' decimal->double conversion is the same
+            // correctly-rounded division (at scale 14 DuckDB's
+            // int128/10^14 path is off by 1 ulp)
+            round(sum(dec2(col("value")) * col("w")), 6).cast(DoubleType)
+              .as("decayed_sum"))
+      },
+      Some(s"""
+        WITH m AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
+        aged AS (
+          SELECT event_type, value,
+                 LEAST((max_us - epoch_us(ts)) // 86400000000, 59) AS age_d
+          FROM events, m)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               CAST(round(SUM(CAST(value AS DECIMAL(18,2)) * ($duckW)), 6)
+                    AS DOUBLE) AS decayed_sum
+        FROM aged GROUP BY 1
+      """))
+  }
+
+  /** SCD Type-2 interval construction — turn an append-only change log
+    * into validity intervals (the warehouse pattern for "what was this
+    * user's state at time T"). Each user's events become
+    * [valid_from, valid_to) rows via a lead() window (one shuffle,
+    * partitioned by user — at 100 TB each user's log sorts
+    * independently inside its partition, no global sort); the open
+    * interval (lead is null) is the current state. Timestamps surface
+    * as epoch-micros BIGINT so both engines compare exact integers. */
+  private val q149 = Q(
+    "q149_scd2_intervals",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .filter(col("user_id") < 10)
+        .withColumn("valid_from_us", unix_micros(col("ts")))
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("valid_from_us"), col("valid_to_us"),
+          col("valid_to_us").isNull.as("is_current"),
+          expr("(valid_to_us - valid_from_us) div 1000000").as("duration_s"))
+    },
+    Some("""
+      SELECT user_id, event_type AS state,
+             epoch_us(ts) AS valid_from_us,
+             LEAD(epoch_us(ts)) OVER w AS valid_to_us,
+             (LEAD(epoch_us(ts)) OVER w) IS NULL AS is_current,
+             (LEAD(epoch_us(ts)) OVER w - epoch_us(ts)) // 1000000
+               AS duration_s
+      FROM events WHERE user_id < 10
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """))
+
+  /** Salted equi-join — the skew-mitigation pattern for big-big joins
+    * whose key distribution is hot (when AQE's runtime skew split
+    * isn't available or the build side is too big to broadcast but
+    * small enough to replicate R-fold): the dimension side replicates
+    * across R=8 salt values, the fact side assigns each row a
+    * deterministic salt from a row-unique attribute (salted-md5,
+    * never rand() — reproducible across runs and engines), and the
+    * join key becomes (key, salt), spreading each hot key over 8
+    * shuffle partitions. Joining on the composite key is exactly
+    * equivalent to the plain join because every fact row matches
+    * precisely the one replica carrying its salt — which is what the
+    * plain-join oracle certifies. shuffle_hash hint models the
+    * too-big-to-broadcast regime the pattern exists for. */
+  private val q150 = Q(
+    "q150_salted_join",
+    (s, dir) => {
+      val r = 8
+      val partRep = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"),
+          explode(sequence(lit(0), lit(r - 1))).as("salt"))
+      val li = t(s, dir, "lineitem")
+        .withColumn("salt",
+          pmod(graft.functions.Exprs.md5Int32(
+            concat(col("l_orderkey").cast(StringType), lit("_"),
+              col("l_linenumber").cast(StringType))), lit(r)))
+      li.join(partRep.hint("shuffle_hash"),
+          li("l_partkey") === partRep("p_partkey") &&
+            li("salt") === partRep("salt"))
+        .groupBy(col("p_brand"))
+        .agg(asLong(count(lit(1))).as("n_items"),
+          sum(dec2(col("l_extendedprice"))
+            * (lit(1) - dec2(col("l_discount"))))
+            .cast(DoubleType).as("revenue"))
+    },
+    Some("""
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1
+    """))
+
+  /** Retention cohort matrix — the product-analytics staple: users
+    * cohorted by first-activity day, activity bucketed into week
+    * offsets from that day. First-activity comes from a min() window
+    * over user_id (ONE shuffle on user_id serves both the cohort
+    * assignment and the offset computation — no self-join back to a
+    * per-user aggregate), and all arithmetic is integer epoch-day
+    * math, exact on any engine. Distinct-user counts are the
+    * partial-aggregatable COUNT(DISTINCT) over (cohort, offset)
+    * groups. */
+  private val q151 = Q(
+    "q151_retention_cohorts",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      t(s, dir, "events")
+        .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+        .withColumn("first_day", min(col("day")).over(w))
+        .withColumn("week_offset", expr("(day - first_day) div 7"))
+        .groupBy(col("first_day").as("cohort_day"), col("week_offset"))
+        .agg(asLong(countDistinct(col("user_id"))).as("n_users"),
+          asLong(count(lit(1))).as("n_events"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      f AS (
+        SELECT user_id, day,
+               MIN(day) OVER (PARTITION BY user_id) AS first_day
+        FROM d)
+      SELECT first_day AS cohort_day, (day - first_day) // 7 AS week_offset,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM f GROUP BY 1, 2
+    """))
+
   val registry: Seq[Q] = Seq(q66, q67, q68, q69, q75, q76, q77, q78,
     q79, q80, q81, q102, q104, q105, q106, q116, q118, q119, q122,
-    q135)
+    q135, q148, q149, q150, q151)
 }

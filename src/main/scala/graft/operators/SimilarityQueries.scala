@@ -684,6 +684,167 @@ object SimilarityQueries {
       FROM perVec
     """))
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): embed, cluster, and drop all-but-one of every
+    * within-cluster group of semantically near-identical points.
+    * Clusters here are the engine's deterministic hyperplane-LSH
+    * buckets (data-independent stand-in for the paper's k-means —
+    * q60 covers trained clustering); candidate pairs come ONLY from
+    * within-bucket equi-joins, so the comparison cost is
+    * O(n x bucket_size), never all-pairs — the property that makes
+    * semantic dedup runnable on a 100 TB embedding corpus. The corpus
+    * plants 25 deterministically perturbed copies (one component
+    * nudged by +0.02) so near-dup — not just exact-dup — semantics
+    * are exercised: planted cosine is ~0.9997-0.9999, below 1.0 but
+    * above the 0.99 threshold. Keep rule is greedy-by-id (drop any
+    * vector that has a lower-id neighbour at >= threshold) — fully
+    * deterministic and engine-reproducible, unlike centroid-distance
+    * keep rules that tie-break on float noise. Output: each dropped
+    * vector with its lowest-id keeper and that pair's similarity. */
+  private val q145 = Q(
+    "q145_semdedup",
+    (s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val planted = base.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 200000).as("vec_id"),
+          transform(col("v"), (x, i) =>
+            when(i === 0, x + lit(0.02)).otherwise(x)).as("v"))
+      val corpus = base.unionByName(planted)
+      val bucket = (0 until 8).map { p =>
+        when(dot(col("v"), planeSpark(p)) > 0.0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val b = corpus.withColumn("bucket", bucket).localCheckpoint()
+      b.alias("a")
+        .join(b.alias("c"),
+          col("a.bucket") === col("c.bucket") &&
+            col("a.vec_id") < col("c.vec_id"))
+        .withColumn("sim", cosine(col("a.v"), col("c.v")))
+        .filter(col("sim") >= 0.99)
+        .groupBy(col("c.vec_id").as("dropped_id"))
+        .agg(min(col("a.vec_id")).as("kept_id"),
+          round(max(col("sim")), 5).as("max_sim"))
+    },
+    Some {
+      val bits = (0 until 8).map { p =>
+        s"(CASE WHEN list_dot_product(v, ${planeDuck(p)}) > 0.0 " +
+          s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      corpus AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        SELECT vec_id + 200000 AS vec_id,
+               [CASE WHEN i = 0 THEN v[i+1] + 0.02 ELSE v[i+1] END
+                FOR i IN range(${DIM})] AS v
+        FROM base WHERE vec_id < 25),
+      b AS (SELECT vec_id, v, $bits AS bucket FROM corpus),
+      pairs AS (
+        SELECT a.vec_id AS kid, c.vec_id AS did,
+               list_dot_product(a.v, c.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(c.v, c.v))) AS sim
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+      SELECT did AS dropped_id, MIN(kid) AS kept_id,
+             round(MAX(sim), 5) AS max_sim
+      FROM pairs WHERE sim >= 0.99 GROUP BY 1
+      """
+    })
+
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * probe, the most-similar vectors whose LABEL DIFFERS (the
+    * "hardest" negatives, the pairs that sharpen a contrastive or
+    * reranker objective most). Plan shape matches q54: the 8-row probe
+    * side broadcasts, scoring runs map-side over the corpus scan, and
+    * the per-probe top-3 is a rank window over probe_id — at 100 TB
+    * the corpus never shuffles, only the (probes x 3)-row result
+    * does. */
+  private val q146 = Q(
+    "q146_hard_negatives",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val probes = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+          col("v").as("pv"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      e.crossJoin(broadcast(probes))
+        .filter(col("label") =!= col("probe_label"))
+        .withColumn("sim", cosine(col("v"), col("pv")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("probe_id"), col("vec_id"),
+          asLongCol(col("label")).as("neg_label"),
+          round(col("sim"), 5).as("sim"), asLongCol(col("rn")).as("rn"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      probes AS (SELECT vec_id AS probe_id, label AS probe_label, v AS pv
+                 FROM e WHERE vec_id < 8),
+      scored AS (
+        SELECT probe_id, vec_id, label, $duckCos AS sim
+        FROM e, probes WHERE label <> probe_label),
+      ranked AS (
+        SELECT probe_id, vec_id, label, sim,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, vec_id ASC) AS rn
+        FROM scored)
+      SELECT probe_id, vec_id, CAST(label AS BIGINT) AS neg_label,
+             round(sim, 5) AS sim, CAST(rn AS BIGINT) AS rn
+      FROM ranked WHERE rn <= 3
+    """))
+
+  /** Per-label centroid similarity matrix — the class-overlap
+    * diagnostic for labeled embedding corpora (which classes are
+    * entangled, which splits are trivial). Centroid cosine equals the
+    * cosine of the per-label SUM vector (the 1/n scaling cancels in
+    * the quotient), so the engine never divides: elements are cast to
+    * DECIMAL(18,12) and summed EXACTLY per (label, dim) — decimal
+    * sums are order- and partition-independent, where double sums
+    * would differ between engines and between cluster runs. The sums
+    * shuffle as slim (label, dim, sum) rows — 10 labels x 64 dims =
+    * 640 rows regardless of corpus size — then reassemble into
+    * ordered vectors and score the 45 label pairs. At 100 TB the only
+    * shuffle is the 640-row partial-aggregated sum. */
+  private val q147 = Q(
+    "q147_centroid_similarity",
+    (s, dir) => {
+      val sums = t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy(col("label"), col("d"))
+        .agg(sum(col("x").cast(DoubleType).cast(DecimalType(18, 12))).as("sx"))
+      val cents = sums.groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("d"), col("sx")))),
+          e => e.getField("sx").cast(DoubleType)).as("cv"))
+        .localCheckpoint()
+      cents.alias("a")
+        .join(cents.alias("b"), col("a.label") < col("b.label"))
+        .select(asLongCol(col("a.label")).as("label_a"),
+          asLongCol(col("b.label")).as("label_b"),
+          round(cosine(col("a.cv"), col("b.cv")), 5).as("sim"))
+    },
+    Some(s"""
+      WITH sums AS (
+        SELECT label, i AS d,
+               SUM(CAST(CAST(v[i+1] AS DOUBLE) AS DECIMAL(18,12))) AS sx
+        FROM (SELECT label, embedding AS v FROM embeddings),
+             range(${DIM}) t(i)
+        GROUP BY 1, 2),
+      cents AS (
+        SELECT label, list(CAST(sx AS DOUBLE) ORDER BY d) AS cv
+        FROM sums GROUP BY 1)
+      SELECT CAST(a.label AS BIGINT) AS label_a,
+             CAST(b.label AS BIGINT) AS label_b,
+             round(list_dot_product(a.cv, b.cv) /
+               (sqrt(list_dot_product(a.cv, a.cv)) *
+                sqrt(list_dot_product(b.cv, b.cv))), 5) AS sim
+      FROM cents a JOIN cents b ON a.label < b.label
+    """))
+
   val registry: Seq[Q] = Seq(q53, q54, q55, q56, q57, q58, q59, q101,
-    q134, q138, q141)
+    q134, q138, q141, q145, q146, q147)
 }
