@@ -49,8 +49,27 @@ object SimilarityQueries {
     "list_dot_product(v, pv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv)))"
 
   /** Deterministic pseudo-random hyperplane component r(p,i) in [-1,1],
-    * reproducible on any engine with md5. */
-  private def planeSpark(p: Int): Column =
+    * reproducible on any engine with md5. The plane depends only on
+    * (p, i) — compile-time constants — so it is evaluated HERE, at
+    * query-build time, and shipped as a literal array: higher-order
+    * functions over literal sequences don't constant-fold in Catalyst,
+    * and the expression form was recomputing 8 planes x 64 md5 = 512
+    * md5 digests PER ROW in every LSH query (~1M digests per million
+    * scanned rows per plane bank — pure waste at 100 TB).
+    * `planeSparkExpr` keeps the runtime-expression form;
+    * SemanticOpsSpec pins literal == expression per plane. */
+  private[operators] def planeVals(p: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until DIM).map { i =>
+      val hex = md.digest(s"${p}_$i".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 2001 - 1000).toDouble / 1000.0
+    }
+  }
+
+  private def planeSpark(p: Int): Column = typedlit(planeVals(p))
+
+  private[operators] def planeSparkExpr(p: Int): Column =
     transform(sequence(lit(0), lit(DIM - 1)), i =>
       (conv(substring(md5(concat(lit(s"${p}_"), i.cast(StringType))), 1, 8),
         16, 10).cast(LongType) % 2001 - 1000).cast(DoubleType) / 1000.0)

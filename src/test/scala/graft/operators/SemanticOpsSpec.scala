@@ -49,6 +49,19 @@ class SemanticOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("literal LSH planes equal the md5 expression they precompute") {
+    // the literal arrays shipped into every LSH query must stay
+    // bit-identical to the md5 expression form the DuckDB oracles
+    // still compute — this is what keeps the fold-at-build-time
+    // optimization differentially honest
+    (0 until 8).foreach { p =>
+      val fromExpr = spark.range(1)
+        .select(SimilarityQueries.planeSparkExpr(p).as("v"))
+        .head.getSeq[Double](0)
+      assert(fromExpr == SimilarityQueries.planeVals(p), s"plane $p")
+    }
+  }
+
   test("q147_centroid_similarity covers all label pairs with bounded sims") {
     val rows = run("q147_centroid_similarity")
     val labels = spark.read.parquet(s"$dir/embeddings.parquet")
