@@ -882,7 +882,129 @@ object AnalyticQueries {
       FROM f GROUP BY 1, 2
     """))
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the sequence model behind next-action prediction and
+    * session anomaly scoring. The lag pairing is a lead() window
+    * inside each user's partition (same single user_id shuffle shape
+    * as q149/q151); transition probability is the count divided by
+    * the source-state row total via a window over the 25-row
+    * aggregate — integer inputs, so the double division is
+    * bit-identical on any engine. */
+  private val q152 = Q(
+    "q152_markov_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wCur = Window.partitionBy(col("cur"))
+      t(s, dir, "events")
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(asLong(count(lit(1))).as("n"))
+        .withColumn("p",
+          round(col("n") / sum(col("n")).over(wCur), 6))
+    },
+    Some("""
+      WITH s AS (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC) AS nxt
+        FROM events),
+      c AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+      SELECT cur, nxt, n,
+             round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY cur), 6)
+               AS p
+      FROM c
+    """))
+
+  /** User inactivity tiers — the lapsed-user report feeding
+    * re-engagement pipelines: users bucketed by days since their last
+    * event (capped at 2+, matching the corpus's activity density),
+    * with cohort size and exact engagement volume per tier. One
+    * groupBy(user) aggregate then a 3-row rollup; the global
+    * reference day is a 1-row broadcast. All integer day math. */
+  private val q153 = Q(
+    "q153_inactivity_tiers",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val maxDay = ev.agg(max(expr("unix_micros(ts) div 86400000000"))
+        .as("max_day"))
+      ev.groupBy(col("user_id"))
+        .agg(max(expr("unix_micros(ts) div 86400000000")).as("last_day"),
+          min(expr("unix_micros(ts) div 86400000000")).as("first_day"),
+          count(lit(1)).as("n"))
+        .crossJoin(broadcast(maxDay))
+        .withColumn("tier", least(col("max_day") - col("last_day"), lit(2L)))
+        .groupBy(col("tier"))
+        .agg(asLong(count(lit(1))).as("n_users"),
+          asLong(sum(col("n"))).as("n_events"),
+          round(avg(col("last_day") - col("first_day")), 6)
+            .as("avg_span_days"))
+    },
+    Some("""
+      WITH m AS (SELECT MAX(epoch_us(ts)) // 86400000000 AS max_day
+                 FROM events),
+      u AS (SELECT user_id,
+                   MAX(epoch_us(ts)) // 86400000000 AS last_day,
+                   MIN(epoch_us(ts)) // 86400000000 AS first_day,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1)
+      SELECT LEAST(max_day - last_day, 2) AS tier,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             round(AVG(last_day - first_day), 6) AS avg_span_days
+      FROM u, m GROUP BY 1
+    """))
+
+  /** Triangle counting on the co-purchase graph — the graph-cohesion
+    * metric (clustering coefficient numerator) over items bought
+    * together. Edges materialize ONCE from a per-order self-join
+    * (co-location on l_orderkey — at scale this shuffles lineitem by
+    * order key once) and are deduped; the triangle enumeration is the
+    * standard two-hop join closed by a third edge, with every edge
+    * oriented s < t so each triangle counts exactly once. The vertex
+    * set is bounded to partkeys < 300 — triangle joins cost
+    * Σ deg(v)², so a production run shards by degree or samples; the
+    * bounded subgraph keeps the oracle differential while exercising
+    * the identical plan shape. */
+  private val q154 = Q(
+    "q154_triangle_count",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") < 300)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.alias("a")
+        .join(li.alias("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("s"), col("b.l_partkey").as("t"))
+        .distinct()
+        .localCheckpoint()
+      val tri = e.alias("e1")
+        .join(e.alias("e2"), col("e1.t") === col("e2.s"))
+        .join(e.alias("e3"),
+          col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
+        .agg(asLong(count(lit(1))).as("n_triangles"))
+      e.agg(asLong(count(lit(1))).as("n_edges"),
+        asLong(countDistinct(col("s"))).as("n_sources"))
+        .crossJoin(broadcast(tri))
+    },
+    Some("""
+      WITH e AS (
+        SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey < 300 AND b.l_partkey < 300)
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+             (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) FROM e) AS n_sources,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM e e1 JOIN e e2 ON e1.t = e2.s
+                        JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t)
+               AS n_triangles
+    """))
+
   val registry: Seq[Q] = Seq(q66, q67, q68, q69, q75, q76, q77, q78,
     q79, q80, q81, q102, q104, q105, q106, q116, q118, q119, q122,
-    q135, q148, q149, q150, q151)
+    q135, q148, q149, q150, q151, q152, q153, q154)
 }

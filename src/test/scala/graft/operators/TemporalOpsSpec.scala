@@ -47,6 +47,47 @@ class TemporalOpsSpec extends AnyFunSuite {
       s"salt pattern must exercise the shuffle-join regime, got:\n$plan")
   }
 
+  test("q152_markov_transitions: outgoing probabilities sum to 1 per state") {
+    val rows = df("q152_markov_transitions").collect()
+      .map(r => (r.getAs[String]("cur"), r.getAs[Double]("p")))
+    rows.groupBy(_._1).foreach { case (cur, rs) =>
+      val total = rs.map(_._2).sum
+      assert(math.abs(total - 1.0) < 1e-4, s"$cur sums to $total")
+    }
+  }
+
+  test("q153_inactivity_tiers: tiers partition the user base exactly") {
+    val rows = df("q153_inactivity_tiers").collect()
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").distinct().count()
+    val events = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == users)
+    assert(rows.map(_.getAs[Long]("n_events")).sum == events)
+  }
+
+  test("q154_triangle_count matches a local adjacency-set recount") {
+    val row = df("q154_triangle_count").collect().head
+    // independent recount: undirected adjacency intersection, each
+    // triangle (a<b<c) found once via its (a,b) edge
+    import spark.implicits._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter($"l_partkey" < 300)
+      .select($"l_orderkey".as[Long], $"l_partkey".as[Long]).collect()
+    val byOrder = li.groupBy(_._1).values
+    val edges = byOrder.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val out = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val tri = edges.toSeq.map { case (a, b) =>
+      out.getOrElse(a, Set.empty[Long])
+        .count(c => out.getOrElse(b, Set.empty[Long]).contains(c))
+    }.sum
+    assert(row.getAs[Long]("n_edges") == edges.size)
+    assert(row.getAs[Long]("n_triangles") == tri)
+  }
+
   test("q151_retention_cohorts: every cohort has a week-0 row covering it") {
     val rows = df("q151_retention_cohorts").collect()
       .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("week_offset"),
