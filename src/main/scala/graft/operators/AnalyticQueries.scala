@@ -1004,7 +1004,118 @@ object AnalyticQueries {
                AS n_triangles
     """))
 
+  /** Full outer join reconciliation — the audit pattern for comparing
+    * two independently-derived views of the same key space (billing
+    * vs. ledger, yesterday vs. today): keys present on either side
+    * survive, presence flags classify matched / left-only /
+    * right-only. Key-bounded on both sides so the report is
+    * human-sized; the join itself is the one shuffle. Completes the
+    * engine's join-type family (inner/left/semi/anti/as-of/range/
+    * salted + full outer). */
+  private val q155 = Q(
+    "q155_full_outer_reconcile",
+    (s, dir) => {
+      val bought = t(s, dir, "orders")
+        .filter(col("o_custkey") < 200)
+        .groupBy(col("o_custkey"))
+        .agg(asLong(count(lit(1))).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast(DoubleType).as("spend"))
+      val flagged = t(s, dir, "customer")
+        .filter(col("c_custkey") < 300 && col("c_acctbal") < 0)
+        .select(col("c_custkey"), dec2(col("c_acctbal"))
+          .cast(DoubleType).as("acctbal"))
+      bought.join(flagged,
+          bought("o_custkey") === flagged("c_custkey"), "full_outer")
+        .select(
+          coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+          col("o_custkey").isNotNull.as("has_orders"),
+          col("c_custkey").isNotNull.as("is_flagged"),
+          col("n_orders"), col("spend"), col("acctbal"))
+    },
+    Some("""
+      WITH bought AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS spend
+        FROM orders WHERE o_custkey < 200 GROUP BY 1),
+      flagged AS (
+        SELECT c_custkey,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+        FROM customer WHERE c_custkey < 300 AND c_acctbal < 0)
+      SELECT COALESCE(o_custkey, c_custkey) AS custkey,
+             o_custkey IS NOT NULL AS has_orders,
+             c_custkey IS NOT NULL AS is_flagged,
+             n_orders, spend, acctbal
+      FROM bought FULL OUTER JOIN flagged ON o_custkey = c_custkey
+    """))
+
+  /** Correlation / regression from EXACT decimal moments — corr,
+    * covariance, and OLS slope/intercept computed from
+    * decimal-summed (Σx, Σy, Σxy, Σx², n) rather than the engines'
+    * built-in streaming co-moment aggregates, whose double
+    * accumulation is partition-order-dependent (two cluster runs of
+    * builtin corr() can disagree in low bits; two ENGINES certainly
+    * do). Exact integer/decimal moments make the derived statistics
+    * bit-identical everywhere — the same map-side-combinable
+    * one-pass shape, same single shuffle. */
+  private val q156 = Q(
+    "q156_corr_regression",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // moments are EXACT decimals; surface to double (one cast each)
+      // and evaluate the closed-form statistics in double space — both
+      // engines then run the identical float computation on identical
+      // inputs, where a decimal-space formula would hit each engine's
+      // different >38-digit precision-loss rules
+      val m = li.agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(dec2(col("l_quantity"))).cast(DoubleType).as("sx"),
+        sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("sy"),
+        sum(dec2(col("l_quantity")) * dec2(col("l_extendedprice")))
+          .cast(DoubleType).as("sxy"),
+        sum(dec2(col("l_quantity")) * dec2(col("l_quantity")))
+          .cast(DoubleType).as("sxx"),
+        sum(dec2(col("l_extendedprice")) * dec2(col("l_extendedprice")))
+          .cast(DoubleType).as("syy"))
+      m.select(asLong(col("n")).as("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("corr_qty_price"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("slope"),
+        round((col("sy") - col("sx") *
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n"), 6)
+          .as("intercept"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sxy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS syy
+        FROM lineitem)
+      SELECT CAST(n AS BIGINT) AS n,
+             round((n * sxy - sx * sy) /
+               sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS corr_qty_price,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+             round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx)))
+               / n, 6) AS intercept
+      FROM m
+    """))
+
   val registry: Seq[Q] = Seq(q66, q67, q68, q69, q75, q76, q77, q78,
     q79, q80, q81, q102, q104, q105, q106, q116, q118, q119, q122,
-    q135, q148, q149, q150, q151, q152, q153, q154)
+    q135, q148, q149, q150, q151, q152, q153, q154, q155, q156)
 }

@@ -88,6 +88,40 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_triangles") == tri)
   }
 
+  test("q155_full_outer_reconcile preserves both sides' keys") {
+    val rows = df("q155_full_outer_reconcile").collect()
+    val matched = rows.count(r =>
+      r.getAs[Boolean]("has_orders") && r.getAs[Boolean]("is_flagged"))
+    val leftOnly = rows.count(r =>
+      r.getAs[Boolean]("has_orders") && !r.getAs[Boolean]("is_flagged"))
+    val rightOnly = rows.count(r =>
+      !r.getAs[Boolean]("has_orders") && r.getAs[Boolean]("is_flagged"))
+    assert(matched + leftOnly + rightOnly == rows.length)
+    // both sides' key sets survive the full outer join exactly
+    import org.apache.spark.sql.functions.col
+    val nLeft = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_custkey") < 200).select("o_custkey").distinct().count()
+    val nRight = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_custkey") < 300 && col("c_acctbal") < 0).count()
+    assert(matched + leftOnly == nLeft)
+    assert(matched + rightOnly == nRight)
+    assert(leftOnly > 0, "needs unmatched left keys")
+    rows.foreach(r => assert(!r.isNullAt(r.fieldIndex("custkey"))))
+  }
+
+  test("q156_corr_regression agrees with Spark's builtin corr") {
+    import org.apache.spark.sql.functions.{corr => sparkCorr, col}
+    val row = df("q156_corr_regression").collect().head
+    val c = row.getAs[Double]("corr_qty_price")
+    assert(c >= -1.0 && c <= 1.0)
+    val builtin = spark.read.parquet(s"$dir/lineitem.parquet")
+      .agg(sparkCorr(col("l_quantity"), col("l_extendedprice")))
+      .head.getDouble(0)
+    // builtin is a streaming co-moment (order-dependent); exact-moment
+    // result must agree to float tolerance
+    assert(math.abs(c - builtin) < 1e-6, s"exact=$c builtin=$builtin")
+  }
+
   test("q151_retention_cohorts: every cohort has a week-0 row covering it") {
     val rows = df("q151_retention_cohorts").collect()
       .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("week_offset"),
