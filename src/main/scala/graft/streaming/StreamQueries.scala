@@ -384,5 +384,71 @@ object StreamQueries {
       FROM events GROUP BY 1
     """))
 
-  val registry: Seq[Q] = Seq(q40, q41, q42, q43, q44, q117, q126, q139)
+  /** Streaming session windows: the native `session_window` gap
+    * aggregation (dynamic, per-key merging windows — state that grows
+    * and MERGES, unlike fixed tumbling buckets) over the event-time
+    * stream, drained with AvailableNow into a memory sink. Complete
+    * mode so the final table carries every session (append would
+    * withhold sessions the terminal watermark hasn't closed).
+    * Session semantics are Spark's strict overlap-merge: a new
+    * session starts when the gap is >= 10 minutes, which is exactly
+    * what the oracle's island SQL encodes (`diff >= gap`, not `>`).
+    * The user_id < 40 predicate prunes at the stream's file source.
+    * Windows surface as epoch-micros (end = last event + gap). */
+  private val q157 = Q(
+    "q157_stream_session",
+    (s, dir) => {
+      Tables.tuned(s)
+      val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
+      val src = s.readStream
+        .schema(eventsRawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("user_id") < 40)
+      val agg = src
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("s_start_us"),
+          unix_micros(col("session_window.end")).as("s_end_us"),
+          col("n_events"), col("sum_value"))
+      val query = startNarrow(s)(agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start())
+      query.awaitTermination()
+      s.table(name)
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS us
+        FROM events WHERE user_id < 40),
+      flagged AS (
+        SELECT user_id, event_id, value, us,
+               CASE WHEN lag(us, 1) OVER w IS NULL
+                    OR us - lag(us, 1) OVER w >= 600000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      sessions AS (
+        SELECT user_id, value, us,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS seq
+        FROM flagged)
+      SELECT user_id, MIN(us) AS s_start_us,
+             MAX(us) + 600000000 AS s_end_us,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM sessions GROUP BY user_id, seq
+    """))
+
+  val registry: Seq[Q] = Seq(q40, q41, q42, q43, q44, q117, q126, q139,
+    q157)
 }
