@@ -1115,7 +1115,117 @@ object AnalyticQueries {
       FROM m
     """))
 
+  /** Winsorized and trimmed aggregation — the outlier-robust rollup
+    * (metric pipelines clip; billing reconciliation trims). Per-group
+    * [p05, p95] bounds come from one exact interpolated-percentile
+    * aggregate (same engine agreement q74 pins), rounded to 2 dp and
+    * re-cast to DECIMAL so the clipped sum is EXACT decimal
+    * arithmetic (a double sum of clipped values would be
+    * partition-order-dependent). Rounding a double at scale 2 is
+    * uniquely determined on any engine: the .xx5 boundaries have a
+    * 5² denominator, so no double ever sits exactly on one. Bounds
+    * broadcast back; both the winsorized and trimmed variants ride
+    * the same single re-aggregation. */
+  private val q158 = Q(
+    "q158_winsorized_agg",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val bounds = ev.groupBy(col("event_type"))
+        .agg(round(percentile(col("value"), lit(0.05)), 2)
+          .cast(DecimalType(18, 2)).as("lo"),
+          round(percentile(col("value"), lit(0.95)), 2)
+            .cast(DecimalType(18, 2)).as("hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .withColumn("clipped",
+          least(greatest(dec2(col("value")), col("lo")), col("hi")))
+        .groupBy(col("event_type"))
+        .agg(asLong(count(lit(1))).as("n"),
+          round(sum(col("clipped")).cast(DoubleType) / count(lit(1)), 6)
+            .as("winsorized_mean"),
+          asLong(count(when(dec2(col("value")).between(col("lo"), col("hi")),
+            1))).as("n_kept"),
+          round(sum(when(dec2(col("value")).between(col("lo"), col("hi")),
+            dec2(col("value")))).cast(DoubleType) /
+            count(when(dec2(col("value")).between(col("lo"), col("hi")), 1)),
+            6).as("trimmed_mean"))
+    },
+    Some("""
+      WITH bounds AS (
+        SELECT event_type,
+               CAST(round(quantile_cont(value, 0.05), 2) AS DECIMAL(18,2))
+                 AS lo,
+               CAST(round(quantile_cont(value, 0.95), 2) AS DECIMAL(18,2))
+                 AS hi
+        FROM events GROUP BY 1),
+      j AS (
+        SELECT e.event_type, CAST(value AS DECIMAL(18,2)) AS v, lo, hi,
+               LEAST(GREATEST(CAST(value AS DECIMAL(18,2)), lo), hi)
+                 AS clipped
+        FROM events e JOIN bounds b USING (event_type))
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             round(CAST(SUM(clipped) AS DOUBLE) / COUNT(*), 6)
+               AS winsorized_mean,
+             CAST(COUNT(*) FILTER (v BETWEEN lo AND hi) AS BIGINT)
+               AS n_kept,
+             round(CAST(SUM(v) FILTER (v BETWEEN lo AND hi) AS DOUBLE)
+               / COUNT(*) FILTER (v BETWEEN lo AND hi), 6) AS trimmed_mean
+      FROM j GROUP BY 1
+    """))
+
+  /** 2-D skyline (Pareto frontier): the cheapest-for-its-size part
+    * set — points no other point beats on BOTH price (minimize) and
+    * size (maximize). Computed in ONE sorted pass, not an O(n²)
+    * dominance self-join: reduce to distinct (price, size) pairs with
+    * multiplicity, keep each price's best size, then a running-max
+    * window over ascending price marks survivors (dominated iff some
+    * strictly-cheaper price already achieved >= size). The global
+    * window runs AFTER per-price reduction — at scale the groupBy
+    * prunes to |distinct prices| candidates first, and a
+    * partition-local skyline pre-pass would bound it further; the
+    * dominance logic is unchanged. */
+  private val q159 = Q(
+    "q159_skyline",
+    (s, dir) => {
+      val pairs = t(s, dir, "part")
+        .groupBy(dec2(col("p_retailprice")).as("price"),
+          col("p_size").cast(LongType).as("size"))
+        .agg(asLong(count(lit(1))).as("n_parts"))
+      val best = pairs
+        .withColumn("rk", row_number().over(Window
+          .partitionBy(col("price")).orderBy(col("size").desc)))
+        .filter(col("rk") === 1).drop("rk")
+      val prevMax = Window.orderBy(col("price").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      best
+        .withColumn("prev_best", max(col("size")).over(prevMax))
+        .filter(col("prev_best").isNull || col("size") > col("prev_best"))
+        .select(col("price").cast(DoubleType).as("price"), col("size"),
+          col("n_parts"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+               CAST(p_size AS BIGINT) AS size,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY 1, 2),
+      best AS (
+        SELECT price, size, n_parts FROM (
+          SELECT *, row_number() OVER (PARTITION BY price
+                                       ORDER BY size DESC) AS rk
+          FROM pairs) WHERE rk = 1),
+      marked AS (
+        SELECT price, size, n_parts,
+               MAX(size) OVER (ORDER BY price ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_best
+        FROM best)
+      SELECT CAST(price AS DOUBLE) AS price, size, n_parts
+      FROM marked WHERE prev_best IS NULL OR size > prev_best
+    """))
+
   val registry: Seq[Q] = Seq(q66, q67, q68, q69, q75, q76, q77, q78,
     q79, q80, q81, q102, q104, q105, q106, q116, q118, q119, q122,
-    q135, q148, q149, q150, q151, q152, q153, q154, q155, q156)
+    q135, q148, q149, q150, q151, q152, q153, q154, q155, q156,
+    q158, q159)
 }

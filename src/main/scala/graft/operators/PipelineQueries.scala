@@ -1327,8 +1327,49 @@ object PipelineQueries {
       ORDER BY key DESC, doc_id ASC LIMIT 20
     """))
 
+  /** Small-file compaction planning — the table-maintenance op every
+    * lakehouse runs: given a file inventory (here each document
+    * models a file, n_chars its bytes), assign files to target-sized
+    * compaction bins per partition (lang) by a running-total window,
+    * then emit the per-bin manifest. The exclusive prefix sum makes
+    * bin boundaries first-fit deterministic; all arithmetic is
+    * integer. The window is per-lang — at 100 TB the planner runs
+    * over file METADATA (~10⁶ rows per partition), not data, which is
+    * exactly how Iceberg/Delta compaction planning scales. */
+  private val q160 = Q(
+    "q160_compaction_bins",
+    (s, dir) => {
+      val target = 65536L
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .withColumn("prev_bytes",
+          coalesce(sum(col("n_chars")).over(w), lit(0L)))
+        .withColumn("bin", expr(s"prev_bytes div $target"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(asLong(count(lit(1))).as("n_files"),
+          asLong(sum(col("n_chars"))).as("bin_bytes"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT lang, doc_id, n_chars,
+               COALESCE(SUM(n_chars) OVER (PARTITION BY lang
+                 ORDER BY doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS prev_bytes
+        FROM documents)
+      SELECT lang, prev_bytes // 65536 AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(n_chars) AS BIGINT) AS bin_bytes,
+             MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM f GROUP BY 1, 2
+    """))
+
   val registry: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q100, q107,
       q109, q110, q111, q113, q114, q115, q120, q121, q123, q125,
-      q127, q128, q129, q131, q132, q137, q140, q142, q144)
+      q127, q128, q129, q131, q132, q137, q140, q142, q144, q160)
 }
