@@ -277,6 +277,54 @@ object ScalarQueries {
       FROM orders
     """))
 
+  /** NULL-semantics suite: null-safe equality (`<=>`, DuckDB
+    * `IS NOT DISTINCT FROM`) joining on a DERIVED NULLABLE key —
+    * where plain `=` silently drops the null-key rows — plus the
+    * nullif/nvl2/coalesce family. The derived key is null for
+    * low-priority orders, so null-key groups genuinely match through
+    * the null-safe join; the oracle certifies Spark's `<=>` and
+    * DuckDB's IS NOT DISTINCT FROM agree row-for-row. */
+  private val q161 = Q(
+    "q161_null_safe_ops",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("prio_key",
+          when(col("o_orderpriority") > "3", col("o_orderpriority")))
+      val dim = o.groupBy(col("prio_key").as("k"))
+        .agg(count(lit(1)).as("n_in_class"))
+      o.join(broadcast(dim), col("prio_key") <=> col("k"))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          asLong(count(lit(1))).as("n"),
+          asLong(sum(when(col("prio_key").isNull, 1).otherwise(0)))
+            .as("n_null_key"),
+          asLong(sum(col("n_in_class"))).as("sum_class_sizes"),
+          asLong(count(nullif(col("o_orderpriority"), lit("1-URGENT"))))
+            .as("n_not_urgent"),
+          asLong(sum(when(col("prio_key").isNotNull, 2).otherwise(1)))
+            .as("nvl2_sum"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderstatus, o_orderpriority,
+               CASE WHEN o_orderpriority > '3' THEN o_orderpriority END
+                 AS prio_key
+        FROM orders),
+      dim AS (SELECT prio_key AS k, COUNT(*) AS n_in_class
+              FROM o GROUP BY 1)
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN prio_key IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_key,
+             CAST(SUM(n_in_class) AS BIGINT) AS sum_class_sizes,
+             CAST(COUNT(NULLIF(o_orderpriority, '1-URGENT')) AS BIGINT)
+               AS n_not_urgent,
+             CAST(SUM(CASE WHEN prio_key IS NOT NULL THEN 2 ELSE 1 END)
+               AS BIGINT) AS nvl2_sum
+      FROM o JOIN dim ON prio_key IS NOT DISTINCT FROM k
+      GROUP BY 1
+    """))
+
   val registry: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37r,
-    q38s, q39d, q88)
+    q38s, q39d, q88, q161)
 }
