@@ -1,23 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen/scan warmup so the first timed query isn't charged
-    // several seconds of one-time startup cost
+    spark
+  }
+
+  /** Pre-warm the JVM so the first timed query isn't charged one-time
+    * startup: codegen pipeline, parquet reader, and the streaming
+    * machinery (state-store coordinator, WAL, stream execution
+    * threads — measured ~2s charged to the first streaming query
+    * otherwise). */
+  private def warmup(spark: SparkSession, sfDir: String): Unit = {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
-    // streaming-machinery warmup (state-store coordinator, WAL, stream
-    // execution threads): measured ~2s charged to the first streaming
-    // query in the JVM otherwise
     try {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -30,21 +33,57 @@ object Bench {
         .start()
       q.awaitTermination(15000); q.stop()
     } catch { case _: Throwable => () }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Recycle the SparkContext every N queries. The registry holds 160+
+    // MUTUALLY UNRELATED workloads; a single long-lived local context
+    // accumulates cross-query residue a real deployment never sees in
+    // one app — stopped streaming queries' state-store providers and
+    // their 60s maintenance threads, memory-sink tables, listener-bus
+    // state — and that residue was measured to inflate later
+    // job-storm-heavy queries (the ML cumulative trainer: 5s fresh vs
+    // 86s after ~100 queries). Recycling stops those services and
+    // empties the block manager while keeping JVM/JIT and the global
+    // codegen cache warm; per-query numbers then reflect the query,
+    // not its position in the run order.
+    val recycleEvery =
+      sys.env.getOrElse("GRAFT_BENCH_RECYCLE", "40").toInt.max(1)
+    var spark = newSession(cpus)
+    warmup(spark, sfDir)
     val only = args.toSet
+    var sinceRecycle = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map {
       case (name, fn) =>
+        if (sinceRecycle >= recycleEvery) {
+          spark.stop()
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+          spark = newSession(cpus)
+          // re-warm the streaming machinery only (cheap; JIT persists)
+          warmup(spark, sfDir)
+          sinceRecycle = 0
+        }
+        sinceRecycle += 1
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         // Queries are independent: release this query's localCheckpoint /
-        // persist blocks before the next one. Without this, ~80 queries'
-        // worth of checkpoint blocks accumulate in storage memory and
-        // later queries run execution-memory-starved (measured 3-5x
-        // inflation on the heavy text queries late in the run).
+        // persist blocks and its memory-sink temp views before the next
+        // one. Without this, ~80 queries' worth of checkpoint blocks
+        // accumulate in storage memory and later queries run
+        // execution-memory-starved (measured 3-5x inflation on the heavy
+        // text queries late in the run).
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         spark.sharedState.cacheManager.clearCache()
+        try spark.catalog.listTables().collect()
+          .filter(t => t.name.startsWith("graft_"))
+          .foreach(t => spark.catalog.dropTempView(t.name))
+        catch { case _: Throwable => () }
         name -> dt
     }
     def fmt(v: Double, dp: Int): String = s"%.${dp}f".format(v)
