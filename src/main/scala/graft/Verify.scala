@@ -9,22 +9,45 @@ object Verify {
     val outDir = args(1)
     val only: Set[String] = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = newSession()
     new java.io.File(outDir).mkdirs()
+    // recycle the context periodically for the same reason Bench does:
+    // 160+ unrelated workloads through one long-lived local context
+    // accumulate state-store/memory-sink/listener residue that slows
+    // the tail of the run (see Bench.scala)
+    var sinceRecycle = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      if (sinceRecycle >= 40) {
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = newSession()
+        sinceRecycle = 0
+      }
+      sinceRecycle += 1
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sharedState.cacheManager.clearCache()
+      try spark.catalog.listTables().collect()
+        .filter(t => t.name.startsWith("graft_"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
