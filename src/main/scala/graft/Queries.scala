@@ -593,7 +593,8 @@ object Queries {
     graft.ml.MlQueries.registry ++
     graft.operators.AnalyticQueries.registry ++
     graft.sources.SourceQueries.registry ++
-    graft.operators.PipelineQueries.registry
+    graft.operators.PipelineQueries.registry ++
+    graft.operators.TemporalGraphQueries.registry
 
   // NO stripMargin here: its margin char is '|', so an oracle line that
   // begins with a '||' concatenation would silently lose a pipe

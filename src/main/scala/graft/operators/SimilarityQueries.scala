@@ -841,7 +841,9 @@ object SimilarityQueries {
           e => e.getField("sx").cast(DoubleType)).as("cv"))
         .localCheckpoint()
       cents.alias("a")
-        .join(cents.alias("b"), col("a.label") < col("b.label"))
+        // explicit broadcast: the checkpointed side has no stats, and
+        // without the hint the non-equi join degrades to CartesianProduct
+        .join(broadcast(cents.alias("b")), col("a.label") < col("b.label"))
         .select(asLongCol(col("a.label")).as("label_a"),
           asLongCol(col("b.label")).as("label_b"),
           round(cosine(col("a.cv"), col("b.cv")), 5).as("sim"))

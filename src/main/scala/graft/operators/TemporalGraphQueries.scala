@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+import graft.functions.Exprs.dec2
+
+/** Temporal and graph analytics a warehouse-scale engine is expected to
+  * provide beyond the reference's surface (reference has no graph or
+  * calendar operators at all — its only traversal is the driver-side
+  * KNN loop, api_server/api.py:119): bitmap-index set intersection,
+  * bounded BFS, calendar densification with forward fill,
+  * largest-remainder money proration, and trailing-window distinct
+  * counts. Every query is oracle-checked against DuckDB on identical
+  * integer/decimal arithmetic, so results are exact on any engine and
+  * any partitioning.
+  */
+object TemporalGraphQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) =
+    Tables.load(Tables.tuned(s), dir, n)
+
+  /** Audience overlap via packed 64-bit bitmaps — the bitmap-index
+    * answer to COUNT(DISTINCT) intersections. Each segment's user set
+    * becomes ceil(|users|/64) longs (bit_or is idempotent, so no
+    * pre-distinct shuffle of the raw events); segment pairs then join
+    * word-to-word and popcount the AND. At 100 TB the bitmap table is
+    * ~|users|/64 rows per segment regardless of event count, and the
+    * pair join is co-partitioned on the word index — the raw fact table
+    * is scanned exactly once.
+    */
+  private val q162 = Q(
+    "q162_bitmap_segments",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id"))
+      val bm = ev
+        .select(
+          col("event_type"),
+          (col("user_id") / 64).cast(LongType).as("word"),
+          expr("shiftleft(1L, cast(user_id % 64 as int))").as("bit"))
+        .groupBy(col("event_type"), col("word"))
+        .agg(bit_or(col("bit")).as("mask"))
+      bm.as("a")
+        .join(
+          bm.as("b"),
+          col("a.word") === col("b.word") &&
+            col("a.event_type") < col("b.event_type"))
+        .select(
+          col("a.event_type").as("seg_a"),
+          col("b.event_type").as("seg_b"),
+          bit_count(col("a.mask").bitwiseAND(col("b.mask"))).as("c"))
+        .groupBy(col("seg_a"), col("seg_b"))
+        .agg(sum(col("c")).as("n_common"))
+        .filter(col("n_common") > 0)
+    },
+    Some("""
+      WITH seg AS (
+        SELECT DISTINCT event_type, user_id FROM events
+        WHERE user_id IS NOT NULL)
+      SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+             COUNT(*) AS n_common
+      FROM seg a JOIN seg b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    """))
+
+  /** Bounded multi-hop BFS over the co-purchase graph: hop distance
+    * (<= 3) from the smallest part key, Pregel-style — each round is one
+    * frontier-edge join plus an anti-join against the visited set, no
+    * driver-side state. The edge list shuffles once on src and is
+    * reused by every round; frontiers shrink monotonically. The oracle
+    * is the same traversal unrolled as three SQL joins.
+    */
+  private val q163 = Q(
+    "q163_bfs_hops",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = li.as("a")
+        .join(li.as("b"), Seq("l_orderkey"))
+        .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+        .localCheckpoint() // reused 3x; cut the self-join lineage
+      val seed = li.agg(min(col("l_partkey")).as("node"))
+      var dist = seed.withColumn("hops", lit(0L)).localCheckpoint()
+      var frontier = dist.select(col("node"))
+      for (h <- 1 to 3) {
+        val next = frontier
+          .join(edges, frontier("node") === edges("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .withColumn("hops", lit(h.toLong))
+          .localCheckpoint() // keep per-round plans constant-size
+        dist = dist.union(next).localCheckpoint()
+        frontier = next.select(col("node"))
+      }
+      dist
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      h0 AS (SELECT MIN(l_partkey) AS node FROM li),
+      h1 AS (SELECT DISTINCT e.dst AS node FROM edges e
+             JOIN h0 ON e.src = h0.node),
+      h2 AS (SELECT DISTINCT e.dst AS node FROM edges e
+             JOIN h1 ON e.src = h1.node),
+      h3 AS (SELECT DISTINCT e.dst AS node FROM edges e
+             JOIN h2 ON e.src = h2.node),
+      alls AS (
+        SELECT node, 0 AS hop FROM h0
+        UNION ALL SELECT node, 1 FROM h1
+        UNION ALL SELECT node, 2 FROM h2
+        UNION ALL SELECT node, 3 FROM h3)
+      SELECT node, CAST(MIN(hop) AS BIGINT) AS hops FROM alls GROUP BY 1
+    """))
+
+  /** Calendar densification + forward fill: every (user, day) cell of
+    * the full date spine carries the user's most recent daily max
+    * value. The spine is users x days (days come from one 2-column
+    * aggregate, broadcast); the fill is a single window pass per user.
+    * MAX is the fill metric deliberately — it is order-independent and
+    * bit-exact across engines, where a double SUM would not be. At
+    * scale the spine is |users| x |days| rows but the shuffle key is
+    * user_id alone, so the window never sees more than one user's
+    * calendar per task.
+    */
+  private val q164 = Q(
+    "q164_gapfill_ffill",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val daily = ev
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(max(col("value")).as("day_max"))
+      val days = ev
+        .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val spine = ev.select(col("user_id")).distinct()
+        .crossJoin(broadcast(days))
+      val fill = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine
+        .join(daily, Seq("user_id", "day"), "left")
+        .select(
+          col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          last(col("day_max"), ignoreNulls = true).over(fill)
+            .as("filled_max"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      daily AS (
+        SELECT user_id, day, MAX(value) AS day_max FROM ev GROUP BY 1, 2),
+      bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+      days AS (
+        SELECT CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                 CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds),
+      users AS (SELECT DISTINCT user_id FROM ev)
+      SELECT u.user_id, strftime(d.day, '%Y-%m-%d') AS day,
+             LAST_VALUE(x.day_max IGNORE NULLS) OVER (
+               PARTITION BY u.user_id ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS filled_max
+      FROM users u CROSS JOIN days d
+      LEFT JOIN daily x ON x.user_id = u.user_id AND x.day = d.day
+    """))
+
+  /** Largest-remainder proration: allocate each order's total across
+    * its line items proportionally to extended price, in whole cents,
+    * such that the allocations sum EXACTLY to the order total — the
+    * invoice/budget-split primitive. All arithmetic is 64-bit integer
+    * cents (floor-division + modulo), so the result is identical on any
+    * engine and any partitioning; the leftover cents go to the largest
+    * fractional remainders (ties broken by line number). One shuffle on
+    * l_orderkey serves all three window passes.
+    */
+  private val q165 = Q(
+    "q165_proration",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(
+          col("o_orderkey"),
+          (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents_total"))
+      val li = t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (dec2(col("l_extendedprice")) * 100).cast(LongType).as("ext_cents"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      val sized = li
+        .withColumn("sum_ext", sum(col("ext_cents")).over(w))
+        .withColumn("floor_alloc",
+          expr("(cents_total * ext_cents) div sum_ext"))
+        .withColumn("rem", (col("cents_total") * col("ext_cents")) % col("sum_ext"))
+      sized
+        .withColumn("leftover", col("cents_total") - sum(col("floor_alloc")).over(w))
+        .withColumn("rk", row_number().over(
+          w.orderBy(col("rem").desc, col("l_linenumber"))))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("floor_alloc") +
+            when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("alloc_cents"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents_total
+        FROM orders WHERE o_orderkey % 7 = 0),
+      li AS (
+        SELECT l_orderkey, l_linenumber, cents_total,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS ext_cents
+        FROM lineitem JOIN o ON l_orderkey = o_orderkey),
+      sized AS (
+        SELECT *, SUM(ext_cents) OVER (PARTITION BY l_orderkey) AS sum_ext
+        FROM li),
+      calc AS (
+        SELECT l_orderkey, l_linenumber, cents_total,
+               (cents_total * ext_cents) // sum_ext AS floor_alloc,
+               (cents_total * ext_cents) % sum_ext AS rem
+        FROM sized),
+      ranked AS (
+        SELECT *,
+               SUM(floor_alloc) OVER (PARTITION BY l_orderkey) AS sum_floor,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY rem DESC, l_linenumber) AS rk
+        FROM calc)
+      SELECT l_orderkey, l_linenumber,
+             floor_alloc + CASE WHEN rk <= cents_total - sum_floor
+                                THEN 1 ELSE 0 END AS alloc_cents
+      FROM ranked
+    """))
+
+  /** Trailing 7-day distinct active users per day, by contribution
+    * explode: each distinct (user, day) fact contributes to the 7
+    * target days it is visible in, then one distinct count per target
+    * day. This replaces the O(days x window) self-join with a x7 map-side
+    * explode — the standard trick for sliding-window COUNT DISTINCT at
+    * scale, where a range self-join over a 100 TB fact table would
+    * re-scan every event once per day in the window.
+    */
+  private val q166 = Q(
+    "q166_trailing_distinct",
+    (s, dir) => {
+      val ud = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+      val days = ud.select(col("d").as("day")).distinct()
+      ud
+        .select(col("user_id"),
+          explode(sequence(col("d"), date_add(col("d"), 6))).as("day"))
+        .join(broadcast(days), Seq("day"), "left_semi")
+        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .agg(countDistinct(col("user_id")).as("n_active_7d"))
+    },
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      days AS (SELECT DISTINCT d AS day FROM ud)
+      SELECT strftime(dd.day, '%Y-%m-%d') AS day,
+             COUNT(DISTINCT u.user_id) AS n_active_7d
+      FROM days dd JOIN ud u ON u.d BETWEEN dd.day - 6 AND dd.day
+      GROUP BY 1
+    """))
+
+  val registry: Seq[Q] = Seq(q162, q163, q164, q165, q166)
+}
