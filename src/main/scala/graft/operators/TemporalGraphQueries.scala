@@ -280,5 +280,137 @@ object TemporalGraphQueries {
       GROUP BY 1
     """))
 
-  val registry: Seq[Q] = Seq(q162, q163, q164, q165, q166)
+  /** Recursive CTE (SQL:1999 / Spark 4 WITH RECURSIVE): walk each
+    * customer's order chain in date order, accumulating spend in exact
+    * integer cents. The recursion is a linked-list traversal — each
+    * round joins the frontier (one row per live customer) to the next
+    * link, so rounds = longest chain, not row count. The oracle
+    * deliberately computes the same result with a WINDOW cumulative sum
+    * instead of recursion, so the differential certifies the recursive
+    * execution path itself, not just the arithmetic.
+    */
+  private val q167 = Q(
+    "q167_recursive_chain",
+    (s, dir) => {
+      Tables.tuned(s)
+      t(s, dir, "orders").createOrReplaceTempView("orders_rc_v")
+      s.sql("""
+        WITH RECURSIVE ranked AS (
+          SELECT o_custkey, o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders_rc_v WHERE o_custkey % 5 = 0),
+        walk AS (
+          SELECT o_custkey, rn, o_orderkey, cents AS cum_cents
+          FROM ranked WHERE rn = 1
+          UNION ALL
+          SELECT r.o_custkey, r.rn, r.o_orderkey, w.cum_cents + r.cents
+          FROM walk w JOIN ranked r
+            ON r.o_custkey = w.o_custkey AND r.rn = w.rn + 1)
+        SELECT o_custkey, CAST(rn AS BIGINT) AS step, o_orderkey, cum_cents
+        FROM walk
+      """)
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders WHERE o_custkey % 5 = 0)
+      SELECT o_custkey, CAST(rn AS BIGINT) AS step, o_orderkey,
+             CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY rn)
+                  AS BIGINT) AS cum_cents
+      FROM ranked
+    """))
+
+  /** Data-quality constraint audit (the Deequ-style validation pass a
+    * production pipeline runs before publishing a table): primary-key
+    * uniqueness, foreign-key orphans, domain membership, null rates,
+    * and value-profile checks, emitted as one (check_name, violations)
+    * report. All per-row predicates on a table share ONE scan
+    * (conditional aggregates), so the audit costs two scans + one
+    * anti-join regardless of how many checks it carries — the property
+    * that keeps a 50-check audit feasible on a 100 TB fact table.
+    */
+  private val q168 = Q(
+    "q168_dq_audit",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val pkDup = o.groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        .agg(coalesce(sum(col("n")), lit(0L)).as("violations"))
+        .select(lit("orders_pk_dup").as("check_name"), col("violations"))
+      val orphan = li
+        .join(o.select(col("o_orderkey")),
+          li("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("lineitem_fk_orphan").as("check_name"), col("violations"))
+      // every lineitem predicate rides one scan
+      val liChecks = li.agg(
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("lineitem_qty_domain"),
+        sum(when(col("l_quantity") > 45, 1L).otherwise(0L))
+          .as("lineitem_qty_high"),
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L))
+          .as("lineitem_price_nonpos"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
+          .as("lineitem_null_shipdate"))
+        .select(expr("""stack(4,
+          'lineitem_qty_domain', lineitem_qty_domain,
+          'lineitem_qty_high', lineitem_qty_high,
+          'lineitem_price_nonpos', lineitem_price_nonpos,
+          'lineitem_null_shipdate', lineitem_null_shipdate)
+          AS (check_name, violations)"""))
+      val oChecks = o.agg(
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+          .otherwise(0L)).as("orders_status_domain"),
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
+          .as("orders_null_priority"),
+        sum(when(col("o_totalprice") > 400000.0, 1L).otherwise(0L))
+          .as("orders_high_value"))
+        .select(expr("""stack(3,
+          'orders_status_domain', orders_status_domain,
+          'orders_null_priority', orders_null_priority,
+          'orders_high_value', orders_high_value)
+          AS (check_name, violations)"""))
+      pkDup.unionAll(orphan).unionAll(liChecks).unionAll(oChecks)
+    },
+    Some("""
+      SELECT 'orders_pk_dup' AS check_name,
+             CAST(COALESCE(SUM(n), 0) AS BIGINT) AS violations
+      FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders
+            GROUP BY 1 HAVING COUNT(*) > 1)
+      UNION ALL
+      SELECT 'lineitem_fk_orphan', COUNT(*)
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL
+      UNION ALL
+      SELECT 'lineitem_qty_domain', CAST(SUM(CASE WHEN l_quantity < 1
+        OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_qty_high', CAST(SUM(CASE WHEN l_quantity > 45
+        THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_price_nonpos', CAST(SUM(CASE WHEN
+        l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_null_shipdate', CAST(SUM(CASE WHEN l_shipdate
+        IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'orders_status_domain', CAST(SUM(CASE WHEN o_orderstatus
+        NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'orders_null_priority', CAST(SUM(CASE WHEN o_orderpriority
+        IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'orders_high_value', CAST(SUM(CASE WHEN o_totalprice >
+        400000.0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+    """))
+
+  val registry: Seq[Q] = Seq(q162, q163, q164, q165, q166, q167, q168)
 }
