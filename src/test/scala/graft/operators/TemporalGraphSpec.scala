@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the graph/temporal/quality operators (q162-q168)
+  * beyond the oracle hash: bitmap-vs-set equivalence, BFS frontier
+  * soundness, proration exactness (allocations sum to the order total
+  * by construction, not approximately), forward-fill carry semantics,
+  * and recursion-vs-window agreement.
+  */
+class TemporalGraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def df(name: String) = graft.Queries.queries(name)(spark, dir)
+
+  test("q162_bitmap_segments: popcount overlap equals set-intersection size") {
+    val got = df("q162_bitmap_segments").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getAs[Long]("n_common")))
+      .toMap
+    val ev = graft.Tables.load(graft.Tables.tuned(spark), dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySeg = ev.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for {
+      (a, sa) <- bySeg; (b, sb) <- bySeg if a < b
+      n = (sa & sb).size.toLong if n > 0
+    } assert(got((a, b)) == n, s"pair ($a,$b)")
+  }
+
+  test("q163_bfs_hops: hop-h node has an edge from some hop-(h-1) node") {
+    val rows = df("q163_bfs_hops").collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("hops")))
+    assert(rows.count(_._2 == 0L) == 1)
+    val li = graft.Tables.load(graft.Tables.tuned(spark), dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.toList
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet
+    val byHop = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    for (h <- 1L to 3L if byHop.contains(h); n <- byHop(h)) {
+      assert(byHop(h - 1).exists(p => edges((p, n))), s"node $n at hop $h")
+      // minimality: no edge from any strictly earlier frontier
+      for (e <- 0L until h - 1)
+        assert(!byHop(e).exists(p => edges((p, n))), s"node $n not minimal")
+    }
+  }
+
+  test("q165_proration: allocations sum exactly to the order's cents") {
+    val alloc = df("q165_proration")
+      .groupBy(col("l_orderkey")).agg(sum(col("alloc_cents")).as("s"))
+    val totals = graft.Tables.load(graft.Tables.tuned(spark), dir, "orders")
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents_total"))
+    val bad = alloc.join(totals, alloc("l_orderkey") === totals("o_orderkey"))
+      .filter(col("s") =!= col("cents_total"))
+    assert(bad.count() == 0)
+  }
+
+  test("q164_gapfill_ffill: fill is null before first activity, set after") {
+    val rows = df("q164_gapfill_ffill").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("day"),
+        Option(r.getAs[Any]("filled_max"))))
+    rows.groupBy(_._1).foreach { case (_, u) =>
+      val sorted = u.sortBy(_._2)
+      // once non-null, stays non-null (forward fill never un-fills)
+      val firstSet = sorted.indexWhere(_._3.isDefined)
+      assert(firstSet >= 0)
+      assert(sorted.drop(firstSet).forall(_._3.isDefined))
+      assert(sorted.take(firstSet).forall(_._3.isEmpty))
+    }
+  }
+
+  test("q166_trailing_distinct: trailing count >= any single-day count") {
+    val ev = graft.Tables.load(graft.Tables.tuned(spark), dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+    val daily = ev.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("d1")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    df("q166_trailing_distinct").collect().foreach { r =>
+      val day = r.getString(0)
+      val n7: Long = r.getAs[Long]("n_active_7d")
+      assert(n7 >= daily(day), s"day $day")
+    }
+  }
+
+  test("q167_recursive_chain: last step equals the customer's total spend") {
+    val chain = df("q167_recursive_chain")
+    val lastStep = chain.groupBy(col("o_custkey"))
+      .agg(max(struct(col("step"), col("cum_cents"))).as("m"))
+      .select(col("o_custkey"), col("m.cum_cents").as("final_cents"))
+    val totals = graft.Tables.load(graft.Tables.tuned(spark), dir, "orders")
+      .filter(col("o_custkey") % 5 === 0)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("t"))
+    val bad = lastStep.join(totals, Seq("o_custkey"))
+      .filter(col("final_cents") =!= col("t"))
+    assert(bad.count() == 0)
+  }
+
+  test("q168_dq_audit: clean-data constraints hold; profile checks fire") {
+    val m = df("q168_dq_audit").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("violations"))).toMap
+    assert(m.size == 9)
+    for (zero <- Seq("orders_pk_dup", "lineitem_fk_orphan",
+      "lineitem_qty_domain", "lineitem_price_nonpos",
+      "orders_status_domain"))
+      assert(m(zero) == 0L, zero)
+    assert(m("lineitem_qty_high") > 0L)
+    assert(m.values.forall(_ >= 0L))
+  }
+}
