@@ -99,13 +99,17 @@ class TemporalGraphSpec extends AnyFunSuite {
     }
   }
 
-  test("q167_recursive_chain: last step equals the customer's total spend") {
+  test("q167_recursive_chain: last step equals spend over the walked links") {
     val chain = df("q167_recursive_chain")
     val lastStep = chain.groupBy(col("o_custkey"))
       .agg(max(struct(col("step"), col("cum_cents"))).as("m"))
       .select(col("o_custkey"), col("m.cum_cents").as("final_cents"))
+    import org.apache.spark.sql.expressions.Window
     val totals = graft.Tables.load(graft.Tables.tuned(spark), dir, "orders")
       .filter(col("o_custkey") % 5 === 0)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))))
+      .filter(col("rn") <= 10) // the walk is capped at 10 links
       .groupBy(col("o_custkey"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")).as("t"))
