@@ -426,5 +426,209 @@ object TemporalGraphQueries {
         400000.0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
     """))
 
-  val registry: Seq[Q] = Seq(q162, q163, q164, q165, q166, q167, q168)
+  /** The classic TPC-H Q5 shape: a six-table star join (fact x 2 keyed
+    * dims x 3 broadcast dims) with a selective date filter and a
+    * same-nation constraint joining the customer and supplier
+    * dimensions. The plan the engine must produce at scale: lineitem
+    * shuffles ONCE (to meet orders on l_orderkey, then customer rides
+    * the o_custkey shuffle), while region->nation->supplier collapse
+    * into one broadcast build side; revenue is exact decimal
+    * sum-of-products.
+    */
+  private val q169 = Q(
+    "q169_regional_revenue",
+    (s, dir) => {
+      val asia = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      val su = t(s, dir, "supplier")
+        .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+        .select(col("o_orderkey"), col("o_custkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(dec2(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(18,2)) -
+                       CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+                   AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+    """))
+
+  /** Correlated LATERAL subquery (SQL:1999 lateral derived table):
+    * top-3 customers by account balance per nation, written as the
+    * user would write it — a per-row dependent subquery with ORDER BY
+    * + LIMIT — and decorrelated by Catalyst into the same
+    * window/rank plan a hand-written version would produce. The
+    * oracle runs the identical LATERAL SQL on DuckDB.
+    */
+  private val q170 = Q(
+    "q170_lateral_topk",
+    (s, dir) => {
+      Tables.tuned(s)
+      t(s, dir, "nation").createOrReplaceTempView("nation_lt_v")
+      t(s, dir, "customer").createOrReplaceTempView("customer_lt_v")
+      s.sql("""
+        SELECT n.n_name, tk.c_name,
+               CAST(CAST(tk.c_acctbal AS DECIMAL(18,2)) AS DOUBLE)
+                 AS acctbal
+        FROM nation_lt_v n JOIN LATERAL (
+          SELECT c_name, c_acctbal FROM customer_lt_v c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c.c_acctbal DESC, c.c_name LIMIT 3) tk
+      """)
+    },
+    Some("""
+      SELECT n.n_name, tk.c_name,
+             CAST(CAST(tk.c_acctbal AS DECIMAL(18,2)) AS DOUBLE)
+               AS acctbal
+      FROM nation n JOIN LATERAL (
+        SELECT c_name, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c.c_acctbal DESC, c.c_name LIMIT 3) tk ON TRUE
+    """))
+
+  /** Interval x interval overlap join, binned: per-user daily activity
+    * spans vs a grid of OVERLAPPING 5-hour maintenance windows laid
+    * every 4 hours. Both sides explode to the 4-hour bins they touch,
+    * candidates meet in an equi-join on the bin, then the exact
+    * overlap predicate filters and a distinct collapses pairs that
+    * share several bins. This is the scale pattern for range joins
+    * Spark has no native operator for: the cross product never forms;
+    * each row only meets candidates in its own bins (work is
+    * O(rows x bins-per-interval), not O(n x m)).
+    */
+  private val q171 = Q(
+    "q171_interval_overlap",
+    (s, dir) => {
+      val W = 14400000L // 4h bin/stride
+      val L = 18000000L // 5h window length
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          unix_millis(col("ts")).as("ms"))
+      val sess = ev.groupBy(col("user_id"), col("day"))
+        .agg(min(col("ms")).as("s_ms"), (max(col("ms")) + 1).as("e_ms"))
+      val w0df = ev.agg(min(col("ms")).as("w0"))
+      val win = w0df.select(col("w0"),
+        explode(sequence(lit(0L), lit(179L))).as("interval_id"))
+        .select(col("interval_id"),
+          (col("w0") + col("interval_id") * W).as("w_s"),
+          (col("w0") + col("interval_id") * W + L).as("w_e"))
+      val winBins = win.select(col("interval_id"), col("w_s"), col("w_e"),
+        explode(sequence(col("w_s") - col("w_s") % W,
+          (col("w_e") - 1) - (col("w_e") - 1) % W, lit(W))).as("bin"))
+      val sessBins = sess.select(col("user_id"), col("day"), col("s_ms"),
+        col("e_ms"),
+        explode(sequence(col("s_ms") - col("s_ms") % W,
+          (col("e_ms") - 1) - (col("e_ms") - 1) % W, lit(W))).as("bin"))
+      sessBins
+        .join(broadcast(winBins), Seq("bin"))
+        .filter(col("s_ms") < col("w_e") && col("w_s") < col("e_ms"))
+        .select(col("interval_id"), col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          (least(col("e_ms"), col("w_e")) - greatest(col("s_ms"), col("w_s")))
+            .as("overlap_ms"))
+        .distinct()
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      sess AS (
+        SELECT user_id, day, MIN(ms) AS s_ms, MAX(ms) + 1 AS e_ms
+        FROM ev GROUP BY 1, 2),
+      b AS (SELECT MIN(ms) AS w0 FROM ev),
+      win AS (
+        SELECT i AS interval_id, w0 + i * 14400000 AS w_s,
+               w0 + i * 14400000 + 18000000 AS w_e
+        FROM b, range(180) t(i))
+      SELECT DISTINCT w.interval_id, s.user_id,
+             strftime(s.day, '%Y-%m-%d') AS day,
+             LEAST(s.e_ms, w.w_e) - GREATEST(s.s_ms, w.w_s) AS overlap_ms
+      FROM sess s JOIN win w ON s.s_ms < w.w_e AND w.w_s < s.e_ms
+    """))
+
+  /** Last-touch attribution with a 7-day horizon: each purchase is
+    * credited to the user's latest strictly-earlier click's campaign
+    * (the JSON `k` prop), or to campaign -1 if the latest prior click
+    * is outside the horizon (an older click can only be further out).
+    * Built on the same single-shuffle union+window as-of kernel as
+    * q66; revenue is exact decimal. The oracle uses DuckDB's native
+    * ASOF JOIN — two independent as-of implementations must agree.
+    */
+  private val q172 = Q(
+    "q172_attribution",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(get_json_object(col("props"), "$.k").cast(LongType))
+          .as("campaign"))
+      AsOfJoin.asOf(purchases, clicks,
+        key = "user_id", leftTs = "ts", rightTs = "ts")
+        .withColumn("attr_campaign",
+          when(col("asof_ts").isNotNull &&
+            unix_millis(col("ts")) - unix_millis(col("asof_ts"))
+              <= lit(604800000L),
+            col("campaign")).otherwise(lit(-1L)))
+        .groupBy(col("attr_campaign"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(dec2(col("value"))).cast(DoubleType).as("revenue"))
+    },
+    Some("""
+      WITH purchases AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'),
+      clicks AS (
+        SELECT user_id, ts,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS campaign
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      joined AS (
+        SELECT p.user_id, p.value,
+               CASE WHEN c.ts IS NOT NULL AND
+                 epoch_ms(CAST(p.ts AS TIMESTAMP)) -
+                 epoch_ms(CAST(c.ts AS TIMESTAMP)) <= 604800000
+                 THEN c.campaign ELSE -1 END AS attr_campaign
+        FROM purchases p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts > c.ts)
+      SELECT attr_campaign, COUNT(*) AS n_purchases,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM joined GROUP BY 1
+    """))
+
+  val registry: Seq[Q] = Seq(q162, q163, q164, q165, q166, q167, q168,
+    q169, q170, q171, q172)
 }

@@ -118,6 +118,51 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("q169_regional_revenue: ASIA nations only, positive exact revenue") {
+    val rows = df("q169_regional_revenue").collect()
+    assert(rows.nonEmpty && rows.length <= 5) // ASIA holds 5 nations
+    rows.foreach { r =>
+      assert(r.getAs[Double]("revenue") > 0.0)
+      assert(r.getAs[Long]("n_items") > 0L)
+    }
+  }
+
+  test("q170_lateral_topk: at most 3 per nation, true per-nation maxima") {
+    val got = df("q170_lateral_topk").collect()
+      .map(r => (r.getString(0), r.getAs[Double]("acctbal")))
+    val perNation = got.groupBy(_._1)
+    assert(perNation.values.forall(_.length <= 3))
+    // each nation's reported minimum beats every unreported customer
+    val cust = graft.Tables.load(graft.Tables.tuned(spark), dir, "customer")
+      .join(graft.Tables.load(graft.Tables.tuned(spark), dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_acctbal").cast("decimal(18,2)")
+        .cast("double").as("b")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    perNation.foreach { case (n, top) =>
+      val all = cust.filter(_._1 == n).map(_._2).sorted(Ordering[Double].reverse)
+      val k = top.length
+      assert(top.map(_._2).sum == all.take(k).sum, s"nation $n")
+    }
+  }
+
+  test("q171_interval_overlap: overlaps positive, bounded by window length") {
+    val rows = df("q171_interval_overlap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val o = r.getAs[Long]("overlap_ms")
+      assert(o > 0L && o <= 18000000L)
+    }
+  }
+
+  test("q172_attribution: purchases conserved across campaigns") {
+    val total = df("q172_attribution").collect()
+      .map(_.getAs[Long]("n_purchases")).sum
+    val expected = graft.Tables.load(graft.Tables.tuned(spark), dir, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(total == expected)
+  }
+
   test("q168_dq_audit: clean-data constraints hold; profile checks fire") {
     val m = df("q168_dq_audit").collect()
       .map(r => (r.getString(0), r.getAs[Long]("violations"))).toMap
