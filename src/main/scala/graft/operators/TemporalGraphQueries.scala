@@ -629,6 +629,92 @@ object TemporalGraphQueries {
       FROM joined GROUP BY 1
     """))
 
+  /** Linear interpolation over the calendar spine: interior gaps in
+    * each user's daily series are filled by interpolating between the
+    * nearest observed days on either side; edges (before first / after
+    * last observation) stay NULL. One user_id-keyed shuffle carries
+    * all four window passes (prev/next value and day). The arithmetic
+    * is written as the IDENTICAL expression tree on both engines —
+    * pv + (nv - pv) * ((d - pd) / (nd - pd)) on doubles — so IEEE-754
+    * determinism makes the unrounded result bit-exact cross-engine.
+    */
+  private val q173 = Q(
+    "q173_linear_interp",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val daily = ev
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(max(col("value")).as("obs"))
+      val days = ev
+        .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val spine = ev.select(col("user_id")).distinct()
+        .crossJoin(broadcast(days))
+        .join(daily, Seq("user_id", "day"), "left")
+      val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val before = byDay.rowsBetween(Window.unboundedPreceding, -1)
+      val after = byDay.rowsBetween(1, Window.unboundedFollowing)
+      val obsDay = when(col("obs").isNotNull, col("day"))
+      spine
+        .withColumn("pv", last(col("obs"), ignoreNulls = true).over(before))
+        .withColumn("pd", last(obsDay, ignoreNulls = true).over(before))
+        .withColumn("nv", first(col("obs"), ignoreNulls = true).over(after))
+        .withColumn("nd", first(obsDay, ignoreNulls = true).over(after))
+        .select(
+          col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          when(col("obs").isNotNull, lit("obs"))
+            .when(col("pv").isNotNull && col("nv").isNotNull, lit("interp"))
+            .otherwise(lit("edge")).as("kind"),
+          coalesce(col("obs"),
+            col("pv") + (col("nv") - col("pv")) *
+              (datediff(col("day"), col("pd")).cast(DoubleType) /
+                datediff(col("nd"), col("pd")).cast(DoubleType)))
+            .as("val"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      daily AS (
+        SELECT user_id, day, MAX(value) AS obs FROM ev GROUP BY 1, 2),
+      bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+      days AS (
+        SELECT CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                 CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds),
+      spine AS (
+        SELECT u.user_id, d.day, x.obs
+        FROM (SELECT DISTINCT user_id FROM ev) u
+        CROSS JOIN days d
+        LEFT JOIN daily x ON x.user_id = u.user_id AND x.day = d.day),
+      wined AS (
+        SELECT user_id, day, obs,
+          LAST_VALUE(obs IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+          LAST_VALUE(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+          FIRST_VALUE(obs IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+          FIRST_VALUE(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+        FROM spine)
+      SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        CASE WHEN obs IS NOT NULL THEN 'obs'
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+             ELSE 'edge' END AS kind,
+        COALESCE(obs,
+          pv + (nv - pv) *
+            (CAST(date_diff('day', pd, day) AS DOUBLE) /
+             CAST(date_diff('day', pd, nd) AS DOUBLE))) AS val
+      FROM wined
+    """))
+
   val registry: Seq[Q] = Seq(q162, q163, q164, q165, q166, q167, q168,
-    q169, q170, q171, q172)
+    q169, q170, q171, q172, q173)
 }

@@ -163,6 +163,24 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(total == expected)
   }
 
+  test("q173_linear_interp: interpolated cells lie between their anchors") {
+    val rows = df("q173_linear_interp").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getString(1), r.getString(2),
+        Option(r.getAs[Any]("val")).map(_.asInstanceOf[Double])))
+    assert(rows.exists(_._3 == "interp") && rows.exists(_._3 == "obs"))
+    rows.groupBy(_._1).foreach { case (_, u) =>
+      val sorted = u.sortBy(_._2)
+      val obsVals = sorted.filter(_._3 == "obs").map(_._4.get)
+      val (lo, hi) = (obsVals.min, obsVals.max)
+      sorted.foreach {
+        case (_, d, "interp", Some(v)) =>
+          assert(v >= lo - 1e-9 && v <= hi + 1e-9, s"day $d")
+        case (_, d, "edge", v) => assert(v.isEmpty, s"edge day $d has value")
+        case _ => ()
+      }
+    }
+  }
+
   test("q168_dq_audit: clean-data constraints hold; profile checks fire") {
     val m = df("q168_dq_audit").collect()
       .map(r => (r.getString(0), r.getAs[Long]("violations"))).toMap
