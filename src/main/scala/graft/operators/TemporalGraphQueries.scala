@@ -715,6 +715,49 @@ object TemporalGraphQueries {
       FROM wined
     """))
 
+  /** Grouped top-k via the mergeable typed Aggregator
+    * (graft.functions.TopK): top-3 orders by price per priority class.
+    * Unlike the ROW_NUMBER formulation (which shuffles every row of
+    * every group before ranking), the Aggregator's bounded buffer is
+    * combined map-side, so at most k rows per partition per group ever
+    * reach the shuffle. The oracle IS the window formulation — the
+    * deterministic (price DESC, orderkey ASC) tiebreak makes the two
+    * provably identical.
+    */
+  private val q174 = Q(
+    "q174_grouped_topk_agg",
+    (s, dir) => {
+      import s.implicits._
+      val ds = t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"),
+          col("o_orderkey"))
+        .as[(String, Long, Long)]
+      ds.groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(new graft.functions.TopK(3).toColumn.name("top"))
+        .toDF("o_orderpriority", "top")
+        .select(col("o_orderpriority"),
+          posexplode(col("top")).as(Seq("pos", "pair")))
+        .select(col("o_orderpriority"),
+          (col("pos") + 1).cast(LongType).as("rnk"),
+          col("pair._2").as("o_orderkey"),
+          col("pair._1").as("cents"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT o_orderpriority, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents,
+               ROW_NUMBER() OVER (
+                 PARTITION BY o_orderpriority
+                 ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                               AS BIGINT) DESC, o_orderkey) AS rnk
+        FROM orders)
+      SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey, cents
+      FROM ranked WHERE rnk <= 3
+    """))
+
   val registry: Seq[Q] = Seq(q162, q163, q164, q165, q166, q167, q168,
-    q169, q170, q171, q172, q173)
+    q169, q170, q171, q172, q173, q174)
 }
