@@ -449,6 +449,52 @@ object StreamQueries {
       FROM sessions GROUP BY user_id, seq
     """))
 
+  /** Stream-static enrichment join: the streaming fact is joined to a
+    * broadcast batch dimension BEFORE the event-time aggregation — the
+    * canonical streaming-ETL enrichment shape (§2.7 has no reference
+    * analogue; its consumer never joins). The static side is planned
+    * as a broadcast per micro-batch, so the stream never shuffles for
+    * the join; only the windowed aggregation keys the state store.
+    * Batch/streaming unification makes the DuckDB batch join+group the
+    * exact oracle.
+    */
+  private val q175 = Q(
+    "q175_stream_static_enrich",
+    (s, dir) => {
+      Tables.tuned(s)
+      val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
+      val src = s.readStream
+        .schema(eventsRawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = src
+        .join(broadcast(cust), col("user_id") + 1 === col("c_custkey"))
+        .groupBy(window(col("ts"), "1 day"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("c_mktsegment").as("segment"), col("n"), col("sum_value"))
+      val query = startNarrow(s)(agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start())
+      query.awaitTermination()
+      s.table(name)
+    },
+    Some("""
+      SELECT CAST(epoch(time_bucket(INTERVAL 1 DAY, CAST(e.ts AS TIMESTAMP))) AS BIGINT) AS w_start,
+             c.c_mktsegment AS segment, COUNT(*) AS n,
+             CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
+      GROUP BY 1, 2
+    """))
+
   val registry: Seq[Q] = Seq(q40, q41, q42, q43, q44, q117, q126, q139,
-    q157)
+    q157, q175)
 }
