@@ -594,7 +594,8 @@ object Queries {
     graft.operators.AnalyticQueries.registry ++
     graft.sources.SourceQueries.registry ++
     graft.operators.PipelineQueries.registry ++
-    graft.operators.TemporalGraphQueries.registry
+    graft.operators.TemporalGraphQueries.registry ++
+    graft.operators.StatQueries.registry
 
   // NO stripMargin here: its margin char is '|', so an oracle line that
   // begins with a '||' concatenation would silently lose a pipe
