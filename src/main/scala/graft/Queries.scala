@@ -595,7 +595,8 @@ object Queries {
     graft.sources.SourceQueries.registry ++
     graft.operators.PipelineQueries.registry ++
     graft.operators.TemporalGraphQueries.registry ++
-    graft.operators.StatQueries.registry
+    graft.operators.StatQueries.registry ++
+    graft.operators.SubqueryQueries.registry
 
   // NO stripMargin here: its margin char is '|', so an oracle line that
   // begins with a '||' concatenation would silently lose a pipe
