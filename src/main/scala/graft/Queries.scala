@@ -596,7 +596,8 @@ object Queries {
     graft.operators.PipelineQueries.registry ++
     graft.operators.TemporalGraphQueries.registry ++
     graft.operators.StatQueries.registry ++
-    graft.operators.SubqueryQueries.registry
+    graft.operators.SubqueryQueries.registry ++
+    graft.operators.SketchQueries.registry
 
   // NO stripMargin here: its margin char is '|', so an oracle line that
   // begins with a '||' concatenation would silently lose a pipe

@@ -866,6 +866,55 @@ object SimilarityQueries {
       FROM cents a JOIN cents b ON a.label < b.label
     """))
 
+  /** Johnson–Lindenstrauss random projection 64d -> 8d with the same
+    * deterministic md5-derived planes as the LSH family, reported as
+    * per-label distortion telemetry (projected norm / original norm,
+    * normalized by sqrt(k·Var) = sqrt(8/3) for uniform[-1,1] plane
+    * entries). One narrow scan, no shuffle except the label
+    * aggregation; per-row distortion rounds to DECIMAL(18,6) before
+    * the mean so the aggregate is partition-order independent. This is
+    * the dimensionality-reduction primitive for cheap pre-filtering
+    * ahead of exact reranking (q134's PQ is the codebook analogue).
+    */
+  private val q192 = Q(
+    "q192_random_projection",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("label"), asDouble(col("embedding")).as("v"))
+      val projSq = (0 until 8).map { p =>
+        val d = dot(col("v"), planeSpark(p)); d * d
+      }.reduce(_ + _)
+      e.select(col("label"),
+          round(sqrt(projSq) / (l2norm(col("v")) * sqrt(lit(8.0) / lit(3.0))), 6)
+            .cast(DecimalType(18, 6)).as("dist"))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).cast(LongType).as("n"),
+          (sum(col("dist")).cast(DoubleType) / count(lit(1)))
+            .as("avg_distortion"),
+          min(col("dist")).cast(DoubleType).as("min_distortion"),
+          max(col("dist")).cast(DoubleType).as("max_distortion"))
+    },
+    Some {
+      val dots = (0 until 8)
+        .map(p => s"list_dot_product(v, ${planeDuck(p)}) AS d$p")
+        .mkString(", ")
+      val sq = (0 until 8).map(p => s"d$p*d$p").mkString(" + ")
+      s"""
+      WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+      d1 AS (SELECT label, list_dot_product(v, v) AS nn, $dots FROM e),
+      d2 AS (SELECT label,
+               CAST(ROUND(sqrt($sq) / (sqrt(nn) * sqrt(8.0 / 3.0)), 6)
+                    AS DECIMAL(18,6)) AS dist
+             FROM d1)
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dist) AS DOUBLE) / COUNT(*) AS avg_distortion,
+             CAST(MIN(dist) AS DOUBLE) AS min_distortion,
+             CAST(MAX(dist) AS DOUBLE) AS max_distortion
+      FROM d2 GROUP BY 1
+      """
+    })
+
   val registry: Seq[Q] = Seq(q53, q54, q55, q56, q57, q58, q59, q101,
-    q134, q138, q141, q145, q146, q147)
+    q134, q138, q141, q145, q146, q147, q192)
 }

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+import graft.functions.Exprs.{asLong, dec2, md5Int32}
+
+/** Mergeable-sketch and incremental-maintenance operators (round 6).
+  *
+  * q190 is a deterministic HyperLogLog built from first principles on
+  * md5-derived hashes: every engine computes the identical 256 register
+  * values, so even the ESTIMATE is oracle-hash-checkable — the usual
+  * "approx results can't be differentially tested" objection disappears
+  * when the randomness is a seeded hash. q191 states the incremental
+  * view-maintenance identity for joins as a differential test: the
+  * engine computes the 4-term delta decomposition, the ORACLE computes
+  * the plain join — a hash match proves the maintenance algebra.
+  */
+object SketchQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) =
+    Tables.load(Tables.tuned(s), dir, n)
+
+  /** 2^-r lookup for register ranks 1..25 as exact decimal strings —
+    * 2^-r has exactly r decimal digits (5^r·10^-r), so DECIMAL(38,30)
+    * holds every entry exactly and the register sum is
+    * partition-order-independent on both engines (a raw double sum of
+    * mixed-magnitude 2^-r terms would not be). */
+  private val Pow2Lut: Seq[String] =
+    (1 to 25).map(r => (BigDecimal(1) / BigDecimal(2).pow(r))
+      .bigDecimal.toPlainString)
+
+  private val Pow2LutDuck: String =
+    Pow2Lut.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** Deterministic HyperLogLog distinct-user estimate per event type,
+    * next to the exact count. m=256 registers; hash = md5-derived
+    * 32-bit int (engine-reproducible); bucket = top 8 bits; rank =
+    * leading-zero position in the low 24 bits via length(bin(w)) —
+    * integer-exact on both engines. The register table is the scale
+    * story: 256 rows per group REGARDLESS of fact size, built by a
+    * map-side-combining max aggregation, and mergeable across shards/
+    * days by the same max (SketchSpec pins sketch(A∪B) = max-merge).
+    * The raw estimate alpha·m²/Σ2^-r uses the exact decimal LUT sum
+    * cast to double; below 2.5m with empty registers it switches to
+    * linear counting m·ln(m/V) (the standard small-range correction —
+    * the testdata exercises BOTH branches: linear counting at
+    * sf≤0.01, raw HLL at sf0.1). The branch condition compares
+    * identical doubles on both engines; ln() may differ in the last
+    * ulp across libm implementations, so the estimate rounds to 4dp
+    * (the q109/q129 ln-ulp discipline).
+    */
+  private val q190 = Q(
+    "q190_hll_sketch",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id"),
+          md5Int32(col("user_id").cast(StringType)).as("h"))
+      val reg = ev
+        .select(col("event_type"),
+          expr("shiftright(h, 24)").as("bucket"),
+          col("h").bitwiseAND(lit(16777215L)).as("w"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(max(when(col("w") === 0, lit(25))
+          .otherwise(lit(25) - length(bin(col("w"))))).as("r"))
+      val ps = reg
+        .groupBy(col("event_type"))
+        .agg(
+          sum(element_at(typedlit(Pow2Lut), col("r").cast(IntegerType))
+            .cast(DecimalType(38, 30))).as("sp"),
+          count(lit(1)).as("nreg"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(asLong(countDistinct(col("user_id"))).as("exact_distinct"))
+      val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+      val rawE = alpha * lit(65536.0) /
+        (col("sp") + (lit(256) - col("nreg"))).cast(DoubleType)
+      val zeros = lit(256) - col("nreg")
+      val est = when(rawE <= lit(640.0) && zeros > 0,
+        lit(256.0) * log(lit(256.0) / zeros.cast(DoubleType)))
+        .otherwise(rawE)
+      ps.join(exact, "event_type")
+        .select(
+          col("event_type"),
+          asLong(col("nreg")).as("n_registers"),
+          round(est, 4).as("hll_estimate"),
+          col("exact_distinct"))
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT event_type, user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL),
+      rk AS (
+        SELECT event_type, h >> 24 AS bucket,
+               MAX(CASE WHEN (h & 16777215) = 0 THEN 25
+                        ELSE 25 - length(bin(h & 16777215)) END) AS r
+        FROM ev GROUP BY 1, 2),
+      ps AS (
+        SELECT event_type,
+               SUM(CAST(list_extract($Pow2LutDuck, r) AS DECIMAL(38,30)))
+                 AS sp,
+               COUNT(*) AS nreg
+        FROM rk GROUP BY 1),
+      ex AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+        FROM ev GROUP BY 1),
+      est AS (
+        SELECT event_type, nreg,
+               (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 /
+                 CAST(sp + (256 - nreg) AS DOUBLE) AS raw_e,
+               256 - nreg AS zeros
+        FROM ps)
+      SELECT event_type,
+             CAST(nreg AS BIGINT) AS n_registers,
+             ROUND(CASE WHEN raw_e <= 640.0 AND zeros > 0
+                        THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+                        ELSE raw_e END, 4) AS hll_estimate,
+             CAST(exact_distinct AS BIGINT) AS exact_distinct
+      FROM est JOIN ex USING (event_type)
+    """))
+
+  /** Incremental join-view maintenance: the revenue-by-priority join
+    * view recomputed as the 4-term delta decomposition
+    * (A∪ΔA)⋈(B∪ΔB) = A⋈B ∪ A⋈ΔB ∪ ΔA⋈B ∪ ΔA⋈ΔB, where ΔA = new
+    * orders (1998+) and ΔB = newly shipped lines (mid-1997+). The
+    * ORACLE computes the plain full join — the hash match IS the proof
+    * that the maintenance algebra loses and duplicates nothing. At
+    * 100 TB this is the nightly-refresh pattern: the three delta terms
+    * touch only delta-sized inputs on one side (the ΔA⋈B term prunes
+    * the big side by the join keys present in ΔA — here expressed
+    * directly; a production refresh would semi-join-prune first).
+    */
+  private val q191 = Q(
+    "q191_incremental_join",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"),
+          (dec2(col("l_extendedprice")) *
+            (lit(1) - dec2(col("l_discount")))).as("rev"))
+      val oOld = o.filter(col("o_orderdate") < "1998-01-01")
+      val oNew = o.filter(col("o_orderdate") >= "1998-01-01")
+      val lOld = l.filter(col("l_shipdate") < "1997-07-01")
+      val lNew = l.filter(col("l_shipdate") >= "1997-07-01")
+      def term(a: org.apache.spark.sql.DataFrame,
+               b: org.apache.spark.sql.DataFrame) =
+        a.join(b, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderpriority"), col("rev"))
+      term(oOld, lOld)
+        .unionAll(term(oOld, lNew))
+        .unionAll(term(oNew, lOld))
+        .unionAll(term(oNew, lNew))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          asLong(count(lit(1))).as("n_lines"),
+          sum(col("rev")).cast(DoubleType).as("revenue"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1
+    """))
+
+  val registry: Seq[Q] = Seq(q190, q191)
+}

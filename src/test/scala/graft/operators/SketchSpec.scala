@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the sketch/maintenance/projection wave (q190-q192):
+  * HLL register mergeability and estimate accuracy, the 4-term join
+  * maintenance identity against a directly computed join, and JL
+  * distortion concentration.
+  */
+class SketchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def df(name: String) = graft.Queries.queries(name)(spark, dir)
+
+  private def table(name: String) =
+    graft.Tables.load(graft.Tables.tuned(spark), dir, name)
+
+  test("q190_hll_sketch: estimate within HLL error; registers <= 256") {
+    val rows = df("q190_hll_sketch").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nreg = r.getAs[Long]("n_registers")
+      val est = r.getAs[Double]("hll_estimate")
+      val exact = r.getAs[Long]("exact_distinct")
+      assert(nreg >= 1 && nreg <= 256)
+      // m=256 -> standard error ~1.04/sqrt(256) = 6.5%; allow 4 sigma
+      assert(math.abs(est - exact) <= 0.26 * exact + 2,
+        s"${r.getString(0)}: est=$est exact=$exact")
+    }
+  }
+
+  test("q190: registers merge by max (sketch of union = max of sketches)") {
+    import graft.functions.Exprs.md5Int32
+    val ev = table("events").filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        md5Int32(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"),
+        expr("shiftright(h, 24)").as("bucket"),
+        col("h").bitwiseAND(lit(16777215L)).as("w"),
+        col("user_id"))
+      .withColumn("r", when(col("w") === 0, lit(25))
+        .otherwise(lit(25) - length(bin(col("w")))))
+    def regs(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy(col("event_type"), col("bucket")).agg(max(col("r")).as("r"))
+        .collect()
+        .map(x => ((x.getString(0), x.getLong(1)), x.getInt(2))).toMap
+    val whole = regs(ev)
+    val partA = regs(ev.filter(col("user_id") % 2 === 0))
+    val partB = regs(ev.filter(col("user_id") % 2 =!= 0))
+    val merged = (partA.keySet ++ partB.keySet).map { k =>
+      k -> math.max(partA.getOrElse(k, 0), partB.getOrElse(k, 0))
+    }.toMap
+    assert(merged == whole)
+  }
+
+  test("q191_incremental_join: 4-term decomposition equals direct join") {
+    import graft.functions.Exprs.dec2
+    val direct = table("orders")
+      .join(table("lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("l_extendedprice")) *
+          (lit(1) - dec2(col("l_discount")))).cast("double").as("rev"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val got = df("q191_incremental_join").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == direct)
+  }
+
+  test("q192_random_projection: distortion concentrates around 1") {
+    val rows = df("q192_random_projection").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_distortion")
+      val mn = r.getAs[Double]("min_distortion")
+      val mx = r.getAs[Double]("max_distortion")
+      assert(mn > 0 && mn <= avg && avg <= mx)
+      assert(avg > 0.5 && avg < 1.5, s"label ${r.get(0)}: avg=$avg")
+    }
+  }
+}
