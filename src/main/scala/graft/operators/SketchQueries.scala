@@ -28,12 +28,49 @@ object SketchQueries {
     * holds every entry exactly and the register sum is
     * partition-order-independent on both engines (a raw double sum of
     * mixed-magnitude 2^-r terms would not be). */
-  private val Pow2Lut: Seq[String] =
+  private[graft] val Pow2Lut: Seq[String] =
     (1 to 25).map(r => (BigDecimal(1) / BigDecimal(2).pow(r))
       .bigDecimal.toPlainString)
 
   private val Pow2LutDuck: String =
     Pow2Lut.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** events → (event_type, bucket, r) HLL register rows; shared by the
+    * batch (q190) and streaming (q194) sketches. */
+  private[graft] def hllRegisterRows(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        md5Int32(col("user_id").cast(StringType)).as("h"))
+      .select(col("event_type"),
+        expr("shiftright(h, 24)").as("bucket"),
+        col("h").bitwiseAND(lit(16777215L)).as("w"))
+      .select(col("event_type"), col("bucket"),
+        when(col("w") === 0, lit(25))
+          .otherwise(lit(25) - length(bin(col("w")))).as("r"))
+
+  /** (event_type, bucket, r)-register table → per-type HLL estimate
+    * (exact-decimal LUT sum; linear-counting small-range branch). */
+  private[graft] def hllEstimate(
+      reg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ps = reg
+      .groupBy(col("event_type"))
+      .agg(
+        sum(element_at(typedlit(Pow2Lut), col("r").cast(IntegerType))
+          .cast(DecimalType(38, 30))).as("sp"),
+        count(lit(1)).as("nreg"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    val rawE = alpha * lit(65536.0) /
+      (col("sp") + (lit(256) - col("nreg"))).cast(DoubleType)
+    val zeros = lit(256) - col("nreg")
+    val est = when(rawE <= lit(640.0) && zeros > 0,
+      lit(256.0) * log(lit(256.0) / zeros.cast(DoubleType)))
+      .otherwise(rawE)
+    ps.select(
+      col("event_type"),
+      asLong(col("nreg")).as("n_registers"),
+      round(est, 4).as("hll_estimate"))
+  }
 
   /** Deterministic HyperLogLog distinct-user estimate per event type,
     * next to the exact count. m=256 registers; hash = md5-derived
@@ -56,37 +93,15 @@ object SketchQueries {
     "q190_hll_sketch",
     (s, dir) => {
       val ev = t(s, dir, "events")
-        .filter(col("user_id").isNotNull)
-        .select(col("event_type"), col("user_id"),
-          md5Int32(col("user_id").cast(StringType)).as("h"))
-      val reg = ev
-        .select(col("event_type"),
-          expr("shiftright(h, 24)").as("bucket"),
-          col("h").bitwiseAND(lit(16777215L)).as("w"))
+      val reg = hllRegisterRows(ev)
         .groupBy(col("event_type"), col("bucket"))
-        .agg(max(when(col("w") === 0, lit(25))
-          .otherwise(lit(25) - length(bin(col("w"))))).as("r"))
-      val ps = reg
+        .agg(max(col("r")).as("r"))
+      val exact = ev.filter(col("user_id").isNotNull)
         .groupBy(col("event_type"))
-        .agg(
-          sum(element_at(typedlit(Pow2Lut), col("r").cast(IntegerType))
-            .cast(DecimalType(38, 30))).as("sp"),
-          count(lit(1)).as("nreg"))
-      val exact = ev.groupBy(col("event_type"))
         .agg(asLong(countDistinct(col("user_id"))).as("exact_distinct"))
-      val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
-      val rawE = alpha * lit(65536.0) /
-        (col("sp") + (lit(256) - col("nreg"))).cast(DoubleType)
-      val zeros = lit(256) - col("nreg")
-      val est = when(rawE <= lit(640.0) && zeros > 0,
-        lit(256.0) * log(lit(256.0) / zeros.cast(DoubleType)))
-        .otherwise(rawE)
-      ps.join(exact, "event_type")
-        .select(
-          col("event_type"),
-          asLong(col("nreg")).as("n_registers"),
-          round(est, 4).as("hll_estimate"),
-          col("exact_distinct"))
+      hllEstimate(reg).join(exact, "event_type")
+        .select(col("event_type"), col("n_registers"),
+          col("hll_estimate"), col("exact_distinct"))
     },
     Some(s"""
       WITH ev AS (

@@ -489,6 +489,44 @@ object StatQueries {
       LIMIT 25
     """))
 
+  /** Multiplicity-preserving set operations: EXCEPT ALL keeps
+    * max(nA−nB, 0) copies per value, INTERSECT ALL keeps min(nA, nB) —
+    * the bag semantics the DISTINCT variants (q18/q19) can't express.
+    * Spark rewrites both to a tagged union + count aggregate (one
+    * shuffle on the value, no join); the output reports the surviving
+    * multiplicity per key so the oracle checks the copy COUNTS, not
+    * just membership.
+    */
+  private val q193 = Q(
+    "q193_set_ops_all",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.filter(col("l_quantity") > 25.0)
+        .select(col("l_partkey").as("pkey"))
+      val b = li.filter(col("l_quantity") <= 25.0)
+        .select(col("l_partkey").as("pkey"))
+      val ea = a.exceptAll(b).groupBy(col("pkey"))
+        .agg(asLong(count(lit(1))).as("cnt"))
+        .withColumn("op", lit("except_all"))
+      val ia = a.intersectAll(b).groupBy(col("pkey"))
+        .agg(asLong(count(lit(1))).as("cnt"))
+        .withColumn("op", lit("intersect_all"))
+      ea.unionByName(ia).select(col("op"), col("pkey"), col("cnt"))
+    },
+    Some("""
+      WITH a AS (SELECT l_partkey AS pkey FROM lineitem
+                 WHERE l_quantity > 25.0),
+      b AS (SELECT l_partkey AS pkey FROM lineitem
+            WHERE l_quantity <= 25.0),
+      ea AS (SELECT pkey FROM a EXCEPT ALL SELECT pkey FROM b),
+      ia AS (SELECT pkey FROM a INTERSECT ALL SELECT pkey FROM b)
+      SELECT 'except_all' AS op, pkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ea GROUP BY 2
+      UNION ALL
+      SELECT 'intersect_all' AS op, pkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ia GROUP BY 2
+    """))
+
   val registry: Seq[Q] = Seq(q176, q177, q178, q179, q180, q181, q182,
-    q183, q184)
+    q183, q184, q193)
 }

@@ -495,6 +495,70 @@ object StreamQueries {
       GROUP BY 1, 2
     """))
 
+  /** Streaming-maintained HyperLogLog: the q190 sketch kept up to date
+    * by the stream itself. Register rows derive per micro-batch; the
+    * streaming aggregation `max(r)` per (event_type, bucket) IS the
+    * sketch merge — max is idempotent and commutative, so the state
+    * store holds exactly 256 rows per event type no matter how many
+    * events flow through (contrast a streaming COUNT DISTINCT, whose
+    * state grows with cardinality). The estimate is computed batch-side
+    * from the final register table with the same kernel as q190, and
+    * the oracle recomputes it from scratch — streaming maintenance must
+    * land on the bit-identical estimate.
+    */
+  private val q194 = Q(
+    "q194_stream_hll",
+    (s, dir) => {
+      Tables.tuned(s)
+      val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
+      val src = s.readStream
+        .schema(eventsRawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val reg = graft.operators.SketchQueries.hllRegisterRows(src)
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("r")).as("r"))
+      val query = startNarrow(s)(reg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start())
+      query.awaitTermination()
+      graft.operators.SketchQueries.hllEstimate(s.table(name))
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL),
+      rk AS (
+        SELECT event_type, h >> 24 AS bucket,
+               MAX(CASE WHEN (h & 16777215) = 0 THEN 25
+                        ELSE 25 - length(bin(h & 16777215)) END) AS r
+        FROM ev GROUP BY 1, 2),
+      ps AS (
+        SELECT event_type,
+               SUM(CAST(list_extract(${graft.operators.SketchQueries.Pow2Lut
+                 .map(x => s"'$x'").mkString("[", ", ", "]")}, r)
+                 AS DECIMAL(38,30))) AS sp,
+               COUNT(*) AS nreg
+        FROM rk GROUP BY 1),
+      est AS (
+        SELECT event_type, nreg,
+               (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 /
+                 CAST(sp + (256 - nreg) AS DOUBLE) AS raw_e,
+               256 - nreg AS zeros
+        FROM ps)
+      SELECT event_type,
+             CAST(nreg AS BIGINT) AS n_registers,
+             ROUND(CASE WHEN raw_e <= 640.0 AND zeros > 0
+                        THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+                        ELSE raw_e END, 4) AS hll_estimate
+      FROM est
+    """))
+
   val registry: Seq[Q] = Seq(q40, q41, q42, q43, q44, q117, q126, q139,
-    q157, q175)
+    q157, q175, q194)
 }

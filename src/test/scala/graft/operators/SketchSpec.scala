@@ -77,6 +77,16 @@ class SketchSpec extends AnyFunSuite {
     assert(got == direct)
   }
 
+  test("q194_stream_hll: streaming maintenance lands on the batch sketch") {
+    val batch = df("q190_hll_sketch").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_registers"),
+        r.getAs[Double]("hll_estimate"))).toMap
+    val stream = df("q194_stream_hll").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_registers"),
+        r.getAs[Double]("hll_estimate"))).toMap
+    assert(stream == batch)
+  }
+
   test("q192_random_projection: distortion concentrates around 1") {
     val rows = df("q192_random_projection").collect()
     assert(rows.nonEmpty)

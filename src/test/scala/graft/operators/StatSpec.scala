@@ -152,6 +152,23 @@ class StatSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q193_set_ops_all: bag-semantics multiplicities are exact") {
+    val li = table("lineitem")
+      .select(col("l_partkey"), col("l_quantity")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val nA = li.filter(_._2 > 25.0).groupBy(_._1).view.mapValues(_.length.toLong)
+    val nB = li.filter(_._2 <= 25.0).groupBy(_._1).view.mapValues(_.length.toLong)
+    val keys = nA.keySet ++ nB.keySet
+    val expect = keys.flatMap { k =>
+      val a = nA.getOrElse(k, 0L); val b = nB.getOrElse(k, 0L)
+      Seq(("except_all", k, math.max(a - b, 0L)),
+        ("intersect_all", k, math.min(a, b))).filter(_._3 > 0)
+    }.toSet
+    val got = df("q193_set_ops_all").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
+
   test("q184_notin_distinct: blocklisted suppliers never counted") {
     val blocked = table("supplier").filter(col("s_acctbal") < 0)
       .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
