@@ -932,6 +932,72 @@ object DedupQueries {
       """
     })
 
+  /** Trigram-blocked fuzzy string self-join (the pg_trgm / Elastic
+    * fuzzy-match pattern) over part names, with the q176 vocabulary
+    * trick: similarity is computed on the DISTINCT-NAME DICTIONARY
+    * (64 names here, vocabulary-bounded at any fact scale), then pair
+    * counts multiply back through the name frequencies in exact
+    * integer space (c1·c2 cross-name, C(cnt,2) same-name). The
+    * trigram equi-join is the blocking step — candidate pairs share at
+    * least one trigram, never the all-pairs cross product — and the
+    * Jaccard over distinct trigram sets is integer-derived, so the
+    * 2dp-rounded buckets hash-match across engines.
+    */
+  private val q196 = Q(
+    "q196_trigram_join",
+    (s, dir) => {
+      val names = t(s, dir, "part")
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).cast(LongType).as("cnt"))
+      val tg = names.withColumn("g", array_distinct(expr(
+        "transform(sequence(1, length(name) - 2), i -> substring(name, i, 3))")))
+      val ex = tg.select(col("name"), col("cnt"),
+        size(col("g")).as("ng"), explode(col("g")).as("gram"))
+      val a = ex.select(col("name").as("n1"), col("cnt").as("c1"),
+        col("ng").as("g1"), col("gram"))
+      val b = ex.select(col("name").as("n2"), col("cnt").as("c2"),
+        col("ng").as("g2"), col("gram"))
+      val shared = a.join(b,
+          a("gram") === b("gram") && col("n1") < col("n2"))
+        .groupBy(col("n1"), col("n2"), col("c1"), col("c2"),
+          col("g1"), col("g2"))
+        .agg(count(lit(1)).as("sh"))
+      val j = col("sh").cast(DoubleType) /
+        (col("g1") + col("g2") - col("sh"))
+      val cross = shared.filter(j >= 0.4)
+        .select(round(j, 2).as("j"), (col("c1") * col("c2")).as("np"))
+      val same = names.filter(col("cnt") > 1)
+        .select(lit(1.0).as("j"),
+          expr("cnt * (cnt - 1) div 2").as("np"))
+      cross.unionByName(same)
+        .groupBy(col("j"))
+        .agg(sum(col("np")).cast(LongType).as("n_pairs"))
+    },
+    Some("""
+      WITH names AS (
+        SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM part GROUP BY 1),
+      tg AS (
+        SELECT name, cnt, list_distinct([substr(name, CAST(i AS INT), 3)
+          FOR i IN range(1, length(name) - 1)]) AS g
+        FROM names),
+      ex AS (SELECT name, cnt, len(g) AS ng, unnest(g) AS gram FROM tg),
+      shared AS (
+        SELECT a.name AS n1, b.name AS n2, a.cnt AS c1, b.cnt AS c2,
+               a.ng AS g1, b.ng AS g2, COUNT(*) AS sh
+        FROM ex a JOIN ex b ON a.gram = b.gram AND a.name < b.name
+        GROUP BY 1, 2, 3, 4, 5, 6),
+      pairs AS (
+        SELECT ROUND(CAST(sh AS DOUBLE) / (g1 + g2 - sh), 2) AS j,
+               c1 * c2 AS np
+        FROM shared WHERE CAST(sh AS DOUBLE) / (g1 + g2 - sh) >= 0.4
+        UNION ALL
+        SELECT 1.0 AS j, cnt * (cnt - 1) // 2 AS np
+        FROM names WHERE cnt > 1)
+      SELECT j, CAST(SUM(np) AS BIGINT) AS n_pairs
+      FROM pairs GROUP BY 1
+    """))
+
   val registry: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52,
-    q82, q84, q85, q99, q112, q124, q130, q133, q136)
+    q82, q84, q85, q99, q112, q124, q130, q133, q136, q196)
 }

@@ -185,5 +185,71 @@ object SketchQueries {
       GROUP BY 1
     """))
 
-  val registry: Seq[Q] = Seq(q190, q191)
+  /** Bloom-prefiltered join — the explicit runtime-filter pattern: a
+    * 16 KB bloom bitmap (131072 bits as 63-bit-packed longs, k=2
+    * salted-md5 probes, same construction as q113) built from the
+    * DELTA orders' keys broadcasts to the lineitem scan, which drops
+    * non-matching rows BEFORE the join shuffle. Blooms have no false
+    * negatives and the exact join removes false positives, so the
+    * prefilter is semantically transparent — which is precisely what
+    * the oracle proves by computing the PLAIN join (same differential
+    * structure as q191). At 100 TB this is the difference between
+    * shuffling the whole fact table and shuffling the ~selectivity
+    * fraction that can possibly match.
+    */
+  private val q195 = Q(
+    "q195_bloom_join",
+    (s, dir) => {
+      val m = 131072L
+      def positions(c: org.apache.spark.sql.Column) = (0 until 2).map(i =>
+        md5Int32(concat(lit(s"$i|"), c.cast(StringType))) % m)
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1998-01-01")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val bitmap = o
+        .select(explode(array(positions(col("o_orderkey")): _*)).as("pos"))
+        .select(expr("pos div 63").as("word_idx"),
+          expr("shiftleft(cast(1 as bigint), cast(pos % 63 as int))")
+            .as("bit"))
+        .groupBy(col("word_idx"))
+        .agg(expr("bit_or(bit)").as("bits"))
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        (dec2(col("l_extendedprice")) *
+          (lit(1) - dec2(col("l_discount")))).as("rev"))
+      val Seq(p0, p1) = positions(col("l_orderkey"))
+      val survivors = li
+        .withColumn("w0", p0.cast(LongType))
+        .withColumn("w1", p1.cast(LongType))
+        .join(broadcast(bitmap.select(col("word_idx").as("i0"),
+          col("bits").as("b0"))), expr("w0 div 63") === col("i0"), "left")
+        .join(broadcast(bitmap.select(col("word_idx").as("i1"),
+          col("bits").as("b1"))), expr("w1 div 63") === col("i1"), "left")
+        .filter(
+          coalesce(expr(
+            "(b0 & shiftleft(cast(1 as bigint), cast(w0 % 63 as int))) != 0"),
+            lit(false)) &&
+          coalesce(expr(
+            "(b1 & shiftleft(cast(1 as bigint), cast(w1 % 63 as int))) != 0"),
+            lit(false)))
+        .select(col("l_orderkey"), col("rev"))
+      survivors
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          asLong(count(lit(1))).as("n_lines"),
+          sum(col("rev")).cast(DoubleType).as("revenue"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      GROUP BY 1
+    """))
+
+  val registry: Seq[Q] = Seq(q190, q191, q195)
 }

@@ -87,6 +87,47 @@ class SketchSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("q195_bloom_join: prefiltered join equals the plain join") {
+    import graft.functions.Exprs.dec2
+    val plain = table("lineitem")
+      .join(table("orders").filter(col("o_orderdate") >= "1998-01-01"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("l_extendedprice")) *
+          (lit(1) - dec2(col("l_discount")))).cast("double").as("rev"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val got = df("q195_bloom_join").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == plain && got.nonEmpty)
+  }
+
+  test("q196_trigram_join: matches driver-side dictionary brute force") {
+    val nameCnt = table("part").groupBy(col("p_name")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def grams(s: String): Set[String] =
+      (1 to s.length - 2).map(i => s.substring(i - 1, i + 2)).toSet
+    val names = nameCnt.keys.toSeq.sorted
+    val buckets = scala.collection.mutable.Map.empty[Double, Long]
+    for {
+      i <- names.indices; k <- i + 1 until names.length
+      (a, b) = (names(i), names(k))
+      ga = grams(a); gb = grams(b)
+      sh = (ga & gb).size if sh > 0
+      j = sh.toDouble / (ga.size + gb.size - sh) if j >= 0.4
+    } {
+      val key = BigDecimal(j).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      buckets.updateWith(key)(c => Some(c.getOrElse(0L) + nameCnt(a) * nameCnt(b)))
+    }
+    for ((_, c) <- nameCnt if c > 1)
+      buckets.updateWith(1.0)(x => Some(x.getOrElse(0L) + c * (c - 1) / 2))
+    val got = df("q196_trigram_join").collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got == buckets.toMap)
+  }
+
   test("q192_random_projection: distortion concentrates around 1") {
     val rows = df("q192_random_projection").collect()
     assert(rows.nonEmpty)
