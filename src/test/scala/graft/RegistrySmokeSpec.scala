@@ -72,10 +72,31 @@ class RegistrySmokeSpec extends AnyFunSuite {
 
   test("golden plans: global top-k plans as TakeOrderedAndProject") {
     Seq("q20_topk_orders", "q28_shipping_priority", "q53_cosine_knn",
-      "q59_ivf_ann").foreach { n =>
+      "q59_ivf_ann", "q176_bpe_pairs").foreach { n =>
       assert(planOf(n).contains("TakeOrderedAndProject"),
         s"$n's top-k degraded to a full global sort")
     }
+  }
+
+  test("golden plans: subqueries decorrelate to semi/anti joins") {
+    val p183 = planOf("q183_multi_exists")
+    assert(p183.contains("LeftSemi"),
+      "q183's EXISTS no longer plans as a semi join")
+    assert(p183.contains("LeftAnti"),
+      "q183's NOT EXISTS no longer plans as an anti join")
+    assert(planOf("q187_large_volume").contains("LeftSemi"),
+      "q187's IN-subquery no longer plans as a semi join")
+    assert(planOf("q184_notin_distinct").contains("LeftAnti"),
+      "q184's NOT IN no longer plans as an anti join")
+    // decorrelated scalar subqueries must not re-execute per row: the
+    // plan has a constant number of aggregates, no per-row subquery node
+    assert(!planOf("q185_min_cost_supplier").contains("Subquery"),
+      "q185's correlated scalar subquery did not decorrelate")
+  }
+
+  test("golden plans: bloom-join bitmap broadcasts to the fact scan") {
+    assert(planOf("q195_bloom_join").contains("BroadcastExchange"),
+      "q195's bloom bitmap no longer broadcasts")
   }
 
   test("flagship entry returns rows") {
