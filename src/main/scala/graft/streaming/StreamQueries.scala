@@ -6,7 +6,7 @@ import java.util.UUID
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, TimeMode, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.{Q, Tables}
@@ -559,6 +559,101 @@ object StreamQueries {
       FROM est
     """))
 
+  /** Per-user running aggregate on Spark 4's transformWithState — the
+    * successor to mapGroupsWithState (q139): typed ValueState handles,
+    * TTL support, and the RocksDB state-store backend it requires. The
+    * processor keeps (count, spend-cents) per user and emits the
+    * running totals each batch; with AvailableNow the single batch's
+    * emission is the final state, so the DuckDB per-user batch
+    * aggregate is the exact oracle (cents arithmetic — no doubles in
+    * state). State is two longs per user: the state store scales with
+    * the USER dimension, never the event count. The RocksDB provider
+    * conf is set for this query and restored after, since
+    * transformWithState rejects the default HDFS-backed provider.
+    */
+  private val q197 = Q(
+    "q197_transform_with_state",
+    (s, dir) => {
+      Tables.tuned(s)
+      val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val oldProvider = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        val src = s.readStream
+          .schema(eventsRawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id"),
+            (col("value").cast(DecimalType(18, 2)) * 100)
+              .cast(LongType).as("cents"))
+          .as[(Long, Long)]
+        val out = src
+          .groupByKey(_._1)
+          .transformWithState(new UserSpendProcessor,
+            TimeMode.None(), OutputMode.Update())
+        val query = startNarrow(s)(out
+          .toDF("user_id", "n_events", "spend_cents")
+          .writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start())
+        query.awaitTermination()
+        s.table(name)
+      } finally {
+        oldProvider match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None => s.conf.unset(providerKey)
+        }
+      }
+    },
+    Some("""
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS spend_cents
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1
+    """))
+
   val registry: Seq[Q] = Seq(q40, q41, q42, q43, q44, q117, q126, q139,
-    q157, q175, q194)
+    q157, q175, q194, q197)
+}
+
+/** transformWithState processor for q197: running (count, cents) per
+  * user in a typed ValueState. Emitting the running totals on every
+  * batch makes Update-mode output idempotent per key; the memory sink
+  * keeps the latest row per key per batch.
+  */
+class UserSpendProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long), (Long, Long, Long)] {
+
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("agg",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Long)] = {
+    var (c, cents) = if (st.exists()) st.get() else (0L, 0L)
+    rows.foreach { case (_, v) => c += 1; cents += v }
+    st.update((c, cents))
+    Iterator.single((key, c, cents))
+  }
 }

@@ -251,4 +251,24 @@ class StreamingSpec extends AnyFunSuite {
       .map { case (u, rows) => u -> rows.map(_.max_value).max }
     assert(finalMax == Map(1L -> 9.0, 2L -> 7.0))
   }
+
+  test("q197 transformWithState equals batch agg; provider conf restored") {
+    val dir = "/root/testdata/sf0.001"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(providerKey)
+    val got = graft.Queries.queries("q197_transform_with_state")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(spark.conf.getOption(providerKey) == before,
+      "state-store provider conf leaked out of q197")
+    import org.apache.spark.sql.functions._
+    val batch = graft.Tables.load(graft.Tables.tuned(spark), dir, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("c"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == batch)
+  }
 }
