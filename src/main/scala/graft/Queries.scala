@@ -597,7 +597,8 @@ object Queries {
     graft.operators.TemporalGraphQueries.registry ++
     graft.operators.StatQueries.registry ++
     graft.operators.SubqueryQueries.registry ++
-    graft.operators.SketchQueries.registry
+    graft.operators.SketchQueries.registry ++
+    graft.operators.Spark4Queries.registry
 
   // NO stripMargin here: its margin char is '|', so an oracle line that
   // begins with a '||' concatenation would silently lose a pipe

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Spark 4 language-surface operators: the VARIANT semi-structured
+  * type, SQL pipe syntax, and collation-aware grouping. These are
+  * engine-surface showcases — each compiles to the same Catalyst plans
+  * as its classic formulation (the oracle runs the classic form on
+  * DuckDB), so they prove the NEW front doors produce the same answers
+  * as the old ones.
+  */
+object Spark4Queries {
+
+  private def t(s: SparkSession, dir: String, n: String) =
+    Tables.load(Tables.tuned(s), dir, n)
+
+  /** VARIANT ingestion of the events props JSON: parse_json once into
+    * a variant column, typed variant_get extraction, aggregate. At
+    * scale this is the schema-on-read path for heterogeneous JSON —
+    * the variant binary encoding is columnar-shreddable, and the
+    * typed get pushes into the scan in formats that support it. The
+    * oracle extracts the same field with DuckDB's JSON operators —
+    * integer-exact outputs.
+    */
+  private val q198 = Q(
+    "q198_variant_json",
+    (s, dir) => {
+      Tables.tuned(s)
+      t(s, dir, "events").createOrReplaceTempView("graft_q198_events")
+      s.sql("""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(variant_get(parse_json(props), '$.k', 'bigint'))
+                    AS BIGINT) AS sum_k,
+               CAST(MIN(variant_get(parse_json(props), '$.k', 'bigint'))
+                    AS BIGINT) AS min_k,
+               CAST(MAX(variant_get(parse_json(props), '$.k', 'bigint'))
+                    AS BIGINT) AS max_k
+        FROM graft_q198_events
+        WHERE props IS NOT NULL
+        GROUP BY event_type
+      """)
+    },
+    Some("""
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                  AS BIGINT) AS sum_k,
+             CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT))
+                  AS BIGINT) AS min_k,
+             CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT))
+                  AS BIGINT) AS max_k
+      FROM events
+      WHERE props IS NOT NULL
+      GROUP BY event_type
+    """))
+
+  /** SQL pipe syntax (Spark 4 `|>` operators): the pricing-summary
+    * aggregation written as a linear pipeline — FROM |> WHERE |>
+    * AGGREGATE ... GROUP BY |> ORDER BY. Identical Catalyst plan to
+    * the classic q01 form; the oracle runs the classic SQL. */
+  private val q199 = Q(
+    "q199_pipe_syntax",
+    (s, dir) => {
+      Tables.tuned(s)
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_q199_lineitem")
+      s.sql("""
+        FROM graft_q199_lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |> AGGREGATE
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+      """)
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """))
+
+  /** Collation-aware grouping: a mixed-case part-type column (lower on
+    * even keys; the source values are uppercase) grouped under UTF8_LCASE, so 'STANDARD BRASS' and
+    * 'standard brass' land in one group WITHOUT rewriting the data —
+    * the collation travels in the type, the comparator changes, and
+    * hash aggregation/joins use collation-aware hashing. The oracle
+    * expresses the same semantics the classic way (GROUP BY lower);
+    * output keys are lowercased explicitly so both engines emit
+    * identical representatives.
+    */
+  private val q200 = Q(
+    "q200_collation_group",
+    (s, dir) => {
+      Tables.tuned(s)
+      t(s, dir, "part").createOrReplaceTempView("graft_q200_part")
+      s.sql("""
+        WITH mixed AS (
+          SELECT CASE WHEN p_partkey % 2 = 0 THEN lower(p_type)
+                      ELSE p_type END AS ptype,
+                 p_retailprice
+          FROM graft_q200_part)
+        SELECT MIN(lower(ptype)) AS ptype_lc,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM mixed
+        GROUP BY collate(ptype, 'UTF8_LCASE')
+      """)
+    },
+    Some("""
+      WITH mixed AS (
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN lower(p_type)
+                    ELSE p_type END AS ptype,
+               p_retailprice
+        FROM part)
+      SELECT MIN(lower(ptype)) AS ptype_lc,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+      FROM mixed
+      GROUP BY lower(ptype)
+    """))
+
+  val registry: Seq[Q] = Seq(q198, q199, q200)
+}

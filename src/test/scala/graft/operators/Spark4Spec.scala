@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Spark 4 surface queries must be pure front-door changes: same
+  * answers (and for pipe syntax, the same physical plan) as their
+  * classic formulations.
+  */
+class Spark4Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def df(name: String) = graft.Queries.queries(name)(spark, dir)
+
+  test("q198: variant_get agrees with get_json_object row by row") {
+    graft.Tables.load(graft.Tables.tuned(spark), dir, "events")
+      .createOrReplaceTempView("s4_events")
+    val diff = spark.sql("""
+      SELECT COUNT(*) AS n FROM s4_events
+      WHERE props IS NOT NULL
+        AND NOT (variant_get(parse_json(props), '$.k', 'bigint') <=>
+                 CAST(get_json_object(props, '$.k') AS BIGINT))
+    """).collect().head.getLong(0)
+    assert(diff == 0)
+  }
+
+  test("q199: pipe syntax plans identically to classic SQL") {
+    graft.Tables.load(graft.Tables.tuned(spark), dir, "lineitem")
+      .createOrReplaceTempView("graft_q199_lineitem")
+    val pipe = df("q199_pipe_syntax").queryExecution.optimizedPlan
+      .canonicalized
+    val classic = spark.sql("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+      FROM graft_q199_lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """).queryExecution.optimizedPlan.canonicalized
+    assert(pipe.toString == classic.toString,
+      "pipe syntax no longer optimizes to the classic plan")
+  }
+
+  test("q200: collation grouping merges the case variants") {
+    val rows = df("q200_collation_group").collect()
+    val binaryGroups = graft.Tables
+      .load(graft.Tables.tuned(spark), dir, "part")
+      .select(when(col("p_partkey") % 2 === 0, lower(col("p_type")))
+        .otherwise(col("p_type")).as("ptype"))
+      .distinct().count()
+    val lcGroups = rows.length.toLong
+    assert(lcGroups < binaryGroups,
+      s"collation grouping ($lcGroups) should merge case variants " +
+        s"of $binaryGroups binary-distinct keys")
+    rows.foreach(r => assert(r.getString(0) ==
+      r.getString(0).toLowerCase(java.util.Locale.ROOT)))
+  }
+}
