@@ -133,5 +133,69 @@ object Spark4Queries {
       GROUP BY lower(ptype)
     """))
 
-  val registry: Seq[Q] = Seq(q198, q199, q200)
+  /** SQL:2016 LISTAGG (new in Spark 4) with WITHIN GROUP ordering and
+    * DISTINCT: per market segment, the ordered distinct list of order
+    * priorities seen. The WITHIN GROUP sort makes the concatenation
+    * deterministic — the property that lets a string aggregate be
+    * oracle-hashed at all (DuckDB spells it string_agg ... ORDER BY).
+    * q104 builds the same shape from sort_array(collect_set(...));
+    * this is the native-function form.
+    */
+  private val q201 = Q(
+    "q201_listagg",
+    (s, dir) => {
+      Tables.tuned(s)
+      t(s, dir, "orders").createOrReplaceTempView("graft_q201_orders")
+      t(s, dir, "customer").createOrReplaceTempView("graft_q201_customer")
+      s.sql("""
+        SELECT c_mktsegment,
+               listagg(DISTINCT o_orderpriority, '|')
+                 WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM graft_q201_orders JOIN graft_q201_customer
+          ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+      """)
+    },
+    Some("""
+      SELECT c_mktsegment,
+             string_agg(DISTINCT o_orderpriority, '|'
+               ORDER BY o_orderpriority) AS priorities,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+    """))
+
+  /** Deterministic keyset-style pagination: ORDER BY with tiebreak +
+    * LIMIT/OFFSET (OFFSET is the Spark 3.4+ surface). The plan still
+    * avoids a full global sort: CollectLimit with offset takes
+    * limit+offset per partition and skips on the driver — fine for
+    * page-sized offsets; the docstring caveat (deep offsets scan
+    * O(offset) rows; prefer keyset predicates at depth) is the honest
+    * scale note every pagination API carries.
+    */
+  private val q202 = Q(
+    "q202_offset_pagination",
+    (s, dir) => {
+      Tables.tuned(s)
+      t(s, dir, "orders").createOrReplaceTempView("graft_q202_orders")
+      s.sql("""
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS price_cents
+        FROM graft_q202_orders
+        ORDER BY price_cents DESC, o_orderkey
+        LIMIT 10 OFFSET 20
+      """)
+    },
+    Some("""
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents
+      FROM orders
+      ORDER BY price_cents DESC, o_orderkey
+      LIMIT 10 OFFSET 20
+    """))
+
+  val registry: Seq[Q] = Seq(q198, q199, q200, q201, q202)
 }

@@ -53,6 +53,24 @@ class Spark4Spec extends AnyFunSuite {
       "pipe syntax no longer optimizes to the classic plan")
   }
 
+  test("q202: pages tile the sorted stream without overlap") {
+    graft.Tables.load(graft.Tables.tuned(spark), dir, "orders")
+      .createOrReplaceTempView("graft_q202_orders")
+    def page(offset: Int) = spark.sql(s"""
+      SELECT o_orderkey FROM graft_q202_orders
+      ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        DESC, o_orderkey
+      LIMIT 10 OFFSET $offset
+    """).collect().map(_.getLong(0)).toSeq
+    val p0 = page(0); val p1 = page(10); val p2 = page(20)
+    assert((p0 ++ p1 ++ p2).distinct.length == 30, "pages overlap")
+    assert(page(0).take(30) == (p0 ++ p1 ++ p2).take(10),
+      "page 0 content drifted")
+    val q202 = df("q202_offset_pagination").collect()
+      .map(_.getLong(0)).toSeq
+    assert(q202 == p2, "q202 is not exactly the third page")
+  }
+
   test("q200: collation grouping merges the case variants") {
     val rows = df("q200_collation_group").collect()
     val binaryGroups = graft.Tables
