@@ -64,8 +64,14 @@ class Spark4Spec extends AnyFunSuite {
     """).collect().map(_.getLong(0)).toSeq
     val p0 = page(0); val p1 = page(10); val p2 = page(20)
     assert((p0 ++ p1 ++ p2).distinct.length == 30, "pages overlap")
-    assert(page(0).take(30) == (p0 ++ p1 ++ p2).take(10),
-      "page 0 content drifted")
+    val top30 = spark.sql("""
+      SELECT o_orderkey FROM graft_q202_orders
+      ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        DESC, o_orderkey
+      LIMIT 30
+    """).collect().map(_.getLong(0)).toSeq
+    assert(p0 ++ p1 ++ p2 == top30,
+      "pages do not tile the top-30 sort prefix")
     val q202 = df("q202_offset_pagination").collect()
       .map(_.getLong(0)).toSeq
     assert(q202 == p2, "q202 is not exactly the third page")
