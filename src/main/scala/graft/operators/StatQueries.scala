@@ -223,12 +223,20 @@ object StatQueries {
 
   /** Weighted median in exact integer space: per return flag, the
     * smallest price (in cents) whose cumulative quantity-weight reaches
-    * half the total weight. Prices pre-aggregate per (flag, cents) so
-    * the cumulative window's tie behavior is value-deterministic (no
-    * dependence on row order within equal prices), then one flag-keyed
-    * window pass; the 2*cum >= total test is BIGINT-exact. The
-    * pre-aggregation also bounds the window input by price cardinality,
-    * not fact rows.
+    * half the total weight; the 2*cum >= total test is BIGINT-exact.
+    *
+    * Computed bin-then-refine, the scalable exact-quantile shape: the
+    * price domain buckets into $10k bins, a TINY per-(flag,bin) weight
+    * table locates the bin containing the median (plus the exact
+    * cumulative weight before it), and only THAT bin's prices — ~1/100
+    * of the domain — go through the sorted cumulative window. Prices
+    * are near-unique here (583k distinct of 600k rows at sf0.1), so
+    * the naive single window sorts the whole domain per flag; the
+    * refine step is the difference between sorting everything and
+    * sorting one bucket, and at 100 TB between an impossible
+    * single-partition sort and a small one. The ORACLE computes the
+    * naive single-window formulation — the hash match is the proof
+    * that bin-then-refine is exact, not approximate.
     */
   private val q180 = Q(
     "q180_weighted_median",
@@ -240,16 +248,40 @@ object StatQueries {
           col("l_quantity").cast(LongType).as("w"))
         .groupBy(col("flag"), col("cents"))
         .agg(sum(col("w")).as("w"))
-      val cumWin = Window.partitionBy(col("flag")).orderBy(col("cents"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .withColumn("bin", expr("cents div 1000000"))
+        // both the bin-locate branch and the refine probe read this
+        // relation; materialize the fact-scale aggregation once
+        // instead of re-scanning lineitem per branch (q113 pattern)
+        .localCheckpoint()
+      val binCum = byPrice
+        .groupBy(col("flag"), col("bin"))
+        .agg(sum(col("w")).as("bw"))
+        .withColumn("cumw", sum(col("bw")).over(
+          Window.partitionBy(col("flag")).orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tw",
+          sum(col("bw")).over(Window.partitionBy(col("flag"))))
+      val medianBin = binCum
+        .filter(col("cumw") * 2 >= col("tw"))
+        .groupBy(col("flag"))
+        .agg(min(col("bin")).as("mbin"))
+      val binInfo = binCum.as("c")
+        .join(medianBin.as("m"),
+          col("c.flag") === col("m.flag") && col("c.bin") === col("m.mbin"))
+        .select(col("c.flag").as("mflag"), col("m.mbin").as("mbin2"),
+          (col("c.cumw") - col("c.bw")).as("prev_cum"),
+          col("c.tw").as("mtw"))
       byPrice
-        .withColumn("cw", sum(col("w")).over(cumWin))
-        .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("flag"))))
-        .filter(col("cw") * 2 >= col("tw"))
+        .join(broadcast(binInfo),
+          col("flag") === col("mflag") && col("bin") === col("mbin2"))
+        .withColumn("cw_in", sum(col("w")).over(
+          Window.partitionBy(col("flag")).orderBy(col("cents"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter((col("prev_cum") + col("cw_in")) * 2 >= col("mtw"))
         .groupBy(col("flag"))
         .agg(
           asLong(min(col("cents"))).as("wmedian_cents"),
-          asLong(max(col("tw"))).as("total_weight"))
+          asLong(max(col("mtw"))).as("total_weight"))
     },
     Some("""
       WITH byprice AS (

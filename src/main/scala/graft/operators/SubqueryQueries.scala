@@ -45,7 +45,15 @@ object SubqueryQueries {
           SELECT l_partkey AS pk, l_suppkey AS sk,
                  MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
                      AS BIGINT)) AS cost_cents
-          FROM graft_q185_lineitem GROUP BY 1, 2)
+          FROM graft_q185_lineitem
+          -- semi-join prune pushed into the subquery relation: the
+          -- per-part MIN only matters for parts that survive the
+          -- p_size filter, so the cost aggregation reads ~20% of the
+          -- fact instead of all of it (the oracle aggregates the
+          -- unpruned relation — the hash match proves equivalence)
+          WHERE l_partkey IN (SELECT p_partkey FROM graft_q185_part
+                              WHERE p_size <= 10)
+          GROUP BY 1, 2)
         SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, c.cost_cents
         FROM graft_q185_part p
         JOIN cost c ON p.p_partkey = c.pk
