@@ -1224,8 +1224,47 @@ object AnalyticQueries {
       FROM marked WHERE prev_best IS NULL OR size > prev_best
     """))
 
+  /** q66's as-of join through the NATIVE custom operator
+    * (plans/AsOfJoinPlan.scala: AsOfJoinNode -> AsOfJoinStrategy ->
+    * AsOfJoinExec): one exchange + sort per side, then a linear
+    * per-partition merge with one buffered right row — the whole-
+    * operator extension tier, versus q66's union+window composition.
+    * Same sub-relations, same DuckDB native-ASOF oracle: three
+    * independent as-of implementations (merge exec, window kernel,
+    * DuckDB) must agree.
+    */
+  private val q203 = Q(
+    "q203_native_asof",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id").as("asof_user_id"),
+          col("ts").as("asof_ts"), col("click_id"))
+      graft.plans.NativeAsOf.join(errors, clicks,
+          key = "user_id", rightKey = "asof_user_id",
+          leftTs = "ts", rightTs = "asof_ts")
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (unix_millis(col("ts")) - unix_millis(col("asof_ts")))
+            .as("ms_since_click"))
+    },
+    Some("""
+      WITH errors AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+      clicks AS (
+        SELECT user_id, ts, MAX(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT e.event_id, e.user_id, c.click_id,
+             epoch_ms(CAST(e.ts AS TIMESTAMP)) - epoch_ms(CAST(c.ts AS TIMESTAMP)) AS ms_since_click
+      FROM errors e ASOF LEFT JOIN clicks c
+        ON e.user_id = c.user_id AND e.ts > c.ts
+    """))
+
   val registry: Seq[Q] = Seq(q66, q67, q68, q69, q75, q76, q77, q78,
     q79, q80, q81, q102, q104, q105, q106, q116, q118, q119, q122,
     q135, q148, q149, q150, q151, q152, q153, q154, q155, q156,
-    q158, q159)
+    q158, q159, q203)
 }

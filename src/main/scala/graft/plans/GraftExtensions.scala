@@ -79,5 +79,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => MinHashSig(args(0),
         litInt(args(1), "signature width"))))
     ext.injectOptimizerRule(_ => FuseDotProduct)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

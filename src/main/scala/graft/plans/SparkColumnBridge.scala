@@ -15,4 +15,30 @@ object GraftColumnBridge {
 
   def expression(c: Column): Expression =
     ColumnConversions.expression(c)
+
+  /** Dataset.ofRows is private[sql]; the custom-operator API
+    * (graft.plans.NativeAsOf) needs it to lift a hand-built
+    * LogicalPlan into a DataFrame. */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Analyzed logical plan of a DataFrame. */
+  def analyzed(df: DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Install a planner strategy session-locally (idempotent) via the
+    * public ExperimentalMethods hook — the no-config alternative to
+    * SparkSessionExtensions for ad-hoc sessions. */
+  def installStrategy(
+      spark: SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(strategy))
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+  }
 }
