@@ -621,8 +621,68 @@ object StreamQueries {
       GROUP BY 1
     """))
 
+  /** Bounded per-key buffer on transformWithState's ListState: the
+    * last-3 events per user, maintained as a 3-element sorted list in
+    * state. Each batch merges its rows into the buffer and re-truncates
+    * — state is EXACTLY 3 (ts, event_id) pairs per user forever, the
+    * streaming analogue of the q174 bounded top-k aggregator (contrast
+    * collecting all events per user: unbounded). Deterministic under
+    * the (ts desc, event_id desc) total order regardless of arrival
+    * order; the oracle is the batch ROW_NUMBER top-3.
+    */
+  private val q204 = Q(
+    "q204_list_state",
+    (s, dir) => {
+      Tables.tuned(s)
+      val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val oldProvider = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        val src = s.readStream
+          .schema(eventsRawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id"))
+          .as[(Long, Long, Long)]
+        val out = src
+          .groupByKey(_._1)
+          .transformWithState(new LastEventsProcessor,
+            TimeMode.None(), OutputMode.Update())
+        val query = startNarrow(s)(out
+          .toDF("user_id", "rnk", "event_id", "ts_us")
+          .writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start())
+        query.awaitTermination()
+        s.table(name)
+      } finally {
+        oldProvider match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None => s.conf.unset(providerKey)
+        }
+      }
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rnk
+        FROM events WHERE user_id IS NOT NULL)
+      SELECT user_id, CAST(rnk AS BIGINT) AS rnk, event_id, ts_us
+      FROM ranked WHERE rnk <= 3
+    """))
+
   val registry: Seq[Q] = Seq(q40, q41, q42, q43, q44, q117, q126, q139,
-    q157, q175, q194, q197)
+    q157, q175, q194, q197, q204)
 }
 
 /** transformWithState processor for q197: running (count, cents) per
@@ -655,5 +715,42 @@ class UserSpendProcessor
     rows.foreach { case (_, v) => c += 1; cents += v }
     st.update((c, cents))
     Iterator.single((key, c, cents))
+  }
+}
+
+/** transformWithState processor for q204: a bounded 3-element buffer of
+  * (ts_us, event_id) per user in ListState, kept sorted by (ts desc,
+  * event_id desc). put() replaces the whole list each batch, so state
+  * never exceeds 3 entries per key.
+  */
+class LastEventsProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, Long), (Long, Long, Long, Long)] {
+
+  @transient private var st:
+    org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getListState[(Long, Long)]("last3",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Long, Long)] = {
+    val cur = if (st.exists()) st.get().toSeq else Seq.empty
+    val merged = (cur ++ rows.map(r => (r._2, r._3)))
+      .sortBy { case (ts, id) => (-ts, -id) }
+      .take(3)
+    st.put(merged.toArray)
+    merged.iterator.zipWithIndex.map { case ((ts, id), i) =>
+      (key, (i + 1).toLong, id, ts)
+    }
   }
 }
