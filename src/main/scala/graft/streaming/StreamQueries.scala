@@ -681,8 +681,72 @@ object StreamQueries {
       FROM ranked WHERE rnk <= 3
     """))
 
+  /** Event-time TIMERS on transformWithState: per-user inactivity
+    * detection. Each batch re-registers one timer at last_seen + 30min
+    * (deleting the previous — at most ONE pending timer per key);
+    * data batches emit nothing, and when the watermark passes a
+    * timer, handleExpiredTimer emits (user, last_seen, expiry) from
+    * state. Under AvailableNow the post-data timer batch fires every
+    * timer strictly below the terminal watermark (max event time − 1s
+    * delay), so the result is the deterministic set of users inactive
+    * 30min before the stream's end — exactly the oracle's predicate.
+    * This is the timer third of the transformWithState surface
+    * (ValueState q197, ListState q204, timers here).
+    */
+  private val q205 = Q(
+    "q205_event_timers",
+    (s, dir) => {
+      Tables.tuned(s)
+      val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val oldProvider = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        val src = s.readStream
+          .schema(eventsRawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .filter(col("user_id").isNotNull)
+          .withColumn("ets", timestamp_millis(expr("ts div 1000000")))
+          .withWatermark("ets", "1 second")
+          .select(col("user_id"), expr("ts div 1000000").as("ms"))
+          .as[(Long, Long)]
+        val out = src
+          .groupByKey(_._1)
+          .transformWithState(new InactivityTimerProcessor,
+            TimeMode.EventTime(), OutputMode.Update())
+        val query = startNarrow(s)(out
+          .toDF("user_id", "last_ms", "expiry_ms")
+          .writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start())
+        query.awaitTermination()
+        s.table(name)
+      } finally {
+        oldProvider match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None => s.conf.unset(providerKey)
+        }
+      }
+    },
+    Some("""
+      WITH evms AS (
+        SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+        FROM events WHERE user_id IS NOT NULL),
+      lasts AS (
+        SELECT user_id, MAX(ms) AS last_ms FROM evms GROUP BY 1)
+      SELECT user_id, last_ms, last_ms + 1800000 AS expiry_ms
+      FROM lasts
+      WHERE last_ms + 1800000 < (SELECT MAX(ms) - 1000 FROM evms)
+    """))
+
   val registry: Seq[Q] = Seq(q40, q41, q42, q43, q44, q117, q126, q139,
-    q157, q175, q194, q197, q204)
+    q157, q175, q194, q197, q204, q205)
 }
 
 /** transformWithState processor for q197: running (count, cents) per
@@ -752,5 +816,49 @@ class LastEventsProcessor
     merged.iterator.zipWithIndex.map { case ((ts, id), i) =>
       (key, (i + 1).toLong, id, ts)
     }
+  }
+}
+
+/** transformWithState processor for q205: one pending event-time timer
+  * per user at last_seen + 30min. Data batches only maintain state
+  * (delete old timer, register new); expiry emits from state.
+  */
+class InactivityTimerProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long), (Long, Long, Long)] {
+
+  private val GapMs = 30L * 60 * 1000
+
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[Long]("last_seen",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Long)] = {
+    val mx = rows.map(_._2).max
+    val last = if (st.exists()) math.max(st.get(), mx) else mx
+    st.update(last)
+    getHandle.listTimers().foreach(t =>
+      getHandle.deleteTimer(t.asInstanceOf[Long]))
+    getHandle.registerTimer(last + GapMs)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(
+      key: Long,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[(Long, Long, Long)] = {
+    val last = st.get()
+    Iterator.single((key, last, info.getExpiryTimeInMs))
   }
 }
