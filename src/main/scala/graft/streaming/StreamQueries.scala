@@ -745,8 +745,62 @@ object StreamQueries {
       WHERE last_ms + 1800000 < (SELECT MAX(ms) - 1000 FROM evms)
     """))
 
+  /** MapState per-key sub-keyed counts — the fourth and last
+    * transformWithState primitive: each user\'s state is a map
+    * event_type -> count, point-updated per batch (updateValue), never
+    * materialized whole except at emission. State per user is bounded
+    * by the EVENT-TYPE vocabulary (5 here), not event volume, and the
+    * map layout means a 10M-type vocabulary would still update
+    * point-wise in RocksDB rather than rewriting a monolithic blob —
+    * the reason MapState exists instead of ValueState[Map].
+    */
+  private val q206 = Q(
+    "q206_map_state",
+    (s, dir) => {
+      Tables.tuned(s)
+      val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val oldProvider = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        val src = s.readStream
+          .schema(eventsRawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_type"))
+          .as[(Long, String)]
+        val out = src
+          .groupByKey(_._1)
+          .transformWithState(new TypeCountsProcessor,
+            TimeMode.None(), OutputMode.Update())
+        val query = startNarrow(s)(out
+          .toDF("user_id", "event_type", "n")
+          .writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start())
+        query.awaitTermination()
+        s.table(name)
+      } finally {
+        oldProvider match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None => s.conf.unset(providerKey)
+        }
+      }
+    },
+    Some("""
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1, 2
+    """))
+
   val registry: Seq[Q] = Seq(q40, q41, q42, q43, q44, q117, q126, q139,
-    q157, q175, q194, q197, q204, q205)
+    q157, q175, q194, q197, q204, q205, q206)
 }
 
 /** transformWithState processor for q197: running (count, cents) per
@@ -860,5 +914,36 @@ class InactivityTimerProcessor
       : Iterator[(Long, Long, Long)] = {
     val last = st.get()
     Iterator.single((key, last, info.getExpiryTimeInMs))
+  }
+}
+
+/** transformWithState processor for q206: MapState[event_type -> count]
+  * per user, point-updated; emits the full current map each batch.
+  */
+class TypeCountsProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, String), (Long, String, Long)] {
+
+  @transient private var st:
+    org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getMapState[String, Long]("type_counts",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, String)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, String, Long)] = {
+    rows.foreach { case (_, et) =>
+      val cur = if (st.containsKey(et)) st.getValue(et) else 0L
+      st.updateValue(et, cur + 1L)
+    }
+    st.iterator().map { case (et, n) => (key, et, n) }
   }
 }
