@@ -598,7 +598,8 @@ object Queries {
     graft.operators.StatQueries.registry ++
     graft.operators.SubqueryQueries.registry ++
     graft.operators.SketchQueries.registry ++
-    graft.operators.Spark4Queries.registry
+    graft.operators.Spark4Queries.registry ++
+    graft.operators.QualityQueries.registry
 
   // NO stripMargin here: its margin char is '|', so an oracle line that
   // begins with a '||' concatenation would silently lose a pipe

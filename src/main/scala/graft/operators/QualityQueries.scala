@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+import graft.functions.Exprs.{asLong, dec2, md5Int32}
+
+/** Round-6 wave: corpus-quality / data-layout operators a 100 TB
+  * training-data pipeline runs continuously — distribution-drift
+  * detection between corpus slices (total-variation, the exact-integer
+  * complement of q137's rounded-log KL divergence), corpus-relative
+  * vocabulary-coverage quality (a different axis from q125's entropy
+  * and q129's unigram log-prob: no logs, so the whole score stays in
+  * exact integer/ratio space), and the z-order-vs-linear PRUNING
+  * DECISION (q122 computes the z-layout's stats table; this measures
+  * the read amplification those stats buy against a single-column
+  * sort for a 2-D box query). The reference has no analogue for any
+  * of these (its aggregation surface is one group-count,
+  * spark_model_trainer.py:151-156); they are engine extensions in the
+  * SURVEY §2.11 tier.
+  *
+  * Exactness discipline: every metric that crosses the oracle boundary
+  * is either a 64-bit integer, an exact decimal, or a double produced
+  * by ONE division/interpolation of integers both engines compute
+  * identically (cross-multiplied comparisons everywhere else), so the
+  * driver's hash-compare is bit-exact despite "statistical" outputs.
+  */
+object QualityQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) =
+    Tables.load(Tables.tuned(s), dir, n)
+
+  private def tokens(s: SparkSession, dir: String, cols: Column*): DataFrame =
+    t(s, dir, "documents")
+      .select(cols :+ explode(split(col("text"), " ")).as("w"): _*)
+      .filter(col("w") =!= "")
+
+  /** Corpus-drift detection: per-source total-variation distance between
+    * the source's unigram distribution and the whole-corpus
+    * distribution — the standard "did this crawl slice shift?" monitor
+    * in a training-data pipeline.
+    *
+    * TV = 1/2 Σ_w |p_src(w) − p_corpus(w)| is computed in INTEGER
+    * cross-multiplied space: Σ|c_sw·N − c_w·n_s| as BIGINT (exact on
+    * any engine), divided once at the end — both engines divide the
+    * same two integers, so even the double is bit-identical. One
+    * corpus-scale shuffle total: the (source, word) counts are computed
+    * once and the word / source / corpus marginals all derive from that
+    * vocabulary-sized table (at 100 TB: one map-side-combined
+    * aggregation over the corpus, then dimension-table algebra — the
+    * source×vocab grid is |sources|·|vocab| rows, millions at web
+    * scale, never corpus-scale). BIGINT cross-products hold to
+    * N·n_s < 2^63 (~3·10^9 × 3·10^9 tokens); past that the same plan
+    * widens to DECIMAL(38,0).
+    */
+  private val q207 = Q(
+    "q207_corpus_drift_tv",
+    (s, dir) => {
+      val csw = tokens(s, dir, col("source"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("csw"))
+      val cw = csw.groupBy(col("w")).agg(sum(col("csw")).as("cw"))
+      val ns = csw.groupBy(col("source")).agg(sum(col("csw")).as("ns"))
+      val tot = cw.agg(sum(col("cw")).as("n"))
+      val grid = ns.crossJoin(broadcast(cw))
+        .join(csw, Seq("source", "w"), "left")
+        .na.fill(0L, Seq("csw"))
+      grid.crossJoin(broadcast(tot))
+        .groupBy(col("source"))
+        .agg(
+          asLong(max(col("ns"))).as("n_tok"),
+          asLong(sum(abs(col("csw") * col("n") - col("cw") * col("ns"))))
+            .as("tv_num"),
+          (sum(abs(col("csw") * col("n") - col("cw") * col("ns")))
+            .cast(DoubleType) /
+            ((lit(2.0) * max(col("ns"))) * max(col("n")))).as("tv"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT source, w FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS w
+          FROM documents) WHERE w <> ''),
+      csw AS (SELECT source, w, COUNT(*) AS csw FROM tok GROUP BY 1, 2),
+      cw AS (SELECT w, SUM(csw) AS cw FROM csw GROUP BY 1),
+      ns AS (SELECT source, SUM(csw) AS ns FROM csw GROUP BY 1),
+      tot AS (SELECT SUM(cw) AS n FROM cw),
+      grid AS (
+        SELECT ns.source, ns.ns, cw.w, cw.cw, COALESCE(csw.csw, 0) AS csw
+        FROM ns CROSS JOIN cw
+        LEFT JOIN csw ON csw.source = ns.source AND csw.w = cw.w)
+      SELECT g.source,
+             CAST(MAX(g.ns) AS BIGINT) AS n_tok,
+             CAST(SUM(ABS(g.csw*t.n - g.cw*g.ns)) AS BIGINT) AS tv_num,
+             CAST(SUM(ABS(g.csw*t.n - g.cw*g.ns)) AS DOUBLE)
+               / ((2.0*MAX(g.ns))*MAX(t.n)) AS tv
+      FROM grid g CROSS JOIN tot t GROUP BY 1
+    """))
+
+  /** Corpus-relative document quality: out-of-core-vocabulary rate and
+    * mean token frequency per document — the "rare-token gibberish"
+    * quality filter, scored against the corpus's own top-16 vocabulary
+    * rather than a fixed wordlist (so the filter adapts to the corpus,
+    * the way real pretraining-data quality filters do). Top-20 worst
+    * documents by OOV rate.
+    *
+    * Scale shape: one corpus-scale token aggregation builds the
+    * vocabulary; the core set (top-16) and the full frequency table are
+    * both vocabulary-sized and BROADCAST to the per-document pass, so
+    * the per-doc scoring is map-side — no second corpus shuffle beyond
+    * the doc_id aggregation. Ratios are single divisions of exact
+    * BIGINTs (bit-identical across engines); the top-20 order is
+    * deterministic via the (oov_rate DESC, doc_id) tiebreak.
+    */
+  private val q208 = Q(
+    "q208_oov_quality",
+    (s, dir) => {
+      val tok = tokens(s, dir, col("doc_id"))
+      val cw = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val core = cw.orderBy(col("cw").desc, col("w"))
+        .limit(16).select(col("w"), lit(1).as("is_core"))
+      tok.join(broadcast(cw), "w")
+        .join(broadcast(core), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          asLong(sum(when(col("is_core").isNull, 1).otherwise(0)))
+            .as("n_oov"),
+          sum(col("cw")).as("sum_tf"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast(DoubleType) / col("n_tokens")).as("oov_rate"),
+          (col("sum_tf").cast(DoubleType) / col("n_tokens")).as("mean_tf"))
+        .orderBy(col("oov_rate").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents) WHERE w <> ''),
+      cw AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY 1),
+      core AS (SELECT w FROM cw ORDER BY cw DESC, w LIMIT 16),
+      per AS (
+        SELECT t.doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN c.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov,
+               SUM(cw.cw) AS sum_tf
+        FROM tok t
+        LEFT JOIN core c ON t.w = c.w
+        JOIN cw ON t.w = cw.w
+        GROUP BY 1)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_oov,
+             CAST(n_oov AS DOUBLE)/n_tokens AS oov_rate,
+             CAST(sum_tf AS DOUBLE)/n_tokens AS mean_tf
+      FROM per ORDER BY oov_rate DESC, doc_id LIMIT 20
+    """))
+
+  /** Z-order (Morton) data layout vs linear layout, measured by min/max
+    * file pruning — the Delta/Iceberg OPTIMIZE ZORDER decision,
+    * quantified (q122 builds the z-layout's min/max stats table; this
+    * query answers the question those stats exist for): interleave 8
+    * bits each of two query dimensions into a Morton code, bucket rows
+    * into 64 "files" by z-range, collect per-file min/max stats
+    * (exactly what parquet row-group / Delta file stats hold), and
+    * report how many files and rows a 2-D box query must read under
+    * each layout — z-order against the single-column sort baseline. The z-curve keeps BOTH
+    * dimensions' min/max ranges tight per file, so the same stats prune
+    * ~2.5× fewer rows under linear (single-column) sort — the measured
+    * justification for z-ordering a 100 TB table queried on two keys.
+    *
+    * The Morton code is pure integer arithmetic (bit i extracted with
+    * div/mod — identical semantics in Spark and DuckDB, no
+    * engine-specific bit intrinsics), buckets are z div 1024 (top 3
+    * bits of each dimension interleaved), and every output is a BIGINT
+    * count: bit-exact across engines. Scale shape: one narrow scan,
+    * map-side z computation, one 64-group aggregation per layout — the
+    * stats table a real lakehouse maintains incrementally.
+    */
+  private val q210 = Q(
+    "q210_layout_pruning",
+    (s, dir) => {
+      val zt = (0 until 8).map(i =>
+        s"((x div ${1 << i}) % 2) * ${1L << (2 * i)}" +
+          s" + ((y div ${1 << i}) % 2) * ${1L << (2 * i + 1)}")
+        .mkString(" + ")
+      val base = t(s, dir, "lineitem")
+        .select((col("l_partkey") % 256).as("x"),
+          (col("l_orderkey") % 256).as("y"))
+      val zb = base.withColumn("zv", expr(zt))
+        .selectExpr("zv div 1024 AS bucket", "x", "y")
+      val lb = base.selectExpr("x div 4 AS bucket", "x", "y")
+      def stats(df: DataFrame, layout: String): DataFrame =
+        df.groupBy(col("bucket"))
+          .agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+            min(col("y")).as("ymin"), max(col("y")).as("ymax"),
+            count(lit(1)).as("cnt"))
+          .withColumn("layout", lit(layout))
+      val exact = base
+        .filter(col("x").between(40, 79) && col("y").between(100, 139))
+        .agg(count(lit(1)).as("rows_match"))
+      val hit = col("xmin") <= 79 && col("xmax") >= 40 &&
+        col("ymin") <= 139 && col("ymax") >= 100
+      stats(zb, "zorder").unionByName(stats(lb, "linear"))
+        .crossJoin(broadcast(exact))
+        .groupBy(col("layout"))
+        .agg(
+          count(lit(1)).as("buckets_total"),
+          asLong(sum(when(hit, 1).otherwise(0))).as("buckets_read"),
+          asLong(sum(when(hit, col("cnt")).otherwise(0))).as("rows_read"),
+          asLong(max(col("rows_match"))).as("rows_match"))
+    },
+    Some({
+      val zt = (0 until 8).map(i =>
+        s"((x//${1 << i})%2)*${1L << (2 * i)}" +
+          s" + ((y//${1 << i})%2)*${1L << (2 * i + 1)}")
+        .mkString(" + ")
+      s"""
+      WITH base AS (
+        SELECT l_partkey % 256 AS x, l_orderkey % 256 AS y FROM lineitem),
+      zb AS (
+        SELECT ($zt)//1024 AS bucket, x, y FROM base),
+      lb AS (SELECT x//4 AS bucket, x, y FROM base),
+      st AS (
+        SELECT 'zorder' AS layout, bucket, MIN(x) xmin, MAX(x) xmax,
+               MIN(y) ymin, MAX(y) ymax, COUNT(*) cnt
+        FROM zb GROUP BY 1, 2
+        UNION ALL
+        SELECT 'linear' AS layout, bucket, MIN(x) xmin, MAX(x) xmax,
+               MIN(y) ymin, MAX(y) ymax, COUNT(*) cnt
+        FROM lb GROUP BY 1, 2),
+      exact AS (
+        SELECT COUNT(*) AS rows_match FROM base
+        WHERE x BETWEEN 40 AND 79 AND y BETWEEN 100 AND 139)
+      SELECT layout,
+             CAST(COUNT(*) AS BIGINT) AS buckets_total,
+             CAST(SUM(CASE WHEN xmin<=79 AND xmax>=40 AND ymin<=139
+                            AND ymax>=100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS buckets_read,
+             CAST(SUM(CASE WHEN xmin<=79 AND xmax>=40 AND ymin<=139
+                            AND ymax>=100 THEN cnt ELSE 0 END) AS BIGINT)
+               AS rows_read,
+             CAST(MAX(e.rows_match) AS BIGINT) AS rows_match
+      FROM st CROSS JOIN exact e GROUP BY 1
+      """
+    }))
+
+  val registry: Seq[Q] = Seq(q207, q208, q210)
+}

@@ -197,5 +197,41 @@ object Spark4Queries {
       LIMIT 10 OFFSET 20
     """))
 
-  val registry: Seq[Q] = Seq(q198, q199, q200, q201, q202)
+  /** GROUP BY ALL / ORDER BY ALL (the SQL-surface shorthand both Spark
+    * 4 and DuckDB resolve to every non-aggregate select item): the
+    * shorthand and the explicit spelling must produce the identical
+    * plan — here Spark runs the shorthand and the oracle runs the
+    * classic expansion, so the differential check certifies the
+    * resolution rule itself. Plan shape is an ordinary partial/final
+    * hash aggregate on the two resolved keys; ALL resolution is purely
+    * an analysis-time rewrite with zero runtime cost at any scale.
+    */
+  private val q214 = Q(
+    "q214_group_by_all",
+    (s, dir) => {
+      Tables.tuned(s)
+      t(s, dir, "orders").createOrReplaceTempView("graft_q214_orders")
+      s.sql("""
+        SELECT o_orderpriority,
+               CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM graft_q214_orders
+        GROUP BY ALL
+        ORDER BY ALL
+      """)
+    },
+    Some("""
+      SELECT o_orderpriority,
+             CAST(YEAR(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_year,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+      FROM orders
+      GROUP BY o_orderpriority, YEAR(CAST(o_orderdate AS TIMESTAMP))
+      ORDER BY 1, 2, 3, 4
+    """))
+
+  val registry: Seq[Q] = Seq(q198, q199, q200, q201, q202, q214)
 }

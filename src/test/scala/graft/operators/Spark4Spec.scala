@@ -91,4 +91,21 @@ class Spark4Spec extends AnyFunSuite {
     rows.foreach(r => assert(r.getString(0) ==
       r.getString(0).toLowerCase(java.util.Locale.ROOT)))
   }
+
+  test("q214: GROUP BY ALL plans identically to the explicit grouping") {
+    val shorthand = df("q214_group_by_all").queryExecution.optimizedPlan
+      .canonicalized
+    val explicit = spark.sql("""
+      SELECT o_orderpriority,
+             CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+      FROM graft_q214_orders
+      GROUP BY o_orderpriority, CAST(YEAR(o_orderdate) AS BIGINT)
+      ORDER BY o_orderpriority, o_year, n, sum_price
+    """).queryExecution.optimizedPlan.canonicalized
+    assert(shorthand.toString == explicit.toString,
+      "GROUP BY ALL no longer resolves to the explicit grouping plan")
+  }
 }

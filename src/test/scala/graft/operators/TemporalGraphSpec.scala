@@ -192,4 +192,5 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(m("lineitem_qty_high") > 0L)
     assert(m.values.forall(_ >= 0L))
   }
+
 }

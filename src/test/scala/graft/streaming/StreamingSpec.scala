@@ -191,6 +191,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.find(_.user_id == 1).get.value == 1.0) // first kept
   }
 
+
   test("full cross-batch redelivery reduces to the exact unique answer") {
     // the q117 semantics: an at-least-once transport redelivers a whole
     // earlier batch within the watermark horizon; dedup state must
@@ -250,6 +251,66 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy(_.user_id)
       .map { case (u, rows) => u -> rows.map(_.max_value).max }
     assert(finalMax == Map(1L -> 9.0, 2L -> 7.0))
+  }
+
+  test("transformWithState state survives a checkpointed restart") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_tws_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+      def writeFile(n: Int, rows: Seq[(Long, Long)]): Unit =
+        rows.toDF("user_id", "cents").coalesce(1)
+          .write.mode("append").parquet(dir)
+      // the memory sink refuses checkpoint recovery, so observe the
+      // restarted query through foreachBatch (which supports it)
+      def run(): Map[Long, (Long, Long)] = {
+        val seen = new java.util.concurrent.ConcurrentHashMap[
+          Long, (Long, Long)]()
+        val src = spark.readStream
+          .schema("user_id LONG, cents LONG")
+          .parquet(dir)
+          .as[(Long, Long)]
+        val out = src.groupByKey(_._1)
+          .transformWithState(new UserSpendProcessor,
+            TimeMode.None(), OutputMode.Update())
+        val q = out.toDF("user_id", "n_events", "spend_cents")
+          .writeStream
+          .outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], _: Long) =>
+            batch.collect().foreach(r =>
+              seen.put(r.getLong(0), (r.getLong(1), r.getLong(2))))
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        import scala.jdk.CollectionConverters._
+        seen.asScala.toMap
+      }
+      writeFile(1, Seq((1L, 100L), (1L, 50L), (2L, 10L)))
+      val first = run()
+      assert(first == Map(1L -> (2L, 150L), 2L -> (1L, 10L)))
+      // restart from the SAME checkpoint with one more file: only the
+      // new file is processed, and the counters continue from state
+      writeFile(2, Seq((1L, 1L), (3L, 7L)))
+      val second = run()
+      // the restarted query's update-mode output only holds the keys
+      // touched by the new batch — with state carried over
+      assert(second == Map(1L -> (3L, 151L), 3L -> (1L, 7L)),
+        s"state did not carry across restart: $second")
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
   }
 
   test("q197 transformWithState equals batch agg; provider conf restored") {
