@@ -61,7 +61,8 @@ class RegistrySmokeSpec extends AnyFunSuite {
     Seq("q13_join_revenue_by_nation", "q28_shipping_priority",
       "q96_contamination", "q59_ivf_ann", "q113_bloom_decontamination",
       "q109_bm25_ranking", "q116_robust_outliers",
-      "q131_quantile_filter", "q134_pq_adc").foreach { n =>
+      "q131_quantile_filter", "q134_pq_adc",
+      "q207_corpus_drift_tv", "q208_oov_quality").foreach { n =>
       // (q135's broadcasts sit inside its per-round checkpoints and are
       // invisible in the final executedPlan — covered by its invariant
       // test below instead)
@@ -72,7 +73,7 @@ class RegistrySmokeSpec extends AnyFunSuite {
 
   test("golden plans: global top-k plans as TakeOrderedAndProject") {
     Seq("q20_topk_orders", "q28_shipping_priority", "q53_cosine_knn",
-      "q59_ivf_ann", "q176_bpe_pairs").foreach { n =>
+      "q59_ivf_ann", "q176_bpe_pairs", "q208_oov_quality").foreach { n =>
       assert(planOf(n).contains("TakeOrderedAndProject"),
         s"$n's top-k degraded to a full global sort")
     }
