@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
+import graft.functions.Exprs.asLong
 
 /** Spark 4 language-surface operators: the VARIANT semi-structured
   * type, SQL pipe syntax, and collation-aware grouping. These are
@@ -233,5 +234,65 @@ object Spark4Queries {
       ORDER BY 1, 2, 3, 4
     """))
 
-  val registry: Seq[Q] = Seq(q198, q199, q200, q201, q202, q214)
+  /** Error-safe arithmetic under ANSI mode: Spark 4 runs with
+    * spark.sql.ansi.enabled=true, where division by zero, bad casts,
+    * and bigint overflow are runtime ERRORS — a single poisoned row
+    * kills a 100 TB job hours in. The try_* family (try_divide /
+    * try_cast / try_add) converts each error class to NULL row-locally,
+    * which is the only admissible semantics at scale: the error path
+    * costs nothing on clean rows, poisoned rows degrade to counted
+    * NULLs instead of job retries, and the per-class NULL counts below
+    * are exactly the data-quality telemetry a pipeline alerts on. The
+    * oracle expresses the identical semantics with guard CASEs /
+    * TRY_CAST, so the differential check pins the try_* NULL contract
+    * itself (all counts BIGINT-exact).
+    */
+  private val q215 = Q(
+    "q215_try_arithmetic",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      e.select(
+        col("event_type"),
+        expr("try_divide(value, k - 25)").as("d"),
+        expr("try_cast(CASE WHEN k < 50 THEN CAST(k AS STRING)" +
+          " ELSE concat('x', CAST(k AS STRING)) END AS BIGINT)").as("c"),
+        expr("try_add(9223372036854775800L, k)").as("o"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          asLong(sum(when(col("d").isNull, 1).otherwise(0))).as("n_div0"),
+          asLong(sum(when(col("c").isNull, 1).otherwise(0)))
+            .as("n_badcast"),
+          asLong(sum(when(col("o").isNull, 1).otherwise(0)))
+            .as("n_overflow"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, value,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events),
+      t AS (
+        SELECT event_type,
+               CASE WHEN k - 25 = 0 THEN NULL
+                    ELSE value / (k - 25) END AS d,
+               TRY_CAST(CASE WHEN k < 50 THEN CAST(k AS VARCHAR)
+                             ELSE 'x' || CAST(k AS VARCHAR) END
+                        AS BIGINT) AS c,
+               CASE WHEN k > 7 THEN NULL
+                    ELSE 9223372036854775800 + k END AS o
+        FROM e)
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_div0,
+             CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_badcast,
+             CAST(SUM(CASE WHEN o IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overflow
+      FROM t GROUP BY 1
+    """))
+
+  val registry: Seq[Q] = Seq(q198, q199, q200, q201, q202, q214, q215)
 }

@@ -108,4 +108,41 @@ class Spark4Spec extends AnyFunSuite {
     assert(shorthand.toString == explicit.toString,
       "GROUP BY ALL no longer resolves to the explicit grouping plan")
   }
+
+  test("parameterized SQL: named args + IDENTIFIER clause bind safely") {
+    graft.Tables.load(graft.Tables.tuned(spark), dir, "nation")
+      .createOrReplaceTempView("graft_param_nation")
+    // the table name arrives as a PARAMETER (IDENTIFIER clause), the
+    // predicate value as a typed named arg — no string interpolation,
+    // so a hostile value cannot change the query's shape
+    val got = spark.sql(
+      "SELECT n_name FROM IDENTIFIER(:tbl) WHERE n_regionkey = :rk" +
+        " ORDER BY n_name",
+      Map("tbl" -> "graft_param_nation", "rk" -> 2))
+      .collect().map(_.getString(0))
+    val want = spark.table("graft_param_nation")
+      .filter(col("n_regionkey") === 2)
+      .orderBy(col("n_name")).select(col("n_name"))
+      .collect().map(_.getString(0))
+    assert(got.nonEmpty && got.sameElements(want))
+    // a value that would inject under interpolation stays a value
+    val inj = spark.sql(
+      "SELECT COUNT(*) AS n FROM graft_param_nation WHERE n_name = :v",
+      Map("v" -> "x' OR '1'='1")).collect()(0).getLong(0)
+    assert(inj == 0L)
+  }
+
+  test("q215: try_* NULL counts match the guarded-CASE reference") {
+    val rows = df("q215_try_arithmetic").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      for (c <- Seq("n_div0", "n_badcast", "n_overflow"))
+        assert(r.getAs[Long](c) >= 0L && r.getAs[Long](c) <= n)
+      // overflow fires for every k > 7 (the dominant class here) and
+      // bad casts for k >= 50 — both must actually occur in the data
+      assert(r.getAs[Long]("n_overflow") > 0L)
+      assert(r.getAs[Long]("n_badcast") > 0L)
+    }
+  }
 }
