@@ -77,4 +77,55 @@ class BucketingSpec extends AnyFunSuite {
     assert(shj.queryExecution.executedPlan.toString
       .contains("ShuffledHashJoin"))
   }
+
+  test("ANALYZE TABLE statistics flip the catalog-table join to broadcast") {
+    // Statistics-driven planning — the mechanism a 100 TB warehouse
+    // relies on for automatic broadcast decisions: a PARTITIONED
+    // catalog table without stats (and fallBackToHdfs off) reports
+    // defaultSizeInBytes = Long.MaxValue (listing every partition just
+    // to size it would be the scale hazard), so the planner
+    // conservatively refuses to broadcast it; ANALYZE TABLE COMPUTE
+    // STATISTICS records the real size and the SAME query plans a
+    // BroadcastHashJoin. Nightly ANALYZE (or format-native stats) is
+    // what keeps dimension joins broadcast at scale without per-query
+    // hints. (An UNpartitioned table sizes itself from the file index
+    // up front, so the conservative path is specific to partitioned
+    // layouts — which is what big dimensions are.)
+    val wh = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    spark.sql("DROP TABLE IF EXISTS s_nation")
+    val loc = new java.io.File(wh, "s_nation")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    spark.read.parquet(s"$dir/nation.parquet")
+      .write.mode("overwrite").partitionBy("n_regionkey")
+      .saveAsTable("s_nation")
+    val fallbackBefore =
+      spark.conf.getOption("spark.sql.statistics.fallBackToHdfs")
+    spark.conf.set("spark.sql.statistics.fallBackToHdfs", "false")
+    // threshold sized between the dimension (~3 KB) and the fact
+    // (~115 KB), so ONLY the analyzed dimension can ever qualify
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+    try {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      def planStr = li.join(spark.table("s_nation"),
+        col("l_suppkey") % 25 === col("n_nationkey"))
+        .queryExecution.executedPlan.toString
+      assert(!planStr.contains("BroadcastHashJoin"),
+        "stats-less catalog table must not be assumed broadcastable")
+      spark.sql("ANALYZE TABLE s_nation COMPUTE STATISTICS")
+      assert(planStr.contains("BroadcastHashJoin"),
+        "computed statistics should enable the broadcast join")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      fallbackBefore match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.statistics.fallBackToHdfs", v)
+        case None =>
+          spark.conf.unset("spark.sql.statistics.fallBackToHdfs")
+      }
+    }
+  }
 }
