@@ -7,7 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Physical-layout scale patterns: bucketed tables co-locate join keys
   * so the join needs no shuffle at all — at 100 TB this removes the
   * dominant cost of repeated fact-to-fact joins. Also pins the join
-  * strategies (broadcast for small dims, shuffle-hash on hint).
+  * strategies (broadcast for small dims, shuffle-hash on hint), the
+  * range-sorted write layout (disjoint per-file key ranges — the file
+  * skipping property), and statistics-driven broadcast planning
+  * (ANALYZE TABLE flips a partitioned catalog dimension to broadcast).
   */
 class BucketingSpec extends AnyFunSuite {
 
@@ -76,6 +79,38 @@ class BucketingSpec extends AnyFunSuite {
       col("o_custkey") === col("c_custkey"))
     assert(shj.queryExecution.executedPlan.toString
       .contains("ShuffledHashJoin"))
+  }
+
+  test("repartitionByRange write layout yields disjoint per-file key ranges") {
+    // The range-sorted write layout — the single-column complement of
+    // z-order (q122/q210) and the property parquet/Delta file skipping
+    // needs: repartitionByRange assigns disjoint key ranges to output
+    // tasks (equal keys never straddle a boundary) and
+    // sortWithinPartitions orders rows inside each file, so a range
+    // predicate prunes to the few files whose [min,max] overlap it.
+    // At 100 TB this is how a time-series table is laid out for
+    // shipdate-range scans without any index structure.
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_range_").toString
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .repartitionByRange(4, col("l_shipdate"))
+      .sortWithinPartitions(col("l_shipdate"))
+      .write.mode("overwrite").parquet(out)
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(unix_micros(to_timestamp(col("l_shipdate")))).as("lo"),
+        max(unix_micros(to_timestamp(col("l_shipdate")))).as("hi"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(ranges.length == 4)
+    ranges.foreach { case (lo, hi) => assert(lo <= hi) }
+    ranges.sliding(2).foreach {
+      case Array((_, prevHi), (nextLo, _)) =>
+        assert(prevHi <= nextLo,
+          s"file ranges overlap: $prevHi > $nextLo — file skipping broken")
+      case _ =>
+    }
   }
 
   test("ANALYZE TABLE statistics flip the catalog-table join to broadcast") {
