@@ -58,9 +58,14 @@ object QualityQueries {
   private val q207 = Q(
     "q207_corpus_drift_tv",
     (s, dir) => {
+      // the (source, word) counts feed four consumers (word marginal,
+      // source marginal, corpus total, grid join) — materialize once
+      // or the corpus-scale tokenize+aggregate runs once per consumer
+      // (the q137 discipline; verified in the executed plan)
       val csw = tokens(s, dir, col("source"))
         .groupBy(col("source"), col("w"))
         .agg(count(lit(1)).as("csw"))
+        .localCheckpoint()
       val cw = csw.groupBy(col("w")).agg(sum(col("csw")).as("cw"))
       val ns = csw.groupBy(col("source")).agg(sum(col("csw")).as("ns"))
       val tot = cw.agg(sum(col("cw")).as("n"))
@@ -185,31 +190,43 @@ object QualityQueries {
         s"((x div ${1 << i}) % 2) * ${1L << (2 * i)}" +
           s" + ((y div ${1 << i}) % 2) * ${1L << (2 * i + 1)}")
         .mkString(" + ")
+      // ONE scan serves both layouts AND the exact-match count: each
+      // row contributes a (layout, bucket) pair per layout via explode,
+      // the per-bucket stats aggregate is map-side-combined into
+      // 2×64 groups, and rows_match = Σ per-bucket in-box counts (the
+      // per-layout sums are provably equal — every matching row lives
+      // in exactly one bucket of each layout). The naive formulation
+      // (two stats subplans + a separate exact count) scans the fact
+      // table three times; at 100 TB that is 3× scan cost for zero
+      // extra information. Verified in the executed plan: one parquet
+      // scan, one shuffle.
       val base = t(s, dir, "lineitem")
         .select((col("l_partkey") % 256).as("x"),
           (col("l_orderkey") % 256).as("y"))
-      val zb = base.withColumn("zv", expr(zt))
-        .selectExpr("zv div 1024 AS bucket", "x", "y")
-      val lb = base.selectExpr("x div 4 AS bucket", "x", "y")
-      def stats(df: DataFrame, layout: String): DataFrame =
-        df.groupBy(col("bucket"))
-          .agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
-            min(col("y")).as("ymin"), max(col("y")).as("ymax"),
-            count(lit(1)).as("cnt"))
-          .withColumn("layout", lit(layout))
-      val exact = base
-        .filter(col("x").between(40, 79) && col("y").between(100, 139))
-        .agg(count(lit(1)).as("rows_match"))
+        .withColumn("zv", expr(zt))
       val hit = col("xmin") <= 79 && col("xmax") >= 40 &&
         col("ymin") <= 139 && col("ymax") >= 100
-      stats(zb, "zorder").unionByName(stats(lb, "linear"))
-        .crossJoin(broadcast(exact))
+      base
+        .select(col("x"), col("y"),
+          when(col("x").between(40, 79) && col("y").between(100, 139), 1L)
+            .otherwise(0L).as("in_box"),
+          explode(array(
+            struct(lit("zorder").as("layout"),
+              expr("zv div 1024").as("bucket")),
+            struct(lit("linear").as("layout"),
+              expr("x div 4").as("bucket")))).as("lb"))
+        .select(col("x"), col("y"), col("in_box"),
+          col("lb.layout").as("layout"), col("lb.bucket").as("bucket"))
+        .groupBy(col("layout"), col("bucket"))
+        .agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+          min(col("y")).as("ymin"), max(col("y")).as("ymax"),
+          count(lit(1)).as("cnt"), sum(col("in_box")).as("n_match"))
         .groupBy(col("layout"))
         .agg(
           count(lit(1)).as("buckets_total"),
           asLong(sum(when(hit, 1).otherwise(0))).as("buckets_read"),
           asLong(sum(when(hit, col("cnt")).otherwise(0))).as("rows_read"),
-          asLong(max(col("rows_match"))).as("rows_match"))
+          asLong(sum(col("n_match"))).as("rows_match"))
     },
     Some({
       val zt = (0 until 8).map(i =>
@@ -217,22 +234,25 @@ object QualityQueries {
           s" + ((y//${1 << i})%2)*${1L << (2 * i + 1)}")
         .mkString(" + ")
       s"""
-      WITH base AS (
+      WITH base0 AS (
         SELECT l_partkey % 256 AS x, l_orderkey % 256 AS y FROM lineitem),
-      zb AS (
-        SELECT ($zt)//1024 AS bucket, x, y FROM base),
-      lb AS (SELECT x//4 AS bucket, x, y FROM base),
-      st AS (
-        SELECT 'zorder' AS layout, bucket, MIN(x) xmin, MAX(x) xmax,
-               MIN(y) ymin, MAX(y) ymax, COUNT(*) cnt
-        FROM zb GROUP BY 1, 2
+      base AS (
+        SELECT x, y,
+               CASE WHEN x BETWEEN 40 AND 79 AND y BETWEEN 100 AND 139
+                    THEN 1 ELSE 0 END AS in_box,
+               ($zt)//1024 AS zbucket
+        FROM base0),
+      pairs AS (
+        SELECT 'zorder' AS layout, zbucket AS bucket, x, y, in_box
+        FROM base
         UNION ALL
-        SELECT 'linear' AS layout, bucket, MIN(x) xmin, MAX(x) xmax,
-               MIN(y) ymin, MAX(y) ymax, COUNT(*) cnt
-        FROM lb GROUP BY 1, 2),
-      exact AS (
-        SELECT COUNT(*) AS rows_match FROM base
-        WHERE x BETWEEN 40 AND 79 AND y BETWEEN 100 AND 139)
+        SELECT 'linear' AS layout, x//4 AS bucket, x, y, in_box
+        FROM base),
+      st AS (
+        SELECT layout, bucket, MIN(x) xmin, MAX(x) xmax,
+               MIN(y) ymin, MAX(y) ymax, COUNT(*) cnt,
+               SUM(in_box) AS n_match
+        FROM pairs GROUP BY 1, 2)
       SELECT layout,
              CAST(COUNT(*) AS BIGINT) AS buckets_total,
              CAST(SUM(CASE WHEN xmin<=79 AND xmax>=40 AND ymin<=139
@@ -241,8 +261,8 @@ object QualityQueries {
              CAST(SUM(CASE WHEN xmin<=79 AND xmax>=40 AND ymin<=139
                             AND ymax>=100 THEN cnt ELSE 0 END) AS BIGINT)
                AS rows_read,
-             CAST(MAX(e.rows_match) AS BIGINT) AS rows_match
-      FROM st CROSS JOIN exact e GROUP BY 1
+             CAST(SUM(n_match) AS BIGINT) AS rows_match
+      FROM st GROUP BY 1
       """
     }))
 
