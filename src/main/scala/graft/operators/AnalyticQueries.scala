@@ -193,11 +193,15 @@ object AnalyticQueries {
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      // the (doc, word) counts feed the df aggregate AND the scoring
+      // join — checkpoint once or each consumer re-runs the
+      // corpus-scale tokenize+count (round-6 plan audit)
       val tf = docs
         .select(col("doc_id"),
           explode(graft.functions.TextOps.words(col("text"))).as("word"))
         .groupBy(col("doc_id"), col("word"))
         .agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("word").asc)

@@ -870,8 +870,12 @@ object PipelineQueries {
     "q127_domain_mixture",
     (s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      // the per-source counts feed the total AND the rate table —
+      // checkpoint the (source-dimension) counts or both consumers
+      // re-scan the corpus (round-6 plan audit)
       val counts = docs.groupBy(col("source"))
         .agg(count(lit(1)).as("n_before"))
+        .localCheckpoint()
       val totals = counts.agg(asLong(sum(col("n_before"))).as("total"),
         count(lit(1)).as("k"))
       val rates = counts.crossJoin(broadcast(totals))
@@ -975,7 +979,11 @@ object PipelineQueries {
     (s, dir) => {
       val tok = t(s, dir, "documents")
         .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      // vocab feeds the corpus total AND the scoring join — checkpoint
+      // the (tiny) vocabulary table or each consumer re-runs the
+      // corpus-scale tokenize+count (round-6 plan audit)
       val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
       val totals = vocab.agg(asLong(sum(col("cnt"))).as("n_total"))
       tok.join(vocab, "w")
         .crossJoin(broadcast(totals))
