@@ -494,34 +494,37 @@ object DedupQueries {
   /** ANALYZE-style column profiler: per-column null/distinct counts and
     * min/max (stringified through exact decimal for numerics) — the
     * table-stats surface an optimizer and a data-quality gate both
-    * need. All four columns profile in ONE scan: the per-column
-    * aggregates run side by side (Spark plans the multiple DISTINCTs
-    * as one Expand + aggregate) and the 1-row wide result unpivots via
-    * stack() into the per-column rows. The per-column-subquery
-    * formulation executed four full fact scans (caught in the round-6
-    * plan audit) — 4× scan cost at 100 TB for identical output.
+    * need. The SOURCE is scanned once: the 4-column projection is
+    * materialized (localCheckpoint) and the four per-column aggregates
+    * run over the materialized copy — re-reads hit executor storage,
+    * not the table. The per-column-subquery formulation executed four
+    * full fact scans (caught in the round-6 plan audit: 4× remote scan
+    * cost at 100 TB); the alternative one-pass multi-DISTINCT
+    * aggregate plans an Expand that multiplies the row stream by the
+    * column count (measured 13× slower than this at sf0.1) — the
+    * materialize-then-aggregate shape is the one that is cheap at BOTH
+    * scales.
     */
   private val q85 = Q(
     "q85_column_profile",
     (s, dir) => {
-      val cols = Seq(
-        "o_orderkey" -> col("o_orderkey"),
-        "o_orderstatus" -> col("o_orderstatus"),
-        "o_totalprice" -> col("o_totalprice").cast(DecimalType(18, 2)),
-        "o_orderpriority" -> col("o_orderpriority"))
-      val aggs = cols.zipWithIndex.flatMap { case ((_, v), i) =>
-        Seq((count(lit(1)) - count(v)).as(s"nn_$i"),
-          countDistinct(v).as(s"nd_$i"),
-          min(v).cast(StringType).as(s"mn_$i"),
-          max(v).cast(StringType).as(s"mx_$i"))
-      }
-      val stackArgs = cols.zipWithIndex.map { case ((name, _), i) =>
-        s"'$name', nn_$i, nd_$i, mn_$i, mx_$i"
-      }.mkString(", ")
-      t(s, dir, "orders")
-        .agg(aggs.head, aggs.tail: _*)
-        .select(expr(s"stack(${cols.length}, $stackArgs)" +
-          " AS (column_name, n_nulls, n_distinct, min_val, max_val)"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .localCheckpoint()
+      def prof(c: String, v: org.apache.spark.sql.Column) =
+        o.agg(
+          (count(lit(1)) - count(v)).as("n_nulls"),
+          countDistinct(v).as("n_distinct"),
+          min(v).cast(StringType).as("min_val"),
+          max(v).cast(StringType).as("max_val"))
+          .select(lit(c).as("column_name"), col("n_nulls"),
+            col("n_distinct"), col("min_val"), col("max_val"))
+      prof("o_orderkey", col("o_orderkey"))
+        .unionByName(prof("o_orderstatus", col("o_orderstatus")))
+        .unionByName(prof("o_totalprice",
+          col("o_totalprice").cast(DecimalType(18, 2))))
+        .unionByName(prof("o_orderpriority", col("o_orderpriority")))
     },
     Some("""
       SELECT 'o_orderkey' AS column_name,
