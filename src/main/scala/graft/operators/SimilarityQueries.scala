@@ -367,8 +367,13 @@ object SimilarityQueries {
   private val q101 = Q(
     "q101_ann_recall",
     (s, dir) => {
+      // the decoded vectors feed four consumers (probe, exact pass,
+      // bucketed index, ANN probe) — materialize the decode once; the
+      // recall evaluation's two full passes then read executor
+      // storage, not four parquet decodes (round-6 plan audit)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .localCheckpoint()
       val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
       val exactTop = e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(probe))

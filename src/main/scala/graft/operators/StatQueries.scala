@@ -532,11 +532,16 @@ object StatQueries {
   private val q193 = Q(
     "q193_set_ops_all",
     (s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val a = li.filter(col("l_quantity") > 25.0)
-        .select(col("l_partkey").as("pkey"))
-      val b = li.filter(col("l_quantity") <= 25.0)
-        .select(col("l_partkey").as("pkey"))
+      // both relations feed BOTH native set operators — materialize
+      // the narrow tagged projection once so the fact is scanned once
+      // (each un-checkpointed side was re-scanned per operator: 4
+      // source scans, round-6 plan audit)
+      val base = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("pkey"),
+          (col("l_quantity") > 25.0).as("hi"))
+        .localCheckpoint()
+      val a = base.filter(col("hi")).select(col("pkey"))
+      val b = base.filter(!col("hi")).select(col("pkey"))
       val ea = a.exceptAll(b).groupBy(col("pkey"))
         .agg(asLong(count(lit(1))).as("cnt"))
         .withColumn("op", lit("except_all"))
