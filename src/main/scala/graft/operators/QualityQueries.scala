@@ -122,7 +122,11 @@ object QualityQueries {
     "q208_oov_quality",
     (s, dir) => {
       val tok = tokens(s, dir, col("doc_id"))
+      // the frequency table feeds the core-vocab top-K AND the scoring
+      // join — checkpoint the (tiny) vocabulary or both consumers
+      // re-run the corpus-scale count (the q129 discipline)
       val cw = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+        .localCheckpoint()
       val core = cw.orderBy(col("cw").desc, col("w"))
         .limit(16).select(col("w"), lit(1).as("is_core"))
       tok.join(broadcast(cw), "w")

@@ -213,6 +213,10 @@ object SketchQueries {
             .as("bit"))
         .groupBy(col("word_idx"))
         .agg(expr("bit_or(bit)").as("bits"))
+        // the ~16 KB bitmap broadcasts twice (one copy per hash
+        // function) — materialize it or each broadcast re-scans the
+        // build side to rebuild it (round-6 plan audit)
+        .localCheckpoint()
       val li = t(s, dir, "lineitem").select(
         col("l_orderkey"),
         (dec2(col("l_extendedprice")) *
