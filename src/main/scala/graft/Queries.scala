@@ -81,7 +81,8 @@ object Queries {
         .groupBy(col("is_high_value"))
         .agg(count(lit(1)).as("n")),
     Some("""
-      SELECT CASE WHEN value > 20.0 THEN 1.0 ELSE 0.0 END AS is_high_value,
+      SELECT CAST(CASE WHEN value > 20.0 THEN 1.0 ELSE 0.0 END AS DOUBLE)
+               AS is_high_value,
              COUNT(*) AS n
       FROM events
       GROUP BY 1
@@ -141,7 +142,7 @@ object Queries {
     Some("""
       SELECT lang, 'Unknown' AS not_present_desc,
              CAST(SUM(CAST(n_chars AS DOUBLE)) AS DOUBLE) AS sum_chars,
-             SUM(0.0) AS sum_missing
+             CAST(SUM(0.0) AS DOUBLE) AS sum_missing
       FROM documents
       GROUP BY 1, 2
     """))

@@ -1181,13 +1181,14 @@ object AnalyticQueries {
     * set — points no other point beats on BOTH price (minimize) and
     * size (maximize). Computed in ONE sorted pass, not an O(n²)
     * dominance self-join: reduce to distinct (price, size) pairs with
-    * multiplicity, keep each price's best size, then a running-max
-    * window over ascending price marks survivors (dominated iff some
-    * strictly-cheaper price already achieved >= size). The global
-    * window runs AFTER per-price reduction — at scale the groupBy
-    * prunes to |distinct prices| candidates first, and a
-    * partition-local skyline pre-pass would bound it further; the
-    * dominance logic is unchanged. */
+    * multiplicity, keep each price's best size, then a running max
+    * over ascending price marks survivors (dominated iff some
+    * strictly-cheaper price already achieved >= size). The running max
+    * is [[PrefixPass.withPrevMaxLong]] — a range-partitioned
+    * distributed sort with per-partition max partials and broadcast
+    * prefix offsets — never a single-partition `Window.orderBy`, so
+    * the pass stays parallel even if the distinct-price domain grows
+    * with the part dimension; the dominance logic is unchanged. */
   private val q159 = Q(
     "q159_skyline",
     (s, dir) => {
@@ -1199,10 +1200,8 @@ object AnalyticQueries {
         .withColumn("rk", row_number().over(Window
           .partitionBy(col("price")).orderBy(col("size").desc)))
         .filter(col("rk") === 1).drop("rk")
-      val prevMax = Window.orderBy(col("price").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      best
-        .withColumn("prev_best", max(col("size")).over(prevMax))
+      PrefixPass.withPrevMaxLong(best,
+          Seq(col("price").asc), "size", "prev_best")
         .filter(col("prev_best").isNull || col("size") > col("prev_best"))
         .select(col("price").cast(DoubleType).as("price"), col("size"),
           col("n_parts"))

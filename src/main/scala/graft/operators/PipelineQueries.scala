@@ -1369,7 +1369,7 @@ object PipelineQueries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                  AS prev_bytes
         FROM documents)
-      SELECT lang, prev_bytes // 65536 AS bin,
+      SELECT lang, CAST(prev_bytes // 65536 AS BIGINT) AS bin,
              CAST(COUNT(*) AS BIGINT) AS n_files,
              CAST(SUM(n_chars) AS BIGINT) AS bin_bytes,
              MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc

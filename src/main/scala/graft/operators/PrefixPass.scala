@@ -1,0 +1,169 @@
+package graft.operators
+
+import java.math.{BigDecimal => JBigDecimal}
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField,
+  StructType}
+
+/** Two-phase distributed prefix passes — the scale-safe replacement for
+  * unpartitioned windows (`Window.orderBy(...)` with no partitionBy),
+  * which Spark plans as a SinglePartition exchange + one task sorting
+  * and scanning the ENTIRE input. That shape is admissible only for
+  * constant-bounded inputs; over anything that grows with the fact
+  * table (per-part revenue, per-customer RFM rows) it is the classic
+  * scale-killer.
+  *
+  * The two-phase shape used here instead:
+  *   1. range-partition on the total-order key + sort within partitions
+  *      (a normal distributed sort — N tasks, no single-partition stage);
+  *   2. one pass computing a tiny per-partition partial (sum / count /
+  *      max — numPartitions values, collected to the driver);
+  *   3. an exclusive scan of the partials on the driver (numPartitions
+  *      elements — O(parallelism), independent of data size), broadcast
+  *      back implicitly via task closure;
+  *   4. a second per-partition pass that seeds the running state with
+  *      the partition's offset.
+  *
+  * Both passes hang off the SAME sorted RDD, so the range shuffle's map
+  * output is computed once and reused by the second job (the same
+  * shuffle-reuse contract `RDD.zipWithIndex` relies on for its count
+  * job), and both passes observe identical partition boundaries — the
+  * RangePartitioner instance is created once, so there is no
+  * resample-divergence hazard between the passes.
+  *
+  * All three primitives preserve exact engine-equal values: decimal
+  * accumulation is java.math.BigDecimal (associative, exact — the
+  * result is bit-identical to the single-partition window sum), counts
+  * and maxes are Longs.
+  */
+object PrefixPass {
+
+  /** One range-partitioned, partition-sorted materialization shared by
+    * the partial and final passes. */
+  private def ranged(
+      df: DataFrame, sortCols: Seq[Column]): (RDD[Row], StructType) = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    (sorted.rdd, sorted.schema)
+  }
+
+  /** Adds `cumCol` = running SUM(`valueCol`) (inclusive, window-SUM
+    * null semantics: null until the first non-null value) under the
+    * total order `sortCols`, plus returns the grand total — replacing
+    * both `sum over Window.orderBy(...)` and
+    * `sum over Window.partitionBy()` without a single-partition stage.
+    * `valueCol` must be DecimalType; the cum column is
+    * DecimalType(38, scale), matching what the window sum would have
+    * produced. */
+  def cumSumDecimal(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueCol: String,
+      cumCol: String): (DataFrame, JBigDecimal) = {
+    val (rdd, schema) = ranged(df, sortCols)
+    val vIdx = schema.fieldIndex(valueCol)
+    val scale = schema(valueCol).dataType.asInstanceOf[DecimalType].scale
+    // pass 1: per-partition sums (None = no non-null value seen)
+    val partials: Array[(Int, Option[JBigDecimal])] =
+      rdd.mapPartitionsWithIndex { (i, it) =>
+        var acc: JBigDecimal = null
+        it.foreach { r =>
+          val v = r.getAs[JBigDecimal](vIdx)
+          if (v != null) acc = if (acc == null) v else acc.add(v)
+        }
+        Iterator((i, Option(acc)))
+      }.collect().sortBy(_._1)
+    // driver-side exclusive scan — numPartitions elements
+    val offsets = new Array[JBigDecimal](partials.length)
+    var run: JBigDecimal = null
+    partials.foreach { case (i, p) =>
+      offsets(i) = run
+      p.foreach(v => run = if (run == null) v else run.add(v))
+    }
+    val total = if (run == null) JBigDecimal.ZERO.setScale(scale) else run
+    // pass 2: seed each partition's running sum with its offset
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc: JBigDecimal = offsets(i)
+      it.map { r =>
+        val v = r.getAs[JBigDecimal](vIdx)
+        if (v != null) acc = if (acc == null) v else acc.add(v)
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    val outSchema = StructType(schema.fields :+
+      StructField(cumCol, DecimalType(38, scale), nullable = true))
+    (df.sparkSession.createDataFrame(out, outSchema), total)
+  }
+
+  /** Adds `outCol` = 1-based global row number under `sortCols`
+    * (`sortCols` must be a total order for determinism), plus returns
+    * the total row count — the distributed ROW_NUMBER/NTILE building
+    * block. */
+  def withRowNumber(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      outCol: String): (DataFrame, Long) = {
+    val (rdd, schema) = ranged(df, sortCols)
+    val counts: Array[(Int, Long)] = rdd.mapPartitionsWithIndex {
+      (i, it) => Iterator((i, it.size.toLong))
+    }.collect().sortBy(_._1)
+    val offsets = new Array[Long](counts.length)
+    var run = 0L
+    counts.foreach { case (i, c) => offsets(i) = run; run += c }
+    val total = run
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var rn = offsets(i)
+      it.map { r => rn += 1; Row.fromSeq(r.toSeq :+ rn) }
+    }
+    val outSchema = StructType(schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    (df.sparkSession.createDataFrame(out, outSchema), total)
+  }
+
+  /** Adds `outCol` = MAX(`valueCol`) over all STRICTLY PRECEDING rows
+    * under `sortCols` (null for the first row — the
+    * `rowsBetween(unboundedPreceding, -1)` running max), for
+    * Long-typed `valueCol`. The skyline/prefix-dominance primitive. */
+  def withPrevMaxLong(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueCol: String,
+      outCol: String): DataFrame = {
+    val (rdd, schema) = ranged(df, sortCols)
+    val vIdx = schema.fieldIndex(valueCol)
+    val partials: Array[(Int, Option[Long])] = rdd.mapPartitionsWithIndex {
+      (i, it) =>
+        var m: Option[Long] = None
+        it.foreach { r =>
+          if (!r.isNullAt(vIdx)) {
+            val v = r.getLong(vIdx)
+            if (m.forall(_ < v)) m = Some(v)
+          }
+        }
+        Iterator((i, m))
+    }.collect().sortBy(_._1)
+    val offsets = new Array[Option[Long]](partials.length)
+    var run: Option[Long] = None
+    partials.foreach { case (i, p) =>
+      offsets(i) = run
+      p.foreach(v => if (run.forall(_ < v)) run = Some(v))
+    }
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var m: Option[Long] = offsets(i)
+      it.map { r =>
+        val prev: Any = m.map(Long.box).orNull
+        if (!r.isNullAt(vIdx)) {
+          val v = r.getLong(vIdx)
+          if (m.forall(_ < v)) m = Some(v)
+        }
+        Row.fromSeq(r.toSeq :+ prev)
+      }
+    }
+    val outSchema = StructType(schema.fields :+
+      StructField(outCol, LongType, nullable = true))
+    df.sparkSession.createDataFrame(out, outSchema)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -117,12 +117,15 @@ object StatQueries {
   /** ABC / Pareto classification: parts ranked by exact-decimal revenue,
     * classified A (first 80% of cumulative revenue), B (to 95%), C
     * (tail). The fact table reduces to per-part revenue first (one
-    * map-side-combined shuffle); the cumulative window then runs over
-    * the PART DIMENSION — bounded rows at any fact scale, which is what
-    * makes the single-partition global cumsum admissible (same
-    * dimension-sized-window argument as q159/q160). Class boundaries
-    * compare DECIMAL against DECIMAL*DECIMAL(3,2) — exact on both
-    * engines, no double drift at the 80%/95% cuts.
+    * map-side-combined shuffle); but the part dimension itself grows
+    * linearly with SF (~20B parts at 100 TB), so the global cumulative
+    * sum runs as [[PrefixPass.cumSumDecimal]] — a range-partitioned
+    * distributed sort plus per-partition partials with broadcast
+    * offsets — NOT a single-partition `Window.orderBy` (one task
+    * sorting the whole dimension). BigDecimal accumulation keeps the
+    * cumsum bit-identical to the window formulation the oracle uses.
+    * Class boundaries compare DECIMAL against DECIMAL*DECIMAL(3,2) —
+    * exact on both engines, no double drift at the 80%/95% cuts.
     */
   private val q178 = Q(
     "q178_abc_classes",
@@ -131,12 +134,10 @@ object StatQueries {
         .groupBy(col("l_partkey"))
         .agg(sum(dec2(col("l_extendedprice")) *
           (lit(1) - dec2(col("l_discount")))).as("rev"))
-      val cumWin = Window
-        .orderBy(col("rev").desc, col("l_partkey").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      rev
-        .withColumn("cum", sum(col("rev")).over(cumWin))
-        .withColumn("tot", sum(col("rev")).over(Window.partitionBy()))
+      val (cum, tot) = PrefixPass.cumSumDecimal(rev,
+        Seq(col("rev").desc, col("l_partkey").asc), "rev", "cum")
+      cum
+        .withColumn("tot", lit(tot))
         .withColumn("abc_class",
           when(col("cum") <= col("tot") * lit(BigDecimal("0.80")), "A")
             .when(col("cum") <= col("tot") * lit(BigDecimal("0.95")), "B")
@@ -355,11 +356,17 @@ object StatQueries {
   /** RFM segmentation: per-customer recency / frequency / monetary
     * scores via NTILE(5) with fully deterministic tie-breaks (custkey),
     * reported as segment sizes. The orders fact reduces to the customer
-    * dimension first; the three global NTILE windows then run over
-    * dimension-sized input (the same admissibility argument as q178's
-    * cumsum — at 100 TB the windows see |customers| rows, not |orders|).
-    * Recency anchors on MAX(o_orderdate) — data-derived, so the query
-    * is reproducible on any engine with no wall-clock dependence.
+    * dimension first — but the customer dimension itself grows with SF
+    * (~20B customers at 100 TB), so the three global NTILE windows are
+    * computed as [[PrefixPass.withRowNumber]] passes (distributed
+    * range-partitioned sorts + broadcast prefix counts) with the
+    * NTILE bucket derived from the global row number by the standard
+    * first-(n mod k)-buckets-get-ceil(n/k) rule — no single-partition
+    * window anywhere. The recency ordering needs no anchor at all:
+    * `datediff(MAX(last_order) OVER (), last_order) ASC` is exactly
+    * `last_order DESC` (the anchor is a rank-invariant constant
+    * shift), so the oracle keeps the anchor formulation while the
+    * engine sorts directly — identical buckets, one less global pass.
     */
   private val q182 = Q(
     "q182_rfm_segments",
@@ -370,17 +377,29 @@ object StatQueries {
           max(to_date(col("o_orderdate"))).as("last_order"),
           count(lit(1)).as("freq"),
           sum(dec2(col("o_totalprice"))).as("mon"))
-        .withColumn("anchor", max(col("last_order")).over(Window.partitionBy()))
-        .withColumn("recency_days", datediff(col("anchor"), col("last_order")))
-      val r = ntile(5).over(
-        Window.orderBy(col("recency_days").asc, col("o_custkey").asc))
-      val f = ntile(5).over(
-        Window.orderBy(col("freq").desc, col("o_custkey").asc))
-      val m = ntile(5).over(
-        Window.orderBy(col("mon").desc, col("o_custkey").asc))
-      perCust
+      val (p1, n) = PrefixPass.withRowNumber(perCust,
+        Seq(col("last_order").desc, col("o_custkey").asc), "rn_r")
+      val (p2, _) = PrefixPass.withRowNumber(p1,
+        Seq(col("freq").desc, col("o_custkey").asc), "rn_f")
+      val (p3, _) = PrefixPass.withRowNumber(p2,
+        Seq(col("mon").desc, col("o_custkey").asc), "rn_m")
+      // NTILE(k) from a 1-based global row number rn over n rows:
+      // buckets 1..(n mod k) hold ceil(n/k) rows, the rest floor(n/k)
+      // — Spark's and DuckDB's NTILE distribution exactly.
+      def nt(rn: String): Column = {
+        val k = 5L
+        val q = n / k; val rem = n % k; val cut = rem * (q + 1)
+        // the ELSE branch is unreachable when q == 0 (then cut == n),
+        // so the max(q,1) divisor guard never changes a result
+        expr(s"CASE WHEN $rn <= ${cut}L " +
+          s"THEN ($rn - 1L) div ${q + 1}L + 1L " +
+          s"ELSE ${rem}L + ($rn - ${cut}L - 1L) div ${math.max(q, 1L)}L" +
+          " + 1L END")
+      }
+      p3
         .select(col("o_custkey"), col("mon"),
-          concat(r.cast(StringType), f.cast(StringType), m.cast(StringType))
+          concat(nt("rn_r").cast(StringType), nt("rn_f").cast(StringType),
+            nt("rn_m").cast(StringType))
             .as("segment"))
         .groupBy(col("segment"))
         .agg(

@@ -162,7 +162,7 @@ object SubqueryQueries {
       SELECT c.c_name, c.c_custkey, o.o_orderkey,
              CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                AS total_price_cents,
-             SUM(CAST(l.l_quantity AS BIGINT)) AS total_qty
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
       FROM customer c
       JOIN orders o ON c.c_custkey = o.o_custkey
       JOIN lineitem l ON o.o_orderkey = l.l_orderkey

@@ -256,8 +256,9 @@ object TemporalGraphQueries {
                                   ORDER BY rem DESC, l_linenumber) AS rk
         FROM calc)
       SELECT l_orderkey, l_linenumber,
-             floor_alloc + CASE WHEN rk <= cents_total - sum_floor
-                                THEN 1 ELSE 0 END AS alloc_cents
+             CAST(floor_alloc + CASE WHEN rk <= cents_total - sum_floor
+                                     THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc_cents
       FROM ranked
     """))
 

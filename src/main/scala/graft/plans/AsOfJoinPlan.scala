@@ -105,31 +105,45 @@ case class AsOfJoinExec(
         Seq(lts.dataType))
       val nullRight: InternalRow = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
+      // parents (exchanges, hash aggregates) may require UnsafeRow —
+      // never leak the mutable JoinedRow out of the operator
+      val outProj = UnsafeProjection.create(
+        (lOut ++ rOut.map(_.withNullability(true))).map(_.dataType).toArray)
       val rBuf = ri.buffered
       // one buffered candidate: the latest right row seen for lastKey
       var lastKey: InternalRow = null
       var lastMatch: InternalRow = null
       li.map { l =>
         val lKey = lKeyProj(l)
+        val lNull = lKey.isNullAt(0)
         val lTsRow = lTsProj(l).copy()
         // advance the right stream past everything strictly earlier
-        // than (and matching-or-below) this left row
+        // than (and matching-or-below) this left row; null keys sort
+        // first and NEVER match (SQL equality: NULL = NULL is not true,
+        // mirroring DuckDB ASOF JOIN ON equality) so null-keyed right
+        // rows are consumed without ever becoming candidates
         var advancing = true
         while (advancing && rBuf.hasNext) {
           val rHead = rBuf.head
-          val c = keyOrd.compare(rKeyProj(rHead), lKey)
-          if (c < 0 || (c == 0 && tsOrd.compare(rTsProj(rHead), lTsRow) < 0)) {
-            val r = rBuf.next()
-            if (c == 0) {
-              // candidate for this key; later rows overwrite (sorted ts)
-              lastKey = lKeyProj(l).copy()
-              lastMatch = r.copy()
-            }
-          } else advancing = false
+          val rKeyRow = rKeyProj(rHead)
+          if (rKeyRow.isNullAt(0)) { rBuf.next() }
+          else if (lNull) advancing = false
+          else {
+            val c = keyOrd.compare(rKeyRow, lKey)
+            if (c < 0 ||
+                (c == 0 && tsOrd.compare(rTsProj(rHead), lTsRow) < 0)) {
+              val r = rBuf.next()
+              if (c == 0) {
+                // candidate for this key; later rows overwrite (sorted ts)
+                lastKey = lKeyProj(l).copy()
+                lastMatch = r.copy()
+              }
+            } else advancing = false
+          }
         }
-        val matched = lastMatch != null && lastKey != null &&
+        val matched = !lNull && lastMatch != null && lastKey != null &&
           keyOrd.compare(lastKey, lKey) == 0
-        joined(l, if (matched) lastMatch else nullRight)
+        outProj(joined(l, if (matched) lastMatch else nullRight))
       }
     }
   }

@@ -350,6 +350,10 @@ object StreamQueries {
         .schema(eventsRawSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
+        // the tuple encoder's primitive fields reject nulls at runtime;
+        // filter (and mirror in the oracle) so the query is total over
+        // the declared nullable schema, not reliant on clean testdata
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
         .select(col("user_id"), col("value"))
         .as[(Long, Double)]
       val updated = src.groupByKey(_._1)
@@ -381,7 +385,8 @@ object StreamQueries {
     },
     Some("""
       SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
-      FROM events GROUP BY 1
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
     """))
 
   /** Streaming session windows: the native `session_window` gap
@@ -586,7 +591,9 @@ object StreamQueries {
           .schema(eventsRawSchema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(dir)
-          .filter(col("user_id").isNotNull)
+          // value IS NOT NULL: the (Long, Long) encoder rejects a null
+          // cents at runtime; mirrored in the oracle's WHERE
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
           .select(col("user_id"),
             (col("value").cast(DecimalType(18, 2)) * 100)
               .cast(LongType).as("cents"))
@@ -617,7 +624,7 @@ object StreamQueries {
              CAST(COUNT(*) AS BIGINT) AS n_events,
              CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
                   AS BIGINT) AS spend_cents
-      FROM events WHERE user_id IS NOT NULL
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
       GROUP BY 1
     """))
 
@@ -645,7 +652,8 @@ object StreamQueries {
           .schema(eventsRawSchema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(dir)
-          .filter(col("user_id").isNotNull)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("event_id").isNotNull)
           .select(col("user_id"), expr("ts div 1000").as("ts_us"),
             col("event_id"))
           .as[(Long, Long, Long)]
@@ -676,7 +684,8 @@ object StreamQueries {
                ROW_NUMBER() OVER (
                  PARTITION BY user_id
                  ORDER BY ts DESC, event_id DESC) AS rnk
-        FROM events WHERE user_id IS NOT NULL)
+        FROM events WHERE user_id IS NOT NULL
+          AND ts IS NOT NULL AND event_id IS NOT NULL)
       SELECT user_id, CAST(rnk AS BIGINT) AS rnk, event_id, ts_us
       FROM ranked WHERE rnk <= 3
     """))
@@ -708,7 +717,7 @@ object StreamQueries {
           .schema(eventsRawSchema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(dir)
-          .filter(col("user_id").isNotNull)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
           .withColumn("ets", timestamp_millis(expr("ts div 1000000")))
           .withWatermark("ets", "1 second")
           .select(col("user_id"), expr("ts div 1000000").as("ms"))
@@ -737,7 +746,7 @@ object StreamQueries {
     Some("""
       WITH evms AS (
         SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
-        FROM events WHERE user_id IS NOT NULL),
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
       lasts AS (
         SELECT user_id, MAX(ms) AS last_ms FROM evms GROUP BY 1)
       SELECT user_id, last_ms, last_ms + 1800000 AS expiry_ms
@@ -769,7 +778,9 @@ object StreamQueries {
           .schema(eventsRawSchema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(dir)
-          .filter(col("user_id").isNotNull)
+          // event_type is a MapState key; a null key would fail in the
+          // state encoder, so exclude (mirrored in the oracle)
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull)
           .select(col("user_id"), col("event_type"))
           .as[(Long, String)]
         val out = src
@@ -795,7 +806,7 @@ object StreamQueries {
     },
     Some("""
       SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
-      FROM events WHERE user_id IS NOT NULL
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
       GROUP BY 1, 2
     """))
 

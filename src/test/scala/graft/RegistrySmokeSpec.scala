@@ -24,6 +24,15 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "q63_ml_cumulative_train", "q43_stream_tumbling",
     "q44_stream_batchwriter")
 
+  // Global (unpartitioned) windows plan as a SinglePartition exchange +
+  // one task sorting the ENTIRE input — admissible ONLY over inputs
+  // whose row count is constant-bounded (does not grow with SF). Every
+  // entry here must state the bound; anything else must use the
+  // two-phase PrefixPass shape (q178/q182/q159).
+  private val constantBoundedGlobalWindow = Set(
+    "q179_chisq_contingency" // |event_type| x |day-of-month| cells (~155)
+  )
+
   Queries.registry.filterNot(q => slow(q.name)).foreach { q =>
     test(s"${q.name} runs and returns rows at sf0.001") {
       val df = q.build(spark, dir)
@@ -32,6 +41,15 @@ class RegistrySmokeSpec extends AnyFunSuite {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"${q.name} plans a CartesianProduct")
+      val globalWindows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty ||
+          constantBoundedGlobalWindow(q.name),
+        s"${q.name} plans an unpartitioned Window (single-partition " +
+          "sort of the whole input at scale) — use the two-phase " +
+          "PrefixPass shape or whitelist with a constant-bound proof")
       assert(df.count() > 0)
     }
   }

@@ -74,6 +74,43 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(native == composed && native.nonEmpty)
   }
 
+  test("native exec: null keys never match (SQL equality semantics)") {
+    import spark.implicits._
+    val trades = Seq(
+      (Option(1L), ts("2024-01-01 10:00:05"), "t1"),
+      (Option.empty[Long], ts("2024-01-01 10:00:05"), "tnull"))
+      .toDF("k", "ts", "trade")
+    val quotes = Seq(
+      (Option(1L), ts("2024-01-01 10:00:00"), 100.0),
+      (Option.empty[Long], ts("2024-01-01 10:00:00"), 666.0))
+      .toDF("qk", "qts", "price")
+    val out = graft.plans.NativeAsOf.join(trades, quotes,
+        key = "k", rightKey = "qk", leftTs = "ts", rightTs = "qts")
+      .select("trade", "price").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("t1").contains(100.0))
+    assert(out("tnull").isEmpty, "NULL = NULL must not match")
+  }
+
+  test("native exec output feeds a hash aggregate directly (UnsafeRow)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "t1"),
+      (1L, ts("2024-01-01 10:00:10"), "t2")).toDF("k", "ts", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0)).toDF("qk", "qts", "price")
+    // no intervening Project: groupBy directly over the exec's raw
+    // output must not ClassCastException on a non-Unsafe row
+    val joined = graft.plans.NativeAsOf.join(trades, quotes,
+      key = "k", rightKey = "qk", leftTs = "ts", rightTs = "qts")
+    val agg = joined.groupBy(joined("k"))
+      .agg(count(lit(1)).as("n"), sum(joined("price")).as("p"))
+      .collect()
+    assert(agg.length == 1 && agg.head.getLong(1) == 2L &&
+      agg.head.getDouble(2) == 200.0)
+  }
+
   test("native exec: strict-inequality ties and unmatched keys") {
     import spark.implicits._
     val trades = Seq(

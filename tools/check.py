@@ -17,6 +17,8 @@ from pathlib import Path
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -49,6 +51,35 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def canon_type(t: pa.DataType) -> str:
+    """Canonical type label mirroring the driver's type-sensitive hash.
+
+    Spark BIGINT must equal DuckDB BIGINT — a DuckDB HUGEINT /
+    decimal128(38,0) (from an uncast SUM) must FAIL against Spark's
+    int64 even when every value matches, because the driver hashes the
+    arrow type. Only representation-level differences that the driver
+    also ignores are collapsed (string width, timestamp tz/unit).
+    """
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_dictionary(t):
+        return canon_type(t.value_type)
+    return str(t)
+
+
+def compare_types(got: pa.Schema, exp: pa.Schema):
+    gm = {f.name: canon_type(f.type) for f in got}
+    em = {f.name: canon_type(f.type) for f in exp}
+    for c in sorted(gm):
+        if c in em and gm[c] != em[c]:
+            return f"TYPE col={c} spark={gm[c]} oracle={em[c]}"
+    return None
+
+
 def compare(name, got: pd.DataFrame, exp: pd.DataFrame):
     if sorted(got.columns) != sorted(exp.columns):
         return f"SCHEMA cols spark={sorted(got.columns)} oracle={sorted(exp.columns)}"
@@ -67,6 +98,7 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     out_dir = Path(args[1] if len(args) > 1 else "/tmp/verify_out")
+    only = set(args[2:])
     if "--run" in sys.argv:
         r = subprocess.run(
             ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out_dir}"],
@@ -86,8 +118,11 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     oracles = json.loads((out_dir / "oracle_sql.json").read_text())
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
     n_pass = n_fail = 0
-    result_dirs = sorted(d.name for d in out_dir.iterdir() if d.is_dir())
+    result_dirs = sorted(d.name for d in out_dir.iterdir()
+                         if d.is_dir() and (not only or d.name in only))
     for name in result_dirs:
         try:
             got = pd.read_parquet(out_dir / name)
@@ -100,12 +135,19 @@ def main():
             print(f"  -  {name}: no oracle ({status}, {len(got)} rows)")
             continue
         try:
-            exp = con.execute(oracles[name]).df()
+            exp_tbl = con.execute(oracles[name]).arrow()
+            exp = exp_tbl.to_pandas()
         except Exception as ex:
             print(f"FAIL {name}: oracle SQL error: {ex}")
             n_fail += 1
             continue
-        err = compare(name, got, exp)
+        try:
+            got_schema = pq.read_schema(
+                next((out_dir / name).glob("*.parquet")))
+        except StopIteration:
+            got_schema = pa.Schema.from_pandas(got)
+        err = compare_types(got_schema, exp_tbl.schema) \
+            or compare(name, got, exp)
         if err:
             print(f"FAIL {name}: {err}")
             n_fail += 1
