@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -69,12 +69,28 @@ object TemporalGraphQueries {
       GROUP BY 1, 2
     """))
 
+  /** Broadcast the BFS frontier/visited set only below this row count
+    * (~40 MB of longs — comfortably inside the broadcast ceiling and
+    * executor memory); above it, rounds fall back to shuffled joins.
+    * On a dense co-purchase graph two hops reach most of the
+    * component, so at 100x the visited set is dimension-sized
+    * (multi-GB) and a blanket broadcast would die at the 8 GB
+    * broadcast ceiling — the size gate makes each round degrade
+    * gracefully instead. Overridable per session via the
+    * `graft.bfs.broadcastRowLimit` conf (0 disables the hint — used
+    * by TemporalGraphSpec to pin the shuffle path). */
+  private val BfsBroadcastRowLimit = 5L * 1000 * 1000
+
   /** Bounded multi-hop BFS over the co-purchase graph: hop distance
     * (<= 3) from the smallest part key, Pregel-style — each round is one
     * frontier-edge join plus an anti-join against the visited set, no
     * driver-side state. The edge list shuffles once on src and is
-    * reused by every round; frontiers shrink monotonically. The oracle
-    * is the same traversal unrolled as three SQL joins.
+    * reused by every round. Frontier and visited set are broadcast
+    * ONLY while their materialized row counts stay under
+    * [[BfsBroadcastRowLimit]] (counts are free on the per-round
+    * localCheckpoints); larger rounds run as shuffled hash /
+    * left_anti joins on the node key. The oracle is the same
+    * traversal unrolled as three SQL joins.
     */
   private val q163 = Q(
     "q163_bfs_hops",
@@ -92,19 +108,28 @@ object TemporalGraphQueries {
       val seed = li.agg(min(col("l_partkey")).as("node"))
       var dist = seed.withColumn("hops", lit(0L)).localCheckpoint()
       var frontier = dist.select(col("node"))
+      var frontierRows = 1L
+      var distRows = 1L
+      // adaptive per-round strategy: broadcast a side only while its
+      // KNOWN size (counted on the previous round's checkpoint) is
+      // under the limit — small rounds are map-side joins with zero
+      // edge shuffles, big rounds shuffle on the node key instead of
+      // overflowing the broadcast ceiling
+      val broadcastLimit = s.conf
+        .get("graft.bfs.broadcastRowLimit", BfsBroadcastRowLimit.toString)
+        .toLong
+      def gated(df: DataFrame, rows: Long): DataFrame =
+        if (rows <= broadcastLimit) broadcast(df) else df
       for (h <- 1 to 3) {
-        // Frontier and visited-set are bounded by the part DIMENSION
-        // (not the fact table), so broadcast both sides: each round is
-        // then a single scan of the in-memory edge list with zero edge
-        // shuffles — the map-side BFS round. (Per-round checkpoints
-        // split the rounds into separate jobs, so exchange reuse could
-        // never kick in; broadcasting removes the exchanges instead.)
         val next = edges
-          .join(broadcast(frontier), edges("src") === frontier("node"))
+          .join(gated(frontier, frontierRows),
+            edges("src") === frontier("node"))
           .select(col("dst").as("node")).distinct()
-          .join(broadcast(dist), Seq("node"), "left_anti")
+          .join(gated(dist, distRows), Seq("node"), "left_anti")
           .withColumn("hops", lit(h.toLong))
           .localCheckpoint() // keep per-round plans constant-size
+        frontierRows = next.count()
+        distRows += frontierRows
         dist = dist.union(next).localCheckpoint()
         frontier = next.select(col("node"))
       }

@@ -57,6 +57,27 @@ class TemporalGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q163 bfs shuffle path: no broadcast hint, no auto-broadcast, " +
+      "same result") {
+    val expected = df("q163_bfs_hops").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val abtKey = "spark.sql.autoBroadcastJoinThreshold"
+    val oldAbt = spark.conf.get(abtKey)
+    spark.conf.set("graft.bfs.broadcastRowLimit", "0")
+    spark.conf.set(abtKey, "-1")
+    try {
+      // with the hint gated off AND auto-broadcast disabled, every
+      // BFS round genuinely plans shuffled joins on the node key —
+      // the path a dimension-sized visited set takes at 100x
+      val got = df("q163_bfs_hops").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected && got.nonEmpty)
+    } finally {
+      spark.conf.unset("graft.bfs.broadcastRowLimit")
+      spark.conf.set(abtKey, oldAbt)
+    }
+  }
+
   test("q165_proration: allocations sum exactly to the order's cents") {
     val alloc = df("q165_proration")
       .groupBy(col("l_orderkey")).agg(sum(col("alloc_cents")).as("s"))
