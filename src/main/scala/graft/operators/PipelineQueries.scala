@@ -140,14 +140,26 @@ object PipelineQueries {
 
   /** Quantile bucketing: ntile(4) by account balance within market
     * segment (tie-broken by key for determinism), then per-bucket
-    * stats — the feature-binning step of a tabular pipeline. */
+    * stats — the feature-binning step of a tabular pipeline. Only 5
+    * segments exist but each holds |customers|/5 rows (fact-scaled),
+    * so `ntile over Window.partitionBy(segment)` would run as 5
+    * single tasks each sorting a fifth of the dimension; instead the
+    * within-segment rank comes from [[PrefixPass.withRowNumberByGroup]]
+    * (range-partitioned across ALL tasks, per-(partition, segment)
+    * offset maps) and the bucket from [[PrefixPass.ntileExpr]] —
+    * identical NTILE distribution, no |groups|-bounded parallelism. */
   private val q94 = Q(
     "q94_ntile_buckets",
     (s, dir) => {
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("c_acctbal"), col("c_custkey"))
-      t(s, dir, "customer")
-        .withColumn("q", ntile(4).over(w))
+      val ranked = graft.operators.PrefixPass.withRowNumberByGroup(
+        t(s, dir, "customer"),
+        Seq("c_mktsegment"),
+        Seq(col("c_mktsegment").asc, col("c_acctbal").asc,
+          col("c_custkey").asc),
+        "rn", "n_seg")
+      ranked
+        .withColumn("q", graft.operators.PrefixPass.ntileExpr(
+          "rn", "n_seg", 4))
         .groupBy(col("c_mktsegment"), asLong(col("q")).as("q"))
         .agg(count(lit(1)).as("n"),
           moneySum(col("c_acctbal")).as("bal_sum"))

@@ -123,6 +123,86 @@ object PrefixPass {
     (df.sparkSession.createDataFrame(out, outSchema), total)
   }
 
+  /** Adds `rnCol` = 1-based row number WITHIN each group and `nCol` =
+    * the group's total row count, under `sortCols` — which MUST lead
+    * with `groupCols` (ascending) so groups are contiguous across the
+    * range partitioning. This is the distributed replacement for a
+    * partitioned window whose GROUP COUNT is small but whose GROUP
+    * SIZE scales with the fact table (e.g. ntile within 5 market
+    * segments over the customer dimension): the partitioned window
+    * would run as |groups| single tasks each sorting a fact-scaled
+    * slice, while this pass spreads every group across the full range
+    * partitioning. Driver state is O(numPartitions x |groups|) —
+    * use only for small group counts; high-cardinality groups should
+    * keep the plain partitioned window, which is already parallel. */
+  def withRowNumberByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sortCols: Seq[Column],
+      rnCol: String,
+      nCol: String): DataFrame = {
+    val (rdd, schema) = ranged(df, sortCols)
+    val gIdx = groupCols.map(schema.fieldIndex)
+    def keyOf(r: Row): List[Any] = gIdx.map(r.get).toList
+    val partials: Array[(Int, Seq[(List[Any], Long)])] =
+      rdd.mapPartitionsWithIndex { (i, it) =>
+        // groups are contiguous within a sorted partition: count runs
+        val runs = scala.collection.mutable.ArrayBuffer[(List[Any], Long)]()
+        var cur: List[Any] = null
+        var n = 0L
+        it.foreach { r =>
+          val k = keyOf(r)
+          if (k == cur) n += 1
+          else { if (cur != null) runs += ((cur, n)); cur = k; n = 1L }
+        }
+        if (cur != null) runs += ((cur, n))
+        Iterator((i, runs.toSeq))
+      }.collect().sortBy(_._1)
+    // per-(partition, group) exclusive offsets + per-group totals
+    val running = scala.collection.mutable.Map[List[Any], Long]()
+    val offsets: Array[Map[List[Any], Long]] = partials.map { case (_, runs) =>
+      val snapshot = runs.map { case (k, _) =>
+        k -> running.getOrElse(k, 0L)
+      }.toMap
+      runs.foreach { case (k, c) =>
+        running(k) = running.getOrElse(k, 0L) + c
+      }
+      snapshot
+    }
+    val totals: Map[List[Any], Long] = running.toMap
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cur: List[Any] = null
+      var rn = 0L
+      it.map { r =>
+        val k = keyOf(r)
+        if (k != cur) { cur = k; rn = offsets(i).getOrElse(k, 0L) }
+        rn += 1
+        Row.fromSeq(r.toSeq :+ rn :+ totals(k))
+      }
+    }
+    val outSchema = StructType(schema.fields :+
+      StructField(rnCol, LongType, nullable = false) :+
+      StructField(nCol, LongType, nullable = false))
+    df.sparkSession.createDataFrame(out, outSchema)
+  }
+
+  /** NTILE(k) from a 1-based row number and the row's group size, as a
+    * SQL expression over the given column/expression NAMES — the exact
+    * first-(n mod k)-buckets-get-ceil(n/k) distribution Spark's and
+    * DuckDB's NTILE implement. `rn` and `n` are spliced verbatim, so
+    * literals like "1234L" work as well as column names. */
+  def ntileExpr(rn: String, n: String, k: Int): Column = {
+    import org.apache.spark.sql.functions.expr
+    // q = n div k may be 0 (n < k): then every rn <= cut = n and the
+    // ELSE branch is unreachable; greatest(...,1) only guards the
+    // never-evaluated divisor
+    expr(s"CASE WHEN $rn <= ($n % $k) * ($n div $k + 1) " +
+      s"THEN ($rn - 1) div ($n div $k + 1) + 1 " +
+      s"ELSE ($n % $k) + " +
+      s"($rn - ($n % $k) * ($n div $k + 1) - 1) div greatest($n div $k, 1)" +
+      " + 1 END")
+  }
+
   /** Adds `outCol` = MAX(`valueCol`) over all STRICTLY PRECEDING rows
     * under `sortCols` (null for the first row — the
     * `rowsBetween(unboundedPreceding, -1)` running max), for

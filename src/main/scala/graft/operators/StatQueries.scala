@@ -383,19 +383,9 @@ object StatQueries {
         Seq(col("freq").desc, col("o_custkey").asc), "rn_f")
       val (p3, _) = PrefixPass.withRowNumber(p2,
         Seq(col("mon").desc, col("o_custkey").asc), "rn_m")
-      // NTILE(k) from a 1-based global row number rn over n rows:
-      // buckets 1..(n mod k) hold ceil(n/k) rows, the rest floor(n/k)
-      // — Spark's and DuckDB's NTILE distribution exactly.
-      def nt(rn: String): Column = {
-        val k = 5L
-        val q = n / k; val rem = n % k; val cut = rem * (q + 1)
-        // the ELSE branch is unreachable when q == 0 (then cut == n),
-        // so the max(q,1) divisor guard never changes a result
-        expr(s"CASE WHEN $rn <= ${cut}L " +
-          s"THEN ($rn - 1L) div ${q + 1}L + 1L " +
-          s"ELSE ${rem}L + ($rn - ${cut}L - 1L) div ${math.max(q, 1L)}L" +
-          " + 1L END")
-      }
+      // NTILE(5) from the 1-based global row number over the n
+      // (driver-known) customers — the shared PrefixPass formula
+      def nt(rn: String): Column = PrefixPass.ntileExpr(rn, s"${n}L", 5)
       p3
         .select(col("o_custkey"), col("mon"),
           concat(nt("rn_r").cast(StringType), nt("rn_f").cast(StringType),
