@@ -84,7 +84,9 @@ object Bench {
           SparkSession.clearActiveSession()
           SparkSession.clearDefaultSession()
           spark = newSession(cpus)
-          // re-warm the streaming machinery only (cheap; JIT persists)
+          // re-warm the fresh context: table scans (empty block manager,
+          // cold footer caches) plus the streaming machinery; JIT and
+          // the codegen cache persist across recycles for free
           warmup(spark, sfDir)
           sinceRecycle = 0
         }
@@ -104,18 +106,26 @@ object Bench {
             .foreach(t => spark.catalog.dropTempView(t.name))
           catch { case _: Throwable => () }
         }
-        def once(): Double = {
+        def once(): (Double, Boolean) = {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val ok = try { fn(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
           val dt = (System.nanoTime() - t0) / 1e9
           cleanup()
-          dt
+          (dt, ok)
         }
         val first = once()
-        val dt =
-          if (first > repeatThreshold && repeats > 1)
-            ((2 to repeats).map(_ => once()) :+ first).min
-          else first
+        // A fast SUCCESSFUL first run is proof enough; anything slow —
+        // or failed — is re-run. The min is taken over successful runs
+        // only, so a crashed re-run can never report a broken query as
+        // fast (and a failure is never trusted just because it errored
+        // out quickly).
+        val runs =
+          if ((first._1 > repeatThreshold || !first._2) && repeats > 1)
+            first +: (2 to repeats).map(_ => once())
+          else Seq(first)
+        val good = runs.filter(_._2)
+        val dt = if (good.nonEmpty) good.map(_._1).min else runs.map(_._1).min
         name -> dt
     }
     def fmt(v: Double, dp: Int): String = s"%.${dp}f".format(v)

@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   * so an equal-ts right row is NOT matched (strict inequality); callers
   * should pre-dedup the right side to one row per (key, ts) to make
   * "latest" well-defined.
+  *
+  * Null keys follow SQL equality (NULL = NULL is not true), matching
+  * both the native [[graft.plans.NativeAsOf]] exec and DuckDB's ASOF
+  * JOIN: null-keyed right rows are dropped before the union (they can
+  * match no left row), which also leaves null-keyed LEFT rows alone in
+  * their window partition — kept, unmatched.
   */
 object AsOfJoin {
 
@@ -41,10 +47,16 @@ object AsOfJoin {
       col(key).as("__key"), col(leftTs).as("__ts"), lit(0).as("__side"),
       struct(leftCols.map(col): _*).as("__lv"),
       lit(null).cast(rvType).as("__rv"))
-    val r = right.select(
-      col(key).as("__key"), col(rightTs).as("__ts"), lit(1).as("__side"),
-      lit(null).cast(lvType).as("__lv"),
-      struct((rightValueCols :+ rightTs).map(col): _*).as("__rv"))
+    val r = right
+      // SQL equality: a null-keyed right row matches nothing — without
+      // this filter the window's partitionBy would group null with null
+      // and hand null-keyed left rows a match the native exec and
+      // DuckDB ASOF correctly refuse
+      .filter(col(key).isNotNull)
+      .select(
+        col(key).as("__key"), col(rightTs).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(lvType).as("__lv"),
+        struct((rightValueCols :+ rightTs).map(col): _*).as("__rv"))
 
     // left rows order before right rows at the same ts => strict rTs < lTs
     val w = Window.partitionBy(col("__key"))

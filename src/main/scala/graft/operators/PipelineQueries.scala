@@ -151,15 +151,14 @@ object PipelineQueries {
   private val q94 = Q(
     "q94_ntile_buckets",
     (s, dir) => {
-      val ranked = graft.operators.PrefixPass.withRowNumberByGroup(
+      val ranked = PrefixPass.withRowNumberByGroup(
         t(s, dir, "customer"),
         Seq("c_mktsegment"),
         Seq(col("c_mktsegment").asc, col("c_acctbal").asc,
           col("c_custkey").asc),
         "rn", "n_seg")
       ranked
-        .withColumn("q", graft.operators.PrefixPass.ntileExpr(
-          "rn", "n_seg", 4))
+        .withColumn("q", PrefixPass.ntileExpr("rn", "n_seg", 4))
         .groupBy(col("c_mktsegment"), asLong(col("q")).as("q"))
         .agg(count(lit(1)).as("n"),
           moneySum(col("c_acctbal")).as("bal_sum"))

@@ -74,6 +74,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(native == composed && native.nonEmpty)
   }
 
+  test("composed kernel: null keys never match (SQL equality semantics)") {
+    import spark.implicits._
+    val trades = Seq(
+      (Option(1L), ts("2024-01-01 10:00:05"), "t1"),
+      (Option.empty[Long], ts("2024-01-01 10:00:05"), "tnull"))
+      .toDF("k", "ts", "trade")
+    val quotes = Seq(
+      (Option(1L), ts("2024-01-01 10:00:00"), 100.0),
+      (Option.empty[Long], ts("2024-01-01 10:00:00"), 666.0))
+      .toDF("k", "ts", "price")
+    val out = AsOfJoin.asOf(trades, quotes, "k", "ts", "ts")
+      .select("trade", "price").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("t1").contains(100.0))
+    assert(out("tnull").isEmpty,
+      "composed kernel must agree with the native exec on NULL keys")
+  }
+
   test("native exec: null keys never match (SQL equality semantics)") {
     import spark.implicits._
     val trades = Seq(

@@ -100,8 +100,10 @@ def main():
     out_dir = Path(args[1] if len(args) > 1 else "/tmp/verify_out")
     only = set(args[2:])
     if "--run" in sys.argv:
+        names = (" " + " ".join(sorted(only))) if only else ""
         r = subprocess.run(
-            ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out_dir}"],
+            ["sbt", "-batch",
+             f"runMain graft.Verify {sf_dir} {out_dir}{names}"],
             cwd="/root/repo", capture_output=True, text=True, timeout=1800)
         if r.returncode != 0:
             print(r.stdout[-4000:])
