@@ -130,7 +130,11 @@ object TemporalGraphQueries {
           .localCheckpoint() // keep per-round plans constant-size
         frontierRows = next.count()
         distRows += frontierRows
-        dist = dist.union(next).localCheckpoint()
+        // no re-checkpoint of the union: both branches are already
+        // materialized checkpoints, so the visited set stays a flat
+        // <=4-way union of cached RDDs — re-materializing it each
+        // round would copy the whole set h times for nothing
+        dist = dist.union(next)
         frontier = next.select(col("node"))
       }
       dist
