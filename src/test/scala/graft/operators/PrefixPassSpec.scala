@@ -4,6 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Differential proof that the two-phase PrefixPass primitives are
@@ -132,6 +134,55 @@ class PrefixPassSpec extends AnyFunSuite {
       .agg(max(col("n_seg")).as("n"), count(lit(1)).as("c"))
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(sizes.forall { case (n, c) => n == c })
+  }
+
+  test("property: random data with ties, nulls, and skewed groups " +
+      "matches the window formulations") {
+    def sample[A](g: Gen[A]): A =
+      g.apply(Gen.Parameters.default, Seed(7L)).get
+    // heavy ties in v (10 distinct values), nullable amounts, groups
+    // with wildly different sizes (g0 dominates via the mod bias)
+    val rows = sample(Gen.listOfN(400, Gen.zip(
+      Gen.choose(0L, 9L),
+      Gen.option(Gen.choose(-99999L, 99999L)),
+      Gen.choose(0, 99))))
+      .zipWithIndex.map { case ((v, amt, gsel), i) =>
+        (i.toLong, v, amt.map(c => BigDecimal(c) / 100),
+          if (gsel < 60) "g0" else s"g${gsel % 7}")
+      }
+    val df = rows.toDF("id", "v", "amt", "grp")
+      .withColumn("amt", col("amt").cast(DecimalType(18, 2)))
+    val order = Seq(col("v").desc, col("id").asc)
+    val w = Window.orderBy(order: _*)
+    val expCum = df.withColumn("cum", sum(col("amt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("id"), col("cum").cast("string")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val (gotCumDf, _) = PrefixPass.cumSumDecimal(df, order, "amt", "cum")
+    val gotCum = gotCumDf.select(col("id"), col("cum").cast("string"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(gotCum == expCum)
+    val expRn = df.withColumn("rn", row_number().over(w))
+      .select(col("id"), col("rn").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val (gotRnDf, n) = PrefixPass.withRowNumber(df, order, "rn")
+    val gotRn = gotRnDf.select(col("id"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotRn == expRn && n == 400L)
+    val gw = Window.partitionBy(col("grp"))
+      .orderBy(col("v").desc, col("id").asc)
+    val expGrp = df.withColumn("rn", row_number().over(gw))
+      .withColumn("q", ntile(3).over(gw))
+      .select(col("id"), col("rn").cast("long"), col("q").cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val ranked = PrefixPass.withRowNumberByGroup(df, Seq("grp"),
+      col("grp").asc +: order, "rn", "ng")
+    val gotGrp = ranked.withColumn("q", PrefixPass.ntileExpr("rn", "ng", 3))
+      .select(col("id"), col("rn"), col("q").cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(gotGrp == expGrp)
   }
 
   test("q182's NTILE formula matches ntile() for n mod k != 0") {
