@@ -118,6 +118,19 @@ class RegistrySmokeSpec extends AnyFunSuite {
       "q195's bloom bitmap no longer broadcasts")
   }
 
+  test("golden plans: per-group top-k keeps map-side WindowGroupLimit") {
+    // rank/row_number <= k over a partitioned window is scale-safe
+    // ONLY because Spark plans a partial WindowGroupLimit before the
+    // shuffle (k rows per group per partition move, not the fact
+    // table); losing the pattern (e.g. a projection between window
+    // and filter) silently reverts to a full per-group sort
+    for (n <- Seq("q95_balanced_downsample", "q54_knn_multiprobe",
+        "q146_hard_negatives", "q104_string_agg")) {
+      assert(planOf(n).contains("WindowGroupLimit"),
+        s"$n's rank filter no longer plans a map-side WindowGroupLimit")
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
