@@ -628,14 +628,23 @@ object AnalyticQueries {
       // in as a window on src (one shuffle), so the whole index build
       // is the self-join plus that window.
       // annual snapshot: a 100 TB deployment runs centrality per time
-      // partition, not over all history — the 1995 order keys
-      // broadcast against the lineitem scan
+      // partition, not over all history — but the 1995 order-key set
+      // still scales linearly with the fact data (~1/7 of orders), so
+      // it broadcasts against the lineitem scan only while its
+      // measured UPPER BOUND (the orders table's row count — a
+      // metadata-only parquet count, so the gate costs nothing) is
+      // under the GatedBroadcast limit; above it the hint is absent
+      // and the semi-join shuffles on l_orderkey (where AQE may still
+      // broadcast from actual runtime sizes). Conservative by the 1/7
+      // year selectivity — the safe direction: it can only decline a
+      // broadcast it could have proven, never force one it can't.
       val okeys = t(s, dir, "orders")
         .filter(year(col("o_orderdate")) === 1995)
         .select(col("o_orderkey").as("l_orderkey"))
+      val nOrders = t(s, dir, "orders").count()
       val op = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
-        .join(broadcast(okeys), "l_orderkey")
+        .join(GatedBroadcast(okeys, nOrders), "l_orderkey")
       val edgesDeg = op.alias("a").join(op.alias("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") =!= col("b.l_partkey"))
@@ -643,29 +652,42 @@ object AnalyticQueries {
         .withColumn("deg",
           count(lit(1)).over(Window.partitionBy(col("src"))))
         .localCheckpoint()
-      // per iteration the rank table (|parts| rows — broadcastable at
-      // any realistic part cardinality) joins map-side, so each
-      // iteration costs ONE shuffle (the groupBy dst)
+      // per iteration the rank table joins map-side WHILE its measured
+      // size (|parts| rows — constant across iterations, because the
+      // symmetric edge relation makes every node a dst) stays under
+      // the GatedBroadcast limit, so a small-snapshot iteration costs
+      // ONE shuffle (the groupBy dst). part scales linearly with the
+      // fact data, so at 100 TB-class sf the gate trips and iterations
+      // fall back to a shuffled equi-join on src against the
+      // localCheckpoint'd edge table instead of overflowing the
+      // broadcast ceiling — the same degradation q163's BFS uses.
       val nodes = edgesDeg.select(col("src").as("part")).distinct()
         .localCheckpoint()
-      val nRow = nodes.agg(count(lit(1)).as("n"))
-      var ranks = nodes.crossJoin(broadcast(nRow))
+      // one count on the checkpoint replaces the old 1-row nRow
+      // aggregate AND its two broadcast cross-joins: n is a driver
+      // constant, so 1/n and 0.15/n fold into literals (identical
+      // IEEE doubles to the former lit(1.0)/col("n") evaluation)
+      val nNodes = nodes.count()
+      var ranks = nodes
         .select(col("part"),
-          round(lit(1.0) / col("n"), 12).cast(DecimalType(28, 12))
+          round(lit(1.0) / lit(nNodes), 12).cast(DecimalType(28, 12))
             .as("pr"))
       for (_ <- 1 to 3) {
         // the edge relation is symmetric (both directions emitted), so
         // every node receives contributions — no dangling-node repair
-        // join needed; an iteration is ONE bcast join + ONE groupBy
+        // join needed; an iteration is ONE (gated-bcast) join + ONE
+        // groupBy. ranks has exactly nNodes rows every round (each
+        // iteration's groupBy(dst) re-emits every node), so the one
+        // measured count gates all three iterations.
         ranks = edgesDeg
-          .join(broadcast(ranks.withColumnRenamed("part", "src")), "src")
+          .join(GatedBroadcast(
+            ranks.withColumnRenamed("part", "src"), nNodes), "src")
           .select(col("dst"),
             round(col("pr").cast(DoubleType) / col("deg"), 12)
               .cast(DecimalType(28, 12)).as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("sumc"))
-          .crossJoin(broadcast(nRow))
           .select(col("dst").as("part"),
-            round(lit(0.15) / col("n")
+            round(lit(0.15) / lit(nNodes)
               + lit(0.85) * col("sumc").cast(DoubleType),
               12).cast(DecimalType(28, 12)).as("pr"))
           // materialize each round (q99 discipline) — a lazy rank

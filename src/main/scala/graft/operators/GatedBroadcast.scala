@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** Size-gated broadcast hint for iterative plans whose "small" side is
+  * dimension-scaled (a BFS frontier, a PageRank rank table) rather than
+  * constant-bounded.
+  *
+  * An unconditional `broadcast()` on such a side is a 100x-scale
+  * hazard: the table grows linearly with the fact data, so past the
+  * 8 GB broadcast ceiling the job dies outright, and well before that
+  * it evicts executor memory every iteration. The fix is to hint
+  * broadcast only while the side's MEASURED row count is under a
+  * limit, and fall back to a plain shuffled equi-join otherwise. The
+  * caller must pass a row count it actually knows (typically a
+  * `count()` on a localCheckpoint the iteration materializes anyway,
+  * so the measurement is free) — this helper never triggers a count
+  * itself, because a count on an unmaterialized lineage would
+  * re-execute the plan.
+  *
+  * The default limit (5M rows, ~40 MB of longs) keeps the broadcast
+  * comfortably inside the ceiling and executor memory for key-only
+  * tables; callers broadcasting wider rows should lower it via the
+  * `graft.broadcast.rowLimit` conf. Setting the conf to 0 disables
+  * the hint entirely — specs use that to pin the shuffled path. The
+  * pre-helper `graft.bfs.broadcastRowLimit` key is honored as a
+  * fallback so existing sessions/specs keep working.
+  *
+  * Call sites and the constant-bounded-vs-fact-scaled classification
+  * of every other `broadcast(` in the repo are audited in PLANS.md
+  * ("Broadcast audit").
+  */
+object GatedBroadcast {
+  val ConfKey = "graft.broadcast.rowLimit"
+  private val LegacyConfKey = "graft.bfs.broadcastRowLimit"
+  val DefaultRowLimit: Long = 5L * 1000 * 1000
+
+  /** The session's effective row limit for gated broadcasts. */
+  def rowLimit(df: DataFrame): Long = {
+    val conf = df.sparkSession.conf
+    conf.get(ConfKey,
+      conf.get(LegacyConfKey, DefaultRowLimit.toString)).toLong
+  }
+
+  /** Hint `broadcast(df)` iff `measuredRows` (a count the caller has
+    * already paid for) is within the session's row limit; otherwise
+    * return `df` unhinted so the join planner picks a shuffled
+    * strategy. */
+  def apply(df: DataFrame, measuredRows: Long): DataFrame =
+    if (measuredRows <= rowLimit(df)) broadcast(df) else df
+}

@@ -69,28 +69,19 @@ object TemporalGraphQueries {
       GROUP BY 1, 2
     """))
 
-  /** Broadcast the BFS frontier/visited set only below this row count
-    * (~40 MB of longs — comfortably inside the broadcast ceiling and
-    * executor memory); above it, rounds fall back to shuffled joins.
-    * On a dense co-purchase graph two hops reach most of the
-    * component, so at 100x the visited set is dimension-sized
-    * (multi-GB) and a blanket broadcast would die at the 8 GB
-    * broadcast ceiling — the size gate makes each round degrade
-    * gracefully instead. Overridable per session via the
-    * `graft.bfs.broadcastRowLimit` conf (0 disables the hint — used
-    * by TemporalGraphSpec to pin the shuffle path). */
-  private val BfsBroadcastRowLimit = 5L * 1000 * 1000
-
   /** Bounded multi-hop BFS over the co-purchase graph: hop distance
     * (<= 3) from the smallest part key, Pregel-style — each round is one
     * frontier-edge join plus an anti-join against the visited set, no
     * driver-side state. The edge list shuffles once on src and is
-    * reused by every round. Frontier and visited set are broadcast
-    * ONLY while their materialized row counts stay under
-    * [[BfsBroadcastRowLimit]] (counts are free on the per-round
-    * localCheckpoints); larger rounds run as shuffled hash /
-    * left_anti joins on the node key. The oracle is the same
-    * traversal unrolled as three SQL joins.
+    * reused by every round. On a dense co-purchase graph two hops
+    * reach most of the component, so at 100x the visited set is
+    * dimension-sized (multi-GB) — frontier and visited set are
+    * therefore broadcast ONLY while their materialized row counts
+    * stay under [[GatedBroadcast]]'s limit (counts are free on the
+    * per-round localCheckpoints); larger rounds run as shuffled
+    * hash / left_anti joins on the node key and degrade gracefully
+    * instead of dying at the broadcast ceiling. The oracle is the
+    * same traversal unrolled as three SQL joins.
     */
   private val q163 = Q(
     "q163_bfs_hops",
@@ -115,17 +106,12 @@ object TemporalGraphQueries {
       // under the limit — small rounds are map-side joins with zero
       // edge shuffles, big rounds shuffle on the node key instead of
       // overflowing the broadcast ceiling
-      val broadcastLimit = s.conf
-        .get("graft.bfs.broadcastRowLimit", BfsBroadcastRowLimit.toString)
-        .toLong
-      def gated(df: DataFrame, rows: Long): DataFrame =
-        if (rows <= broadcastLimit) broadcast(df) else df
       for (h <- 1 to 3) {
         val next = edges
-          .join(gated(frontier, frontierRows),
+          .join(GatedBroadcast(frontier, frontierRows),
             edges("src") === frontier("node"))
           .select(col("dst").as("node")).distinct()
-          .join(gated(dist, distRows), Seq("node"), "left_anti")
+          .join(GatedBroadcast(dist, distRows), Seq("node"), "left_anti")
           .withColumn("hops", lit(h.toLong))
           .localCheckpoint() // keep per-round plans constant-size
         frontierRows = next.count()

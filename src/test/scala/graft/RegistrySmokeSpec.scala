@@ -59,6 +59,11 @@ class RegistrySmokeSpec extends AnyFunSuite {
   // features they were designed around — a regression here "works" at
   // test scale and detonates at 100x. (BucketingSpec pins the
   // zero-Exchange bucketed join; SkewSpec pins AQE skew handling.)
+  // Every broadcast( call site in src/main is classified
+  // constant-bounded vs fact-scaled in PLANS.md "Broadcast audit" —
+  // a new broadcast hint must add itself there, and a fact-scaled
+  // side must go through operators.GatedBroadcast (see the q135/q163
+  // shuffle-path tests for the off-gate equality pattern).
   // ------------------------------------------------------------------
 
   private def planOf(name: String): String =
@@ -223,5 +228,27 @@ class RegistrySmokeSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Double]("pr") > 0.0))
     // top-20 of a probability vector can't exceed 1
     assert(rows.map(_.getAs[Double]("pr")).sum <= 1.0 + 1e-6)
+  }
+
+  test("q135 shuffle path: gated broadcast off, same ranks bit-exact") {
+    val expected = rowsOf("q135_copurchase_pagerank")
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val abtKey = "spark.sql.autoBroadcastJoinThreshold"
+    val oldAbt = spark.conf.get(abtKey)
+    spark.conf.set(graft.operators.GatedBroadcast.ConfKey, "0")
+    spark.conf.set(abtKey, "-1")
+    try {
+      // with the hint gated off AND auto-broadcast disabled, every
+      // PageRank iteration genuinely plans a shuffled rank⋈edge join —
+      // the path a dimension-sized rank table takes at 100x. DECIMAL
+      // round-to-12dp contribution sums make the ranks bit-identical
+      // across join strategies and partitionings.
+      val got = rowsOf("q135_copurchase_pagerank")
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == expected && got.nonEmpty)
+    } finally {
+      spark.conf.unset(graft.operators.GatedBroadcast.ConfKey)
+      spark.conf.set(abtKey, oldAbt)
+    }
   }
 }
