@@ -98,6 +98,7 @@ object Bench {
         // execution-memory-starved (measured 3-5x inflation on the heavy
         // text queries late in the run).
         def cleanup(): Unit = {
+          graft.operators.PrefixPass.releaseAll()
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(false))
           spark.sharedState.cacheManager.clearCache()
@@ -125,20 +126,28 @@ object Bench {
             first +: (2 to repeats).map(_ => once())
           else Seq(first)
         val good = runs.filter(_._2)
-        val dt = if (good.nonEmpty) good.map(_._1).min else runs.map(_._1).min
-        name -> dt
+        // A query with NO successful run must be unmistakable in the
+        // JSON: its time is reported NEGATIVE (the min over failed
+        // runs, sign-flipped) and its name goes to the "failed" list;
+        // it contributes nothing to the total. Without this, a broken
+        // query silently reports a plausible-looking time.
+        val dt = if (good.nonEmpty) good.map(_._1).min
+          else -runs.map(_._1).min
+        (name, dt, good.nonEmpty)
     }
     def fmt(v: Double, dp: Int): String = s"%.${dp}f".format(v)
     def line(dp: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
+      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, dp) }
         .mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      val total = results.collect { case (_, v, true) => v }.sum
+      val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
       // "value" and "sf" deliberately AFTER "queries": the harness that
       // captures this output keeps only the last ~2000 characters, so a
       // long per-query map truncates at the HEAD — trailing keys (and the
       // later queries) survive. Full-precision copy goes to a repo file.
       s"""{"metric":"total","unit":"sec","queries":$qs,""" +
-        s""""value":${fmt(total, dp)},"sf":"$sfDir"}"""
+        s""""failed":$failed,"value":${fmt(total, dp)},"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),

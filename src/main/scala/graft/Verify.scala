@@ -42,6 +42,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      graft.operators.PrefixPass.releaseAll()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.sharedState.cacheManager.clearCache()
       try spark.catalog.listTables().collect()

@@ -34,9 +34,11 @@ import org.apache.spark.sql.types.{DecimalType, LongType, StructField,
   * resample-divergence hazard between the passes. The sorted rows are
   * additionally persisted (MEMORY_AND_DISK, the `Trainer.indexByOrder`
   * pattern) so the partials job materializes the reduce-side sort once
-  * and pass 2 reads the cached blocks instead of re-sorting; the
-  * harnesses (Verify/Bench) unpersist between queries and
-  * ContextCleaner reclaims the blocks on GC in library use.
+  * and pass 2 reads the cached blocks instead of re-sorting. Release:
+  * call [[releaseAll]] after the pass output is materialized to drop
+  * the cached blocks eagerly; the Verify/Bench harnesses do this
+  * between queries, and ContextCleaner reclaims on GC as the backstop
+  * in library use.
   *
   * All three primitives preserve exact engine-equal values: decimal
   * accumulation is java.math.BigDecimal (associative, exact — the
@@ -44,6 +46,39 @@ import org.apache.spark.sql.types.{DecimalType, LongType, StructField,
   * and maxes are Longs.
   */
 object PrefixPass {
+
+  /** Every pass's sorted materialization (an RDD[Row] for the
+    * RDD-based passes, a cached DataFrame for [[withRowNumber]]),
+    * tracked weakly so callers can release the blocks EAGERLY once
+    * the pass output is materialized — [[releaseAll]] — instead of
+    * waiting for a harness-wide getPersistentRDDs sweep or
+    * ContextCleaner GC. Weak references: a pass cache that became
+    * unreachable is already ContextCleaner's job; the registry never
+    * extends a cache's lifetime. */
+  private val tracked =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      java.lang.ref.WeakReference[AnyRef]]()
+
+  private def track(cache: AnyRef): Unit =
+    tracked.add(new java.lang.ref.WeakReference[AnyRef](cache))
+
+  /** Unpersist (non-blocking) every pass cache created since the last
+    * call. Safe to call once the pass outputs have been materialized;
+    * outputs consumed AFTER release recompute from lineage (the
+    * caches are persist(), never checkpoints). Library callers should
+    * call this after their query's action; the Verify/Bench harnesses
+    * call it between queries. */
+  def releaseAll(): Unit = {
+    var ref = tracked.poll()
+    while (ref != null) {
+      ref.get match {
+        case rdd: RDD[_] => rdd.unpersist(false)
+        case df: DataFrame => df.unpersist(false)
+        case _ => ()
+      }
+      ref = tracked.poll()
+    }
+  }
 
   /** One range-partitioned, partition-sorted materialization shared by
     * the partial and final passes. */
@@ -54,6 +89,7 @@ object PrefixPass {
       .sortWithinPartitions(sortCols: _*)
     val rdd = sorted.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    track(rdd)
     (rdd, sorted.schema)
   }
 
@@ -62,9 +98,13 @@ object PrefixPass {
     * total order `sortCols`, plus returns the grand total — replacing
     * both `sum over Window.orderBy(...)` and
     * `sum over Window.partitionBy()` without a single-partition stage.
-    * `valueCol` must be DecimalType; the cum column is
-    * DecimalType(38, scale), matching what the window sum would have
-    * produced. */
+    * `sortCols` MUST be a TOTAL order (include a unique tiebreaker):
+    * with ties, both the range partitioning and the per-partition row
+    * order are nondeterministic, and this ROWS-frame running sum
+    * diverges from the RANGE-frame window default, which sums all
+    * peers of a tie group together. `valueCol` must be DecimalType;
+    * the cum column is DecimalType(38, scale), matching what the
+    * window sum would have produced. */
   def cumSumDecimal(
       df: DataFrame,
       sortCols: Seq[Column],
@@ -106,28 +146,62 @@ object PrefixPass {
   }
 
   /** Adds `outCol` = 1-based global row number under `sortCols`
-    * (`sortCols` must be a total order for determinism), plus returns
-    * the total row count — the distributed ROW_NUMBER/NTILE building
-    * block. */
+    * (`sortCols` MUST be a total order — with ties both the range
+    * partitioning and the within-partition order are nondeterministic
+    * and the numbering diverges between runs), plus returns the total
+    * row count — the distributed ROW_NUMBER/NTILE building block.
+    *
+    * Catalyst-native two-phase shape (round 8 — replaces the RDD[Row]
+    * round-trip, keeping both passes in Tungsten/codegen): after the
+    * range-partitioned within-partition sort, `spark_partition_id` +
+    * `monotonically_increasing_id` are materialized into the cached
+    * rows; mid is contiguous within a partition and assigned in sorted
+    * order, so the global row number is `mid + adj(pid)` where
+    * adj = (cumulative count of earlier partitions) + 1 - min(mid) —
+    * per-partition scalars from ONE tiny aggregation job (collected:
+    * numPartitions rows), joined back as a broadcast map-side join.
+    * No second sort, no Row allocation, no codegen break. The
+    * contiguity the formula relies on is CHECKED per partition
+    * (min/max/count from the same aggregate) and aborts loudly if a
+    * Spark version ever changes the id layout. */
   def withRowNumber(
       df: DataFrame,
       sortCols: Seq[Column],
       outCol: String): (DataFrame, Long) = {
-    val (rdd, schema) = ranged(df, sortCols)
-    val counts: Array[(Int, Long)] = rdd.mapPartitionsWithIndex {
-      (i, it) => Iterator((i, it.size.toLong))
-    }.collect().sortBy(_._1)
-    val offsets = new Array[Long](counts.length)
-    var run = 0L
-    counts.foreach { case (i, c) => offsets(i) = run; run += c }
-    val total = run
-    val out = rdd.mapPartitionsWithIndex { (i, it) =>
-      var rn = offsets(i)
-      it.map { r => rn += 1; Row.fromSeq(r.toSeq :+ rn) }
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit,
+      max, min, monotonically_increasing_id, spark_partition_id}
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val pidC = "__graft_pid"
+    val midC = "__graft_mid"
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn(pidC, spark_partition_id())
+      .withColumn(midC, monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    track(sorted)
+    val partials = sorted.groupBy(col(pidC))
+      .agg(count(lit(1)).as("c"), min(col(midC)).as("mn"),
+        max(col(midC)).as("mx"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    partials.foreach { case (pid, c, mn, mx) =>
+      require(mx - mn + 1 == c,
+        s"monotonically_increasing_id not contiguous in partition $pid " +
+          s"(count=$c span=${mx - mn + 1}) — id layout changed?")
     }
-    val outSchema = StructType(schema.fields :+
-      StructField(outCol, LongType, nullable = false))
-    (df.sparkSession.createDataFrame(out, outSchema), total)
+    var run = 0L
+    val adj = partials.map { case (pid, c, mn, _) =>
+      val a = (pid, run + 1L - mn); run += c; a
+    }.toSeq
+    val total = run
+    val adjDf = spark.createDataFrame(adj).toDF("__graft_apid", "__graft_adj")
+    val out = sorted
+      .join(broadcast(adjDf), col(pidC) === col("__graft_apid"))
+      .withColumn(outCol, col(midC) + col("__graft_adj"))
+      .drop(pidC, midC, "__graft_apid", "__graft_adj")
+    (out, total)
   }
 
   /** Adds `rnCol` = 1-based row number WITHIN each group and `nCol` =
@@ -214,7 +288,10 @@ object PrefixPass {
   /** Adds `outCol` = MAX(`valueCol`) over all STRICTLY PRECEDING rows
     * under `sortCols` (null for the first row — the
     * `rowsBetween(unboundedPreceding, -1)` running max), for
-    * Long-typed `valueCol`. The skyline/prefix-dominance primitive. */
+    * Long-typed `valueCol`. The skyline/prefix-dominance primitive.
+    * As with [[cumSumDecimal]], `sortCols` MUST be a total order —
+    * under ties the "preceding rows" set itself is nondeterministic
+    * and the result diverges from the window formulation. */
   def withPrevMaxLong(
       df: DataFrame,
       sortCols: Seq[Column],

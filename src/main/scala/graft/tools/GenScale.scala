@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up fixture generator for the SCALE.md crossover measurements
+  * (round-8 advice #5): writes an sf1-equivalent dataset by key-shifted
+  * 10x replication of the read-only driver fixtures at sf0.1.
+  *
+  * Replication preserves every per-key distribution (orders per
+  * customer, lineitems per order, ties, skew) exactly — each copy i
+  * shifts the join keys by i*stride (stride = max(key)+1, so copies
+  * never collide) — which is what a scaling measurement wants: the
+  * same query shapes at 10x the rows, not a new synthetic
+  * distribution. Deterministic (no rand anywhere), so repeated
+  * generations are byte-stable modulo parquet encoding.
+  *
+  * Usage: runMain graft.tools.GenScale [srcDir] [outDir] [factor]
+  * Defaults: /root/testdata/sf0.1 -> /tmp/graft_sf1, factor 10.
+  * region/nation are constant dimensions and copy unshifted; documents
+  * and embeddings copy unscaled (the measured queries touch only the
+  * TPC-H star + events).
+  */
+object GenScale {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // events.ts is parquet TIMESTAMP(NANOS) — read as Long nanos (the
+    // Tables.tuned setting); the copy is written as plain INT64, which
+    // Tables.load converts identically
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def load(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).collect().head.getLong(0) + 1L
+
+    val strides: Map[String, Long] = Map(
+      "c_custkey" -> maxOf(load("customer"), "c_custkey"),
+      "s_suppkey" -> maxOf(load("supplier"), "s_suppkey"),
+      "p_partkey" -> maxOf(load("part"), "p_partkey"),
+      "o_orderkey" -> maxOf(load("orders"), "o_orderkey"),
+      "user_id" -> maxOf(load("events"), "user_id"))
+
+    // (table, shifted columns -> stride key)
+    val scaled: Seq[(String, Map[String, String])] = Seq(
+      "customer" -> Map("c_custkey" -> "c_custkey"),
+      "supplier" -> Map("s_suppkey" -> "s_suppkey"),
+      "part" -> Map("p_partkey" -> "p_partkey"),
+      "orders" -> Map("o_orderkey" -> "o_orderkey",
+        "o_custkey" -> "c_custkey"),
+      "lineitem" -> Map("l_orderkey" -> "o_orderkey",
+        "l_partkey" -> "p_partkey", "l_suppkey" -> "s_suppkey"),
+      "events" -> Map("user_id" -> "user_id"))
+
+    scaled.foreach { case (t, shifts) =>
+      val base = load(t)
+      val copies = (0 until factor).map { i =>
+        shifts.foldLeft(base) { case (df, (c, strideKey)) =>
+          df.withColumn(c, col(c) + lit(i * strides(strideKey)))
+        }
+      }
+      copies.reduce(_.unionAll(_))
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[genscale] $t x$factor written")
+    }
+    Seq("region", "nation", "documents", "embeddings").foreach { t =>
+      load(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[genscale] $t copied")
+    }
+    spark.stop()
+  }
+}
