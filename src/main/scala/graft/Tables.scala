@@ -16,21 +16,30 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    // reader rejects; `tuned` sets nanosAsLong so it arrives as LongType
-    // nanos — convert to a proper timestamp (micros; the generator emits
-    // microsecond precision so this is lossless).
-    df.schema.find(f => f.name == "ts" && f.dataType == types.LongType) match {
-      case Some(_) =>
-        // integer division: `/` would be double division and lose
-        // precision above 2^53 (epoch-nanos is ~1.7e18)
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Normalize an event-time `ts` column to TimestampType whatever the
+    * fixture's physical parquet encoding. The generator has shipped
+    * three encodings across rounds — TIMESTAMP(NANOS) (arrives as
+    * LongType nanos under `nanosAsLong`), plain `timestamp[us]` without
+    * the UTC flag (arrives as TIMESTAMP_NTZ), and UTC-adjusted
+    * timestamps — so the loader branches on the OBSERVED dataType
+    * instead of assuming a unit. Every consumer (batch and streaming)
+    * goes through here; sessions pin spark.sql.session.timeZone=UTC so
+    * the NTZ cast is wall-clock-preserving.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(types.LongType) =>
+        // nanos → micros by integer division: `/` would be double
+        // division and lose precision above 2^53 (epoch-nanos ~1.7e18)
         df.withColumn("ts",
           functions.timestamp_micros(functions.expr("ts div 1000")))
-      case None => df
+      case Some(types.TimestampNTZType) =>
+        df.withColumn("ts", functions.col("ts").cast(types.TimestampType))
+      case _ => df
     }
-  }
 
   /** Session tuning applied at query-build time (idempotent).
     *

@@ -38,15 +38,21 @@ object StreamQueries {
     try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  /** Raw parquet schema of the events table as the streaming file source
-    * sees it (ts arrives as nanos LongType under nanosAsLong). */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Streaming file source over the events table with `ts` normalized
+    * to TimestampType. The streaming reader requires an explicit
+    * schema, and the fixture's physical ts encoding has changed across
+    * rounds (Long nanos under nanosAsLong, TIMESTAMP, TIMESTAMP_NTZ) —
+    * so the schema is read from the parquet footer per query (one
+    * driver-side metadata read) and `Tables.normalizeTs` branches on
+    * what actually arrived, instead of hard-coding one encoding. */
+  private[graft] def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    Tables.normalizeTs(
+      s.readStream
+        .schema(raw)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+  }
 
   /** Tumbling 1-hour windows, keyed by event type. */
   private val q40 = Q(
@@ -147,11 +153,7 @@ object StreamQueries {
     (s, dir) => {
       Tables.tuned(s)
       val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
-      val src = s.readStream
-        .schema(eventsRawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val src = eventsStream(s, dir)
       val agg = src
         .groupBy(window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n"),
@@ -185,10 +187,7 @@ object StreamQueries {
     (s, dir) => {
       Tables.tuned(s)
       val out = Files.createTempDirectory("graft_batches_").toString
-      val src = s.readStream
-        .schema(eventsRawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val src = eventsStream(s, dir)
         .select(col("event_id"), col("event_type"), col("value"))
       BatchWriter.writeCountBatches(src, out, batchSize = 2000)
         .awaitTermination()
@@ -223,11 +222,7 @@ object StreamQueries {
     (s, dir) => {
       Tables.tuned(s)
       val name = "graft_dedup_" + UUID.randomUUID().toString.replace("-", "")
-      def src = s.readStream
-        .schema(eventsRawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def src = eventsStream(s, dir)
       val doubled = src.unionByName(src) // simulated redelivery
       // dropDuplicatesWithinWatermark — NOT plain dropDuplicates("id"):
       // state for an event-time-less key set is never evicted, whereas
@@ -276,11 +271,7 @@ object StreamQueries {
       val name = "graft_ssj_" + UUID.randomUUID().toString.replace("-", "")
       // One source instance (val, not def): both join branches share the
       // same file-source, so each microbatch scans events once, not twice.
-      val src = s.readStream
-        .schema(eventsRawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val src = eventsStream(s, dir)
       val views = src.filter(col("event_id") % 2 === 0)
         .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
           col("ts").as("v_ts"))
@@ -346,10 +337,7 @@ object StreamQueries {
       Tables.tuned(s)
       import s.implicits._
       val name = "graft_state_" + UUID.randomUUID().toString.replace("-", "")
-      val src = s.readStream
-        .schema(eventsRawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val src = eventsStream(s, dir)
         // the tuple encoder's primitive fields reject nulls at runtime;
         // filter (and mirror in the oracle) so the query is total over
         // the declared nullable schema, not reliant on clean testdata
@@ -405,11 +393,7 @@ object StreamQueries {
     (s, dir) => {
       Tables.tuned(s)
       val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
-      val src = s.readStream
-        .schema(eventsRawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val src = eventsStream(s, dir)
         .filter(col("user_id") < 40)
       val agg = src
         .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
@@ -468,11 +452,7 @@ object StreamQueries {
     (s, dir) => {
       Tables.tuned(s)
       val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
-      val src = s.readStream
-        .schema(eventsRawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val src = eventsStream(s, dir)
       val cust = Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
       val agg = src
@@ -516,10 +496,7 @@ object StreamQueries {
     (s, dir) => {
       Tables.tuned(s)
       val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
-      val src = s.readStream
-        .schema(eventsRawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val src = eventsStream(s, dir)
       val reg = graft.operators.SketchQueries.hllRegisterRows(src)
         .groupBy(col("event_type"), col("bucket"))
         .agg(max(col("r")).as("r"))
@@ -587,10 +564,7 @@ object StreamQueries {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
         import s.implicits._
-        val src = s.readStream
-          .schema(eventsRawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
+        val src = eventsStream(s, dir)
           // value IS NOT NULL: the (Long, Long) encoder rejects a null
           // cents at runtime; mirrored in the oracle's WHERE
           .filter(col("user_id").isNotNull && col("value").isNotNull)
@@ -648,13 +622,10 @@ object StreamQueries {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
         import s.implicits._
-        val src = s.readStream
-          .schema(eventsRawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
+        val src = eventsStream(s, dir)
           .filter(col("user_id").isNotNull && col("ts").isNotNull &&
             col("event_id").isNotNull)
-          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
             col("event_id"))
           .as[(Long, Long, Long)]
         val out = src
@@ -713,14 +684,11 @@ object StreamQueries {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
         import s.implicits._
-        val src = s.readStream
-          .schema(eventsRawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
+        val src = eventsStream(s, dir)
           .filter(col("user_id").isNotNull && col("ts").isNotNull)
-          .withColumn("ets", timestamp_millis(expr("ts div 1000000")))
+          .withColumn("ets", timestamp_millis(unix_millis(col("ts"))))
           .withWatermark("ets", "1 second")
-          .select(col("user_id"), expr("ts div 1000000").as("ms"))
+          .select(col("user_id"), unix_millis(col("ts")).as("ms"))
           .as[(Long, Long)]
         val out = src
           .groupByKey(_._1)
@@ -774,10 +742,7 @@ object StreamQueries {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
         import s.implicits._
-        val src = s.readStream
-          .schema(eventsRawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
+        val src = eventsStream(s, dir)
           // event_type is a MapState key; a null key would fail in the
           // state encoder, so exclude (mirrored in the oracle)
           .filter(col("user_id").isNotNull && col("event_type").isNotNull)

@@ -33,9 +33,11 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // events.ts is parquet TIMESTAMP(NANOS) — read as Long nanos (the
-    // Tables.tuned setting); the copy is written as plain INT64, which
-    // Tables.load converts identically
+    // events.ts physical encoding varies by fixture vintage
+    // (TIMESTAMP(NANOS), timestamp[us] NTZ, ...). Read it raw —
+    // nanosAsLong covers the nanos vintage — and write the copy
+    // unmodified; Tables.normalizeTs branches on whatever the copy's
+    // footer says, same as for the original.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def load(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

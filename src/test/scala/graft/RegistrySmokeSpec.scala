@@ -251,4 +251,47 @@ class RegistrySmokeSpec extends AnyFunSuite {
       spark.conf.set(abtKey, oldAbt)
     }
   }
+
+  // ------------------------------------------------------------------
+  // Fixture contract: events.ts must arrive as TimestampType with
+  // plausible epoch values through BOTH load paths. The fixture's
+  // physical ts encoding changed between rounds (TIMESTAMP(NANOS) →
+  // timestamp[us] NTZ) and the old hard-coded unit produced
+  // 1000×-compressed windows that only the oracle caught — these pin
+  // the contract loudly so a future unit slip fails here instead.
+  // ------------------------------------------------------------------
+
+  private val epoch1990 = 631152000L
+  private val epoch2100 = 4102444800L
+
+  test("fixture contract: batch loader yields TimestampType ts in 1990-2100") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val ev = Tables.load(Tables.tuned(spark), dir, "events")
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      s"events.ts loaded as ${ev.schema("ts").dataType}")
+    val r = ev.agg(min(col("ts")).cast("long"), max(col("ts")).cast("long")).head
+    assert(r.getLong(0) >= epoch1990 && r.getLong(1) <= epoch2100,
+      s"events.ts epoch range [${r.getLong(0)}, ${r.getLong(1)}] outside " +
+        "1990-2100 — physical-encoding unit slip?")
+  }
+
+  test("fixture contract: streaming source yields TimestampType ts in 1990-2100") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    Tables.tuned(spark)
+    val src = graft.streaming.StreamQueries.eventsStream(spark, dir)
+    assert(src.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      s"streamed events.ts arrives as ${src.schema("ts").dataType}")
+    val name = "graft_fixture_contract"
+    val q = src.agg(min(col("ts")).cast("long"), max(col("ts")).cast("long"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val r = spark.table(name).head
+    assert(r.getLong(0) >= epoch1990 && r.getLong(1) <= epoch2100,
+      s"streamed events.ts epoch range [${r.getLong(0)}, ${r.getLong(1)}] " +
+        "outside 1990-2100 — physical-encoding unit slip?")
+    spark.catalog.dropTempView(name)
+  }
 }
