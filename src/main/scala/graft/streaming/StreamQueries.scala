@@ -24,7 +24,7 @@ object StreamQueries {
 
   /** Start a streaming query with the session's shuffle partitions —
     * which pin the stateful operators' state-store count at plan
-    * time — narrowed to 8 for the duration of `start()`: N stores ×
+    * time — narrowed to 4 for the duration of `start()`: N stores ×
     * 4 state files per commit is pure fixed overhead at bench volume,
     * and a cluster deployment sets the real value via its own session
     * conf. The previous setting is always restored (StreamExecution
@@ -34,8 +34,61 @@ object StreamQueries {
       start: => org.apache.spark.sql.streaming.StreamingQuery)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Streaming checkpoint root: RAM-backed tmpfs when present. The
+    * offset/commit WAL and per-partition state-store files are
+    * fsync-heavy small-file writes, and at bench volume that disk
+    * traffic IS most of the micro-batch fixed cost. A cluster
+    * deployment needs the checkpoint durable across driver failover
+    * and would point it at reliable storage instead — this root is
+    * only for the drain-to-memory-sink harness below, whose state is
+    * discarded after the query anyway. */
+  private val ckptBase: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    } catch { case _: Throwable => () }
+
+  /** Drain a streaming frame through a memory sink with AvailableNow
+    * and return the sink table. Centralizes the harness knobs:
+    *   - checkpoint under `ckptBase`, deleted after the drain;
+    *   - no-data micro-batches OFF unless the query's semantics need
+    *     the terminal watermark-advance batch (event-time timers:
+    *     q205). Complete/update aggregations and append inner joins
+    *     emit on the data batch itself, so the trailing no-data batch
+    *     is a second full round of per-store commits for zero rows.
+    */
+  private def drain(s: SparkSession, df: DataFrame, mode: String,
+      needsNoDataBatch: Boolean = false): DataFrame = {
+    val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = Files.createTempDirectory(ckptBase, "graft_ckpt_")
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNd = s.conf.get(ndKey)
+    s.conf.set(ndKey, needsNoDataBatch.toString)
+    try {
+      val query = startNarrow(s)(df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start())
+      query.awaitTermination()
+    } finally {
+      s.conf.set(ndKey, prevNd)
+      deleteRec(ckpt)
+    }
+    s.table(name)
   }
 
   /** Streaming file source over the events table with `ts` normalized
@@ -152,7 +205,6 @@ object StreamQueries {
     "q43_stream_tumbling",
     (s, dir) => {
       Tables.tuned(s)
-      val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
       val src = eventsStream(s, dir)
       val agg = src
         .groupBy(window(col("ts"), "1 hour"))
@@ -161,14 +213,7 @@ object StreamQueries {
             .as("sum_value"))
         .select(unix_timestamp(col("window.start")).as("w_start"),
           col("n"), col("sum_value"))
-      val query = startNarrow(s)(agg.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start())
-      query.awaitTermination()
-      s.table(name)
+      drain(s, agg, "complete")
     },
     Some("""
       SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT) AS w_start,
@@ -221,7 +266,6 @@ object StreamQueries {
     "q117_stream_dedup",
     (s, dir) => {
       Tables.tuned(s)
-      val name = "graft_dedup_" + UUID.randomUUID().toString.replace("-", "")
       def src = eventsStream(s, dir)
       val doubled = src.unionByName(src) // simulated redelivery
       // dropDuplicatesWithinWatermark — NOT plain dropDuplicates("id"):
@@ -238,14 +282,7 @@ object StreamQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
             .as("sum_value"))
-      val query = startNarrow(s)(agg.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start())
-      query.awaitTermination()
-      s.table(name)
+      drain(s, agg, "complete")
     },
     Some("""
       SELECT event_type, COUNT(*) AS n,
@@ -268,7 +305,6 @@ object StreamQueries {
     "q126_stream_stream_join",
     (s, dir) => {
       Tables.tuned(s)
-      val name = "graft_ssj_" + UUID.randomUUID().toString.replace("-", "")
       // One source instance (val, not def): both join branches share the
       // same file-source, so each microbatch scans events once, not twice.
       val src = eventsStream(s, dir)
@@ -284,14 +320,7 @@ object StreamQueries {
         col("v_user") === col("a_user") &&
           col("a_ts") >= col("v_ts") &&
           col("a_ts") <= col("v_ts") + expr("INTERVAL 5 MINUTES"))
-      val query = startNarrow(s)(joined.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start())
-      query.awaitTermination()
-      s.table(name)
+      drain(s, joined, "append")
         .groupBy(col("v_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
           count_distinct(col("v_id")).as("n_views"),
@@ -336,7 +365,6 @@ object StreamQueries {
     (s, dir) => {
       Tables.tuned(s)
       import s.implicits._
-      val name = "graft_state_" + UUID.randomUUID().toString.replace("-", "")
       val src = eventsStream(s, dir)
         // the tuple encoder's primitive fields reject nulls at runtime;
         // filter (and mirror in the oracle) so the query is total over
@@ -359,14 +387,7 @@ object StreamQueries {
             (uid, c, m)
         }
         .toDF("user_id", "n_events", "max_value")
-      val query = startNarrow(s)(updated.writeStream
-        .outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start())
-      query.awaitTermination()
-      s.table(name)
+      drain(s, updated, "update")
         .groupBy(col("user_id"))
         .agg(max(col("n_events")).as("n_events"),
           max(col("max_value")).as("max_value"))
@@ -392,7 +413,6 @@ object StreamQueries {
     "q157_stream_session",
     (s, dir) => {
       Tables.tuned(s)
-      val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
       val src = eventsStream(s, dir)
         .filter(col("user_id") < 40)
       val agg = src
@@ -404,14 +424,7 @@ object StreamQueries {
           unix_micros(col("session_window.start")).as("s_start_us"),
           unix_micros(col("session_window.end")).as("s_end_us"),
           col("n_events"), col("sum_value"))
-      val query = startNarrow(s)(agg.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start())
-      query.awaitTermination()
-      s.table(name)
+      drain(s, agg, "complete")
     },
     Some("""
       WITH e AS (
@@ -451,7 +464,6 @@ object StreamQueries {
     "q175_stream_static_enrich",
     (s, dir) => {
       Tables.tuned(s)
-      val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
       val src = eventsStream(s, dir)
       val cust = Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
@@ -463,14 +475,7 @@ object StreamQueries {
             .as("sum_value"))
         .select(unix_timestamp(col("window.start")).as("w_start"),
           col("c_mktsegment").as("segment"), col("n"), col("sum_value"))
-      val query = startNarrow(s)(agg.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start())
-      query.awaitTermination()
-      s.table(name)
+      drain(s, agg, "complete")
     },
     Some("""
       SELECT CAST(epoch(time_bucket(INTERVAL 1 DAY, CAST(e.ts AS TIMESTAMP))) AS BIGINT) AS w_start,
@@ -495,19 +500,11 @@ object StreamQueries {
     "q194_stream_hll",
     (s, dir) => {
       Tables.tuned(s)
-      val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
       val src = eventsStream(s, dir)
       val reg = graft.operators.SketchQueries.hllRegisterRows(src)
         .groupBy(col("event_type"), col("bucket"))
         .agg(max(col("r")).as("r"))
-      val query = startNarrow(s)(reg.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start())
-      query.awaitTermination()
-      graft.operators.SketchQueries.hllEstimate(s.table(name))
+      graft.operators.SketchQueries.hllEstimate(drain(s, reg, "complete"))
     },
     Some(s"""
       WITH ev AS (
@@ -557,7 +554,6 @@ object StreamQueries {
     "q197_transform_with_state",
     (s, dir) => {
       Tables.tuned(s)
-      val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
       val providerKey = "spark.sql.streaming.stateStore.providerClass"
       val oldProvider = s.conf.getOption(providerKey)
       s.conf.set(providerKey,
@@ -576,16 +572,8 @@ object StreamQueries {
           .groupByKey(_._1)
           .transformWithState(new UserSpendProcessor,
             TimeMode.None(), OutputMode.Update())
-        val query = startNarrow(s)(out
-          .toDF("user_id", "n_events", "spend_cents")
-          .writeStream
-          .outputMode("update")
-          .format("memory")
-          .queryName(name)
-          .trigger(Trigger.AvailableNow())
-          .start())
-        query.awaitTermination()
-        s.table(name)
+        drain(s, out.toDF("user_id", "n_events", "spend_cents"),
+          "update")
       } finally {
         oldProvider match {
           case Some(v) => s.conf.set(providerKey, v)
@@ -615,7 +603,6 @@ object StreamQueries {
     "q204_list_state",
     (s, dir) => {
       Tables.tuned(s)
-      val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
       val providerKey = "spark.sql.streaming.stateStore.providerClass"
       val oldProvider = s.conf.getOption(providerKey)
       s.conf.set(providerKey,
@@ -632,16 +619,8 @@ object StreamQueries {
           .groupByKey(_._1)
           .transformWithState(new LastEventsProcessor,
             TimeMode.None(), OutputMode.Update())
-        val query = startNarrow(s)(out
-          .toDF("user_id", "rnk", "event_id", "ts_us")
-          .writeStream
-          .outputMode("update")
-          .format("memory")
-          .queryName(name)
-          .trigger(Trigger.AvailableNow())
-          .start())
-        query.awaitTermination()
-        s.table(name)
+        drain(s, out.toDF("user_id", "rnk", "event_id", "ts_us"),
+          "update")
       } finally {
         oldProvider match {
           case Some(v) => s.conf.set(providerKey, v)
@@ -677,7 +656,6 @@ object StreamQueries {
     "q205_event_timers",
     (s, dir) => {
       Tables.tuned(s)
-      val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
       val providerKey = "spark.sql.streaming.stateStore.providerClass"
       val oldProvider = s.conf.getOption(providerKey)
       s.conf.set(providerKey,
@@ -694,16 +672,10 @@ object StreamQueries {
           .groupByKey(_._1)
           .transformWithState(new InactivityTimerProcessor,
             TimeMode.EventTime(), OutputMode.Update())
-        val query = startNarrow(s)(out
-          .toDF("user_id", "last_ms", "expiry_ms")
-          .writeStream
-          .outputMode("update")
-          .format("memory")
-          .queryName(name)
-          .trigger(Trigger.AvailableNow())
-          .start())
-        query.awaitTermination()
-        s.table(name)
+        // timers fire in the terminal no-data batch when the watermark
+        // advances past them — that batch is the query's entire output
+        drain(s, out.toDF("user_id", "last_ms", "expiry_ms"),
+          "update", needsNoDataBatch = true)
       } finally {
         oldProvider match {
           case Some(v) => s.conf.set(providerKey, v)
@@ -735,7 +707,6 @@ object StreamQueries {
     "q206_map_state",
     (s, dir) => {
       Tables.tuned(s)
-      val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
       val providerKey = "spark.sql.streaming.stateStore.providerClass"
       val oldProvider = s.conf.getOption(providerKey)
       s.conf.set(providerKey,
@@ -752,16 +723,8 @@ object StreamQueries {
           .groupByKey(_._1)
           .transformWithState(new TypeCountsProcessor,
             TimeMode.None(), OutputMode.Update())
-        val query = startNarrow(s)(out
-          .toDF("user_id", "event_type", "n")
-          .writeStream
-          .outputMode("update")
-          .format("memory")
-          .queryName(name)
-          .trigger(Trigger.AvailableNow())
-          .start())
-        query.awaitTermination()
-        s.table(name)
+        drain(s, out.toDF("user_id", "event_type", "n"),
+          "update")
       } finally {
         oldProvider match {
           case Some(v) => s.conf.set(providerKey, v)
