@@ -655,7 +655,9 @@ object AnalyticQueries {
       // per iteration the rank table joins map-side WHILE its measured
       // size (|parts| rows — constant across iterations, because the
       // symmetric edge relation makes every node a dst) stays under
-      // the GatedBroadcast limit, so a small-snapshot iteration costs
+      // the ITERATIVE gate's limit (rowLimit/10 — re-broadcast cost is
+      // per-round, so the crossover sits ~10x below the one-shot
+      // gate's; measured in SCALE.md), so a small-snapshot iteration costs
       // ONE shuffle (the groupBy dst). part scales linearly with the
       // fact data, so at 100 TB-class sf the gate trips and iterations
       // fall back to a shuffled equi-join on src against the
@@ -680,7 +682,7 @@ object AnalyticQueries {
         // iteration's groupBy(dst) re-emits every node), so the one
         // measured count gates all three iterations.
         ranks = edgesDeg
-          .join(GatedBroadcast(
+          .join(GatedBroadcast.iterative(
             ranks.withColumnRenamed("part", "src"), nNodes), "src")
           .select(col("dst"),
             round(col("pr").cast(DoubleType) / col("deg"), 12)

@@ -49,4 +49,17 @@ object GatedBroadcast {
     * strategy. */
   def apply(df: DataFrame, measuredRows: Long): DataFrame =
     if (measuredRows <= rowLimit(df)) broadcast(df) else df
+
+  /** Gate for REBROADCAST-per-iteration sites — a rank table or
+    * frontier rebuilt and re-broadcast every round of an iterative
+    * algorithm. The broadcast's serialize/ship/hash-build cost is paid
+    * per iteration (the shuffled fallback instead reuses the static
+    * side's map output across rounds via its localCheckpoint), so the
+    * measured crossover sits an order of magnitude below the one-shot
+    * case: q135's 3-iteration PageRank broadcast wins at 20k rank
+    * rows, ties at 200k, and loses 1.5x at 2M (SCALE.md crossover
+    * table), while one-shot gates are still winning at 5M. Uses
+    * rowLimit/10 (default 500k). */
+  def iterative(df: DataFrame, measuredRows: Long): DataFrame =
+    if (measuredRows <= rowLimit(df) / 10) broadcast(df) else df
 }

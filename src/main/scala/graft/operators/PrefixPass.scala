@@ -47,6 +47,19 @@ import org.apache.spark.sql.types.{DecimalType, LongType, StructField,
   */
 object PrefixPass {
 
+  /** Measurement-only escape hatch: when `graft.prefixpass.naive` is
+    * true, every primitive runs as the plain window formulation it
+    * replaces (unpartitioned `Window.orderBy` → SinglePartition
+    * exchange + one task over the whole input; partitioned window for
+    * [[withRowNumberByGroup]]). Exists so SCALE.md's crossover table
+    * can time both shapes from the SAME query code — never set it in
+    * production paths; RegistrySmokeSpec pins the default-off plan
+    * shape. */
+  val NaiveConfKey = "graft.prefixpass.naive"
+
+  private def naive(df: DataFrame): Boolean =
+    df.sparkSession.conf.get(NaiveConfKey, "false").toBoolean
+
   /** Every pass's sorted materialization (an RDD[Row] for the
     * RDD-based passes, a cached DataFrame for [[withRowNumber]]),
     * tracked weakly so callers can release the blocks EAGERLY once
@@ -110,6 +123,18 @@ object PrefixPass {
       sortCols: Seq[Column],
       valueCol: String,
       cumCol: String): (DataFrame, JBigDecimal) = {
+    if (naive(df)) {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, sum}
+      val scale = df.schema(valueCol).dataType.asInstanceOf[DecimalType].scale
+      val w = Window.orderBy(sortCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val out = df.withColumn(cumCol,
+        sum(col(valueCol)).over(w).cast(DecimalType(38, scale)))
+      val t = df.agg(sum(col(valueCol)).cast(DecimalType(38, scale)))
+        .head.getDecimal(0)
+      return (out, if (t == null) JBigDecimal.ZERO.setScale(scale) else t)
+    }
     val (rdd, schema) = ranged(df, sortCols)
     val vIdx = schema.fieldIndex(valueCol)
     val scale = schema(valueCol).dataType.asInstanceOf[DecimalType].scale
@@ -168,6 +193,13 @@ object PrefixPass {
       df: DataFrame,
       sortCols: Seq[Column],
       outCol: String): (DataFrame, Long) = {
+    if (naive(df)) {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.row_number
+      val out = df.withColumn(outCol,
+        row_number().over(Window.orderBy(sortCols: _*)).cast(LongType))
+      return (out, df.count())
+    }
     import org.apache.spark.sql.functions.{broadcast, col, count, lit,
       max, min, monotonically_increasing_id, spark_partition_id}
     val spark = df.sparkSession
@@ -223,6 +255,15 @@ object PrefixPass {
       sortCols: Seq[Column],
       rnCol: String,
       nCol: String): DataFrame = {
+    if (naive(df)) {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, count, lit, row_number}
+      val g = Window.partitionBy(groupCols.map(col): _*)
+      return df
+        .withColumn(rnCol,
+          row_number().over(g.orderBy(sortCols: _*)).cast(LongType))
+        .withColumn(nCol, count(lit(1)).over(g))
+    }
     val (rdd, schema) = ranged(df, sortCols)
     val gIdx = groupCols.map(schema.fieldIndex)
     def keyOf(r: Row): List[Any] = gIdx.map(r.get).toList
@@ -297,6 +338,13 @@ object PrefixPass {
       sortCols: Seq[Column],
       valueCol: String,
       outCol: String): DataFrame = {
+    if (naive(df)) {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, max}
+      val w = Window.orderBy(sortCols: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      return df.withColumn(outCol, max(col(valueCol)).over(w))
+    }
     val (rdd, schema) = ranged(df, sortCols)
     val vIdx = schema.fieldIndex(valueCol)
     val partials: Array[(Int, Option[Long])] = rdd.mapPartitionsWithIndex {

@@ -252,6 +252,21 @@ class RegistrySmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("PrefixPass naive-window and two-phase shapes agree bit-for-bit") {
+    // the SCALE.md crossover table compares the two shapes' timings;
+    // this pins that they compute the SAME relation, so the comparison
+    // is apples-to-apples (and the naive toggle can't rot silently)
+    Seq("q94_ntile_buckets", "q159_skyline", "q178_abc_classes",
+      "q182_rfm_segments").foreach { n =>
+      val twoPhase = rowsOf(n).map(_.toString).sorted
+      spark.conf.set(graft.operators.PrefixPass.NaiveConfKey, "true")
+      val naive =
+        try rowsOf(n).map(_.toString).sorted
+        finally spark.conf.unset(graft.operators.PrefixPass.NaiveConfKey)
+      assert(twoPhase.sameElements(naive), s"$n shapes diverge")
+    }
+  }
+
   // ------------------------------------------------------------------
   // Fixture contract: events.ts must arrive as TimestampType with
   // plausible epoch values through BOTH load paths. The fixture's
