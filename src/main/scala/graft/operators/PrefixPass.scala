@@ -21,29 +21,40 @@ import org.apache.spark.sql.types.{DecimalType, LongType, StructField,
   *   2. one pass computing a tiny per-partition partial (sum / count /
   *      max — numPartitions values, collected to the driver);
   *   3. an exclusive scan of the partials on the driver (numPartitions
-  *      elements — O(parallelism), independent of data size), broadcast
-  *      back implicitly via task closure;
-  *   4. a second per-partition pass that seeds the running state with
-  *      the partition's offset.
+  *      elements — O(parallelism), independent of data size);
+  *   4. a second pass that seeds each partition's running state with
+  *      its offset.
   *
-  * Both passes hang off the SAME sorted RDD, so the range shuffle's map
-  * output is computed once and reused by the second job (the same
-  * shuffle-reuse contract `RDD.zipWithIndex` relies on for its count
-  * job), and both passes observe identical partition boundaries — the
-  * RangePartitioner instance is created once, so there is no
-  * resample-divergence hazard between the passes. The sorted rows are
-  * additionally persisted (MEMORY_AND_DISK, the `Trainer.indexByOrder`
-  * pattern) so the partials job materializes the reduce-side sort once
-  * and pass 2 reads the cached blocks instead of re-sorting. Release:
-  * call [[releaseAll]] after the pass output is materialized to drop
-  * the cached blocks eagerly; the Verify/Bench harnesses do this
-  * between queries, and ContextCleaner reclaims on GC as the backstop
-  * in library use.
+  * Per-primitive physical form — CHOSEN BY MEASUREMENT (sf0.1 + sf10,
+  * SCALE.md), not by doctrine:
+  *   - [[withRowNumber]] (round 8) and [[cumSumDecimal]] (round 9) are
+  *     Catalyst-native: pid/mid materialized into the cached sorted
+  *     rows, partials from one tiny aggregation, offsets broadcast
+  *     back, and the per-row result from id arithmetic (row number —
+  *     no second sort at all) or a pid-PARTITIONED window (cum sum —
+  *     parallel across partitions). Native won because codegen'd
+  *     decimal window arithmetic beats per-row JBigDecimal in an
+  *     RDD pass (q178 sf10: 7.5 → 6.6s).
+  *   - [[withRowNumberByGroup]] and [[withPrevMaxLong]] stay RDD-based:
+  *     their second pass is a zero-shuffle map over the cached sorted
+  *     rows, and the measured native alternative (an extra broadcast
+  *     join + window exchange) was 15-50% SLOWER at both sf0.1 and
+  *     sf10 (q94: 0.88 → 1.24s at sf0.1). Migrate only if it wins.
   *
-  * All three primitives preserve exact engine-equal values: decimal
-  * accumulation is java.math.BigDecimal (associative, exact — the
-  * result is bit-identical to the single-partition window sum), counts
-  * and maxes are Longs.
+  * Both phases hang off the SAME persisted materialization
+  * (MEMORY_AND_DISK), so the range shuffle happens once and both
+  * phases observe identical partition boundaries (no
+  * resample-divergence hazard). Release: call [[releaseAll]] after the
+  * pass output is materialized to drop the cached blocks eagerly; the
+  * Verify/Bench harnesses do this between queries, and ContextCleaner
+  * reclaims on GC as the backstop in library use.
+  *
+  * All primitives preserve exact engine-equal values: decimal
+  * accumulation is DecimalType(38, s) / java.math.BigDecimal
+  * (associative, exact — the result is bit-identical to the
+  * single-partition window sum), counts and maxes are Longs.
+  * RegistrySmokeSpec pins bit-equality against the naive window
+  * formulation for every consuming query.
   */
 object PrefixPass {
 
@@ -135,39 +146,62 @@ object PrefixPass {
         .head.getDecimal(0)
       return (out, if (t == null) JBigDecimal.ZERO.setScale(scale) else t)
     }
-    val (rdd, schema) = ranged(df, sortCols)
-    val vIdx = schema.fieldIndex(valueCol)
-    val scale = schema(valueCol).dataType.asInstanceOf[DecimalType].scale
-    // pass 1: per-partition sums (None = no non-null value seen)
-    val partials: Array[(Int, Option[JBigDecimal])] =
-      rdd.mapPartitionsWithIndex { (i, it) =>
-        var acc: JBigDecimal = null
-        it.foreach { r =>
-          val v = r.getAs[JBigDecimal](vIdx)
-          if (v != null) acc = if (acc == null) v else acc.add(v)
-        }
-        Iterator((i, Option(acc)))
-      }.collect().sortBy(_._1)
-    // driver-side exclusive scan — numPartitions elements
-    val offsets = new Array[JBigDecimal](partials.length)
+    // Catalyst-native two-phase (round 9 — same template as
+    // [[withRowNumber]]): materialize pid/mid into the cached sorted
+    // rows, aggregate ONE tiny per-partition partial-sum job
+    // (numPartitions rows collected), exclusive-scan on the driver,
+    // then compute the final cum as offset + a pid-PARTITIONED window
+    // running sum (parallel across partitions — never a
+    // SinglePartition stage; the pid exchange re-buckets the cached
+    // rows once, all inside Tungsten, replacing the old RDD[Row]
+    // deser/ser round-trip). Null semantics match the window SUM the
+    // oracle uses: cum is null until the first non-null value
+    // globally — `off + within` degrades through coalesce exactly as
+    // the BigDecimal accumulator did (nulls never reset a running
+    // sum, so a null row's cum IS the partition offset).
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit,
+      monotonically_increasing_id, spark_partition_id, sum}
+    val spark = df.sparkSession
+    val scale = df.schema(valueCol).dataType.asInstanceOf[DecimalType].scale
+    val n = spark.sessionState.conf.numShufflePartitions
+    val pidC = "__graft_pid"
+    val midC = "__graft_mid"
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn(pidC, spark_partition_id())
+      .withColumn(midC, monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    track(sorted)
+    val partials: Array[(Int, JBigDecimal)] = sorted.groupBy(col(pidC))
+      .agg(sum(col(valueCol)).cast(DecimalType(38, scale)).as("s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDecimal(1)))
+      .sortBy(_._1)
+    val offsets = new Array[JBigDecimal](n)
     var run: JBigDecimal = null
     partials.foreach { case (i, p) =>
       offsets(i) = run
-      p.foreach(v => run = if (run == null) v else run.add(v))
+      if (p != null) run = if (run == null) p else run.add(p)
     }
     val total = if (run == null) JBigDecimal.ZERO.setScale(scale) else run
-    // pass 2: seed each partition's running sum with its offset
-    val out = rdd.mapPartitionsWithIndex { (i, it) =>
-      var acc: JBigDecimal = offsets(i)
-      it.map { r =>
-        val v = r.getAs[JBigDecimal](vIdx)
-        if (v != null) acc = if (acc == null) v else acc.add(v)
-        Row.fromSeq(r.toSeq :+ acc)
-      }
-    }
-    val outSchema = StructType(schema.fields :+
-      StructField(cumCol, DecimalType(38, scale), nullable = true))
-    (df.sparkSession.createDataFrame(out, outSchema), total)
+    val offRows = new java.util.ArrayList[Row](n)
+    (0 until n).foreach(i => offRows.add(Row(i, offsets(i))))
+    val offSchema = StructType(Seq(
+      StructField("__graft_opid", org.apache.spark.sql.types.IntegerType,
+        nullable = false),
+      StructField("__graft_off", DecimalType(38, scale), nullable = true)))
+    val offDf = spark.createDataFrame(offRows, offSchema)
+    val w = Window.partitionBy(col(pidC)).orderBy(col(midC))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = sum(col(valueCol)).over(w).cast(DecimalType(38, scale))
+    val out = sorted
+      .join(broadcast(offDf), col(pidC) === col("__graft_opid"))
+      .withColumn(cumCol,
+        coalesce(col("__graft_off") + within, col("__graft_off"), within)
+          .cast(DecimalType(38, scale)))
+      .drop(pidC, midC, "__graft_opid", "__graft_off")
+    (out, total)
   }
 
   /** Adds `outCol` = 1-based global row number under `sortCols`
