@@ -279,6 +279,45 @@ class RegistrySmokeSpec extends AnyFunSuite {
   private val epoch1990 = 631152000L
   private val epoch2100 = 4102444800L
 
+  test("fixture contract: every table's loaded schema matches the registry's expectations") {
+    // the full post-normalizeTs signature of all ten tables. A
+    // generator-side rename/retype (like round 8's ts re-encoding)
+    // fails HERE with a readable diff at round start, instead of as a
+    // scatter of per-query analysis errors. o_orderdate/l_shipdate
+    // are deliberately timestamp_ntz: every consumer (year(),
+    // date_format, range predicates) is NTZ-safe, so they load
+    // unconverted; events.ts is normalized to session-zoned timestamp
+    // because event-time operators need unix_millis/watermarks.
+    val expected = Map(
+      "region" -> "r_regionkey:int, r_name:string",
+      "nation" -> "n_nationkey:int, n_name:string, n_regionkey:int",
+      "customer" -> ("c_custkey:bigint, c_name:string, c_nationkey:int, " +
+        "c_acctbal:double, c_mktsegment:string"),
+      "supplier" -> ("s_suppkey:bigint, s_name:string, s_nationkey:int, " +
+        "s_acctbal:double"),
+      "part" -> ("p_partkey:bigint, p_name:string, p_brand:string, " +
+        "p_type:string, p_size:int, p_retailprice:double"),
+      "orders" -> ("o_orderkey:bigint, o_custkey:bigint, " +
+        "o_orderstatus:string, o_totalprice:double, " +
+        "o_orderdate:timestamp_ntz, o_orderpriority:string"),
+      "lineitem" -> ("l_orderkey:bigint, l_partkey:bigint, " +
+        "l_suppkey:bigint, l_linenumber:int, l_quantity:double, " +
+        "l_extendedprice:double, l_discount:double, l_tax:double, " +
+        "l_returnflag:string, l_linestatus:string, " +
+        "l_shipdate:timestamp_ntz"),
+      "events" -> ("event_id:bigint, ts:timestamp, user_id:bigint, " +
+        "event_type:string, value:double, props:string"),
+      "documents" -> ("doc_id:bigint, text:string, lang:string, " +
+        "source:string, n_chars:bigint"),
+      "embeddings" -> "vec_id:bigint, embedding:array<float>, label:int")
+    Tables.all.foreach { t =>
+      val got = Tables.load(Tables.tuned(spark), dir, t).schema.fields
+        .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")
+      assert(got == expected(t),
+        s"$t loaded schema drifted:\n  got      $got\n  expected ${expected(t)}")
+    }
+  }
+
   test("fixture contract: batch loader yields TimestampType ts in 1990-2100") {
     import org.apache.spark.sql.functions.{col, max, min}
     val ev = Tables.load(Tables.tuned(spark), dir, "events")
