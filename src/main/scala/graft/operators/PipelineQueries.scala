@@ -1387,8 +1387,67 @@ object PipelineQueries {
       FROM f GROUP BY 1, 2
     """))
 
+  /** Sequence packing for LLM training (round 9, fresh number per the
+    * COVERAGE numbering invariant): documents are tokenized (the q47
+    * regex tokens), concatenated in doc_id order, and chunked into
+    * fixed 2048-token context windows — the standard packing step that
+    * turns a deduped corpus into training sequences. A document is
+    * assigned to the pack holding its FIRST token (documents may span
+    * pack boundaries; nothing is padded or dropped), so pack identity
+    * is pure prefix arithmetic over the exclusive running token total:
+    * `pack_id = (cum_tok - n_tok) div 2048`. The running total is
+    * [[PrefixPass.cumSumDecimal]] — the packing order is a total order
+    * on doc_id and the corpus grows with the fact data, so the
+    * distributed prefix pass (never an unpartitioned window) is the
+    * scale path; the per-pack rollup then shuffles on pack_id like any
+    * aggregation. Output: one row per pack with its document span and
+    * the token mass of the documents starting in it.
+    */
+  private val q216 = {
+    val PackTokens = 2048
+    Q(
+      "q216_sequence_packing",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .withColumn("t", TextOps.norm(col("text")))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("t"),
+              lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+              .cast(DecimalType(18, 0)).as("n_tok"))
+        val (cum, _) = PrefixPass.cumSumDecimal(toks,
+          Seq(col("doc_id").asc), "n_tok", "cum_tok")
+        cum
+          .withColumn("pack_id",
+            expr(s"CAST(cum_tok - n_tok AS BIGINT) div $PackTokens"))
+          .groupBy(col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast(LongType).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(
+                   regexp_replace(trim(lower(text)),'\\s+',' ','g'),
+                   '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tok
+          FROM documents),
+        cum AS (
+          SELECT doc_id, n_tok,
+                 SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tok
+          FROM toks)
+        SELECT CAST((cum_tok - n_tok) // $PackTokens AS BIGINT) AS pack_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM cum GROUP BY 1
+      """))
+  }
+
   val registry: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q100, q107,
       q109, q110, q111, q113, q114, q115, q120, q121, q123, q125,
-      q127, q128, q129, q131, q132, q137, q140, q142, q144, q160)
+      q127, q128, q129, q131, q132, q137, q140, q142, q144, q160, q216)
 }
