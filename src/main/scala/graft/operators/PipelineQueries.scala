@@ -1446,8 +1446,80 @@ object PipelineQueries {
       """))
   }
 
+  /** The exact packing manifest q216 summarizes: per (document, pack)
+    * token slices with boundary splits. A document occupying global
+    * token interval [b, e) (from the same PrefixPass cumsum) spans
+    * packs b div 2048 .. (e-1) div 2048; its slice inside pack p is
+    * `min(e, (p+1)·2048) − max(b, p·2048)` — all 64-bit integer
+    * arithmetic, so the invariant "every pack except the last carries
+    * EXACTLY 2048 tokens" is checkable bit-for-bit (and is, in
+    * RegistrySmokeSpec). The explode is bounded: a document emits
+    * ⌈n_tok/2048⌉+1 slices, so the blow-up is ∝ corpus tokens /
+    * pack size — linear in the input, never quadratic.
+    */
+  private val q217 = {
+    val PackTokens = 2048L
+    Q(
+      "q217_pack_boundary_manifest",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .withColumn("t", TextOps.norm(col("text")))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("t"),
+              lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+              .cast(DecimalType(18, 0)).as("n_tok"))
+        val (cum, _) = PrefixPass.cumSumDecimal(toks,
+          Seq(col("doc_id").asc), "n_tok", "cum_tok")
+        cum
+          .filter(col("n_tok") > 0)
+          .withColumn("e", col("cum_tok").cast(LongType))
+          .withColumn("b", col("e") - col("n_tok").cast(LongType))
+          .withColumn("pack_id", explode(sequence(
+            expr(s"b div $PackTokens"), expr(s"(e-1) div $PackTokens"))))
+          .withColumn("tok_in",
+            least(col("e"), (col("pack_id") + 1) * PackTokens) -
+              greatest(col("b"), col("pack_id") * PackTokens))
+          .groupBy(col("pack_id"))
+          .agg(count(lit(1)).as("n_slices"),
+            sum(col("tok_in")).as("n_tokens"),
+            sum(when(col("b") < col("pack_id") * PackTokens, 1L)
+              .otherwise(0L)).as("n_carryover_docs"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(
+                   regexp_replace(trim(lower(text)),'\\s+',' ','g'),
+                   '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tok
+          FROM documents),
+        cum AS (
+          SELECT doc_id, n_tok,
+                 SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tok
+          FROM toks),
+        sp AS (
+          SELECT doc_id, CAST(cum_tok AS BIGINT) AS e,
+                 CAST(cum_tok - n_tok AS BIGINT) AS b
+          FROM cum WHERE n_tok > 0),
+        ex AS (
+          SELECT doc_id, b, e,
+                 unnest(range(b // $PackTokens, (e-1) // $PackTokens + 1))
+                   AS pack_id
+          FROM sp)
+        SELECT pack_id, COUNT(*) AS n_slices,
+               CAST(SUM(LEAST(e, (pack_id+1)*$PackTokens)
+                        - GREATEST(b, pack_id*$PackTokens)) AS BIGINT)
+                 AS n_tokens,
+               CAST(SUM(CASE WHEN b < pack_id*$PackTokens THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_carryover_docs
+        FROM ex GROUP BY 1
+      """))
+  }
+
   val registry: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q100, q107,
       q109, q110, q111, q113, q114, q115, q120, q121, q123, q125,
-      q127, q128, q129, q131, q132, q137, q140, q142, q144, q160, q216)
+      q127, q128, q129, q131, q132, q137, q140, q142, q144, q160, q216,
+      q217)
 }

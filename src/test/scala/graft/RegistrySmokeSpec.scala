@@ -252,6 +252,21 @@ class RegistrySmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("q217 packing manifest: every pack except the last holds exactly 2048 tokens") {
+    val rows = rowsOf("q217_pack_boundary_manifest")
+      .map(r => (r.getAs[Long]("pack_id"), r.getAs[Long]("n_tokens")))
+      .sortBy(_._1)
+    // integer-exact boundary splits mean interior packs are FULL by
+    // construction; the last pack holds the corpus-size remainder
+    assert(rows.nonEmpty)
+    rows.init.foreach { case (p, n) =>
+      assert(n == 2048L, s"pack $p holds $n tokens, expected 2048")
+    }
+    assert(rows.last._2 <= 2048L)
+    // pack ids are contiguous from 0 (no empty interior pack possible)
+    assert(rows.map(_._1).toSeq == (0L until rows.length.toLong).toSeq)
+  }
+
   test("PrefixPass naive-window and two-phase shapes agree bit-for-bit") {
     // the SCALE.md crossover table compares the two shapes' timings;
     // this pins that they compute the SAME relation, so the comparison
