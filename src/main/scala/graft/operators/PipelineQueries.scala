@@ -1395,7 +1395,13 @@ object PipelineQueries {
     * assigned to the pack holding its FIRST token (documents may span
     * pack boundaries; nothing is padded or dropped), so pack identity
     * is pure prefix arithmetic over the exclusive running token total:
-    * `pack_id = (cum_tok - n_tok) div 2048`. The running total is
+    * `pack_id = (cum_tok - n_tok) div 2048`. Zero-token documents
+    * (empty/whitespace-only text) are excluded up front — they carry
+    * no tokens to pack, and keeping them would let a trailing
+    * zero-token doc on an exact 2048 boundary mint a phantom pack
+    * absent from q217's manifest (which also filters n_tok > 0); the
+    * two queries' pack sets are identical by construction. The
+    * running total is
     * [[PrefixPass.cumSumDecimal]] — the packing order is a total order
     * on doc_id and the corpus grows with the fact data, so the
     * distributed prefix pass (never an unpartitioned window) is the
@@ -1417,6 +1423,7 @@ object PipelineQueries {
         val (cum, _) = PrefixPass.cumSumDecimal(toks,
           Seq(col("doc_id").asc), "n_tok", "cum_tok")
         cum
+          .filter(col("n_tok") > 0)
           .withColumn("pack_id",
             expr(s"CAST(cum_tok - n_tok AS BIGINT) div $PackTokens"))
           .groupBy(col("pack_id"))
@@ -1442,7 +1449,7 @@ object PipelineQueries {
                COUNT(*) AS n_docs,
                CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        FROM cum GROUP BY 1
+        FROM cum WHERE n_tok > 0 GROUP BY 1
       """))
   }
 

@@ -195,12 +195,24 @@ object PrefixPass {
     val w = Window.partitionBy(col(pidC)).orderBy(col(midC))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = sum(col(valueCol)).over(w).cast(DecimalType(38, scale))
+    // Explicit null dispatch rather than coalesce(off+within, off,
+    // within): under non-ANSI semantics a decimal(38,s) overflow in
+    // `off + within` yields null, and coalesce would silently
+    // substitute one operand — a plausible but wrong finite cum. With
+    // the three-way when, both operands non-null means the sum is
+    // taken as-is, so a true overflow surfaces as null instead of a
+    // fabricated value (the primitive is documented bit-exact).
+    val withinC = "__graft_within"
     val out = sorted
       .join(broadcast(offDf), col(pidC) === col("__graft_opid"))
+      .withColumn(withinC, within)
       .withColumn(cumCol,
-        coalesce(col("__graft_off") + within, col("__graft_off"), within)
+        org.apache.spark.sql.functions
+          .when(col("__graft_off").isNull, col(withinC))
+          .when(col(withinC).isNull, col("__graft_off"))
+          .otherwise(col("__graft_off") + col(withinC))
           .cast(DecimalType(38, scale)))
-      .drop(pidC, midC, "__graft_opid", "__graft_off")
+      .drop(pidC, midC, "__graft_opid", "__graft_off", withinC)
     (out, total)
   }
 

@@ -1,0 +1,349 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+import graft.functions.TextOps
+
+/** Round-10 wave: training-SET construction — the operators that turn
+  * a cleaned, deduped corpus (the q45–q52/q89–q146 pipeline output)
+  * into the artifact a training run actually consumes. q216/q217 pack
+  * documents into context windows; these five cover the remaining
+  * standard steps: source mixing weights (temperature sampling à la
+  * multilingual-corpus balancing), length-bucketed batching with
+  * padding-waste accounting, corpus-wide duplicated-n-gram coverage
+  * (the exact-substring-dup telemetry of Lee et al.'s "Deduplicating
+  * Training Data" — at n-gram-start granularity, which keeps the pass
+  * linear), near-dup canonical selection (keep the best-quality
+  * representative per content cluster, not merely the first), and the
+  * deterministic epoch shuffle + contiguous shard manifest.
+  *
+  * The reference has no analogue for any of these (its corpus surface
+  * is one group-count); they extend the SURVEY §2.11 tier.
+  *
+  * Exactness discipline (the hash-compare contract): every number that
+  * crosses the oracle boundary is a 64-bit integer, or a double from
+  * ONE division of two integers both engines computed identically, or
+  * — in q218 — floor(sqrt(x)) where IEEE-754 requires sqrt to be
+  * correctly rounded, so the double is bit-identical in any compliant
+  * engine and its floor is engine-independent.
+  */
+object TrainingSetQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) =
+    Tables.load(Tables.tuned(s), dir, n)
+
+  /** Regex token count shared with q47/q216: letter runs | digit runs |
+    * single punctuation over normalized text. */
+  private def reTokens(c: Column): Column =
+    size(regexp_extract_all(TextOps.norm(c),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast(LongType)
+
+  /** Temperature-sampled source mixing (α = 1/2): the multilingual /
+    * multi-domain corpus-balancing step — sampling probability
+    * p_i ∝ n_i^α flattens the source distribution so small sources are
+    * upsampled relative to proportional mixing. A fixed per-epoch
+    * budget of 1 000 000 samples is allocated to sources by
+    * largest-remainder apportionment so the allocations are WHOLE and
+    * sum EXACTLY to the budget (the q165 proration discipline).
+    *
+    * Exactness: the weight is w_i = floor(sqrt(n_i·10¹²)) — IEEE sqrt
+    * is correctly rounded, so both engines floor the SAME double into
+    * the same BIGINT, and everything after (totals, floor-division
+    * quotas, remainder ranks, the final one-division probability) is
+    * integer arithmetic. Scale: the whole query after the one
+    * corpus-scale group-count runs on the |sources| dimension table —
+    * its global windows are constant-bounded (|sources| rows, ~20 in
+    * the fixture; a production registry is thousands at most), the
+    * shape RegistrySmokeSpec's window audit whitelists with exactly
+    * that proof. Overflow: B·w_i ≤ 10⁶·10¹² = 10¹⁸ < 2⁶³.
+    */
+  private val q218 = {
+    val Budget = 1000000L
+    Q(
+      "q218_temperature_mixing",
+      (s, dir) => {
+        val counts = t(s, dir, "documents")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .withColumn("w",
+            floor(sqrt(col("n_docs").cast(DoubleType) * lit(1e12)))
+              .cast(LongType))
+        val all = Window.partitionBy()
+        val rk = Window.partitionBy()
+          .orderBy(col("rem").desc, col("source").asc)
+        counts
+          .withColumn("tot_w", sum(col("w")).over(all))
+          .withColumn("floor_alloc", expr(s"($Budget * w) div tot_w"))
+          .withColumn("rem", expr(s"($Budget * w) % tot_w"))
+          .withColumn("deficit",
+            lit(Budget) - sum(col("floor_alloc")).over(all))
+          .withColumn("rk", row_number().over(rk).cast(LongType))
+          .select(col("source"), col("n_docs"),
+            (col("floor_alloc") +
+              when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+              .as("alloc"),
+            (col("w").cast(DoubleType) / col("tot_w").cast(DoubleType))
+              .as("weight"))
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE) * 1e12)) AS BIGINT)
+                   AS w
+          FROM documents GROUP BY 1),
+        g AS (
+          SELECT source, n_docs, w,
+                 SUM(w) OVER () AS tot_w,
+                 ($Budget * w) // SUM(w) OVER () AS floor_alloc,
+                 ($Budget * w) % SUM(w) OVER () AS rem
+          FROM c),
+        r AS (
+          SELECT *,
+                 $Budget - SUM(floor_alloc) OVER () AS deficit,
+                 ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk
+          FROM g)
+        SELECT source, n_docs,
+               CAST(floor_alloc + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc,
+               CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE) AS weight
+        FROM r
+      """))
+  }
+
+  /** Length-bucketed batching: documents are routed to power-of-two
+    * token-capacity buckets (16 … 32768, under-16 clamped up, over-cap
+    * clamped into the top bucket) and the padding waste of batching
+    * at each capacity — Σ(cap − n_tok) — is accounted exactly. This is
+    * the pre-packing alternative q216 competes with: bucketing trades
+    * zero cross-document attention for padding waste, and THIS query
+    * computes that waste so the tradeoff is a measurement, not a
+    * guess. The bucket ladder is a 12-branch CASE (codegen'd, no join,
+    * no lookup table); everything is integer except the final
+    * one-division waste ratio. One corpus-scale aggregation total.
+    */
+  private val q219 = {
+    val caps = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L,
+      4096L, 8192L, 16384L, 32768L)
+    Q(
+      "q219_length_bucketing",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), reTokens(col("text")).as("n_tok"))
+        val cap = caps.init.foldRight(lit(caps.last): Column) {
+          case (c, rest) => when(col("n_tok") <= c, c).otherwise(rest)
+        }
+        d.withColumn("bucket_cap", cap)
+          .groupBy(col("bucket_cap"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast(LongType).as("sum_tokens"),
+            sum(col("bucket_cap") - least(col("n_tok"), col("bucket_cap")))
+              .cast(LongType).as("padded_tokens"))
+          .withColumn("waste_ratio",
+            col("padded_tokens").cast(DoubleType) /
+              (col("bucket_cap") * col("n_docs")).cast(DoubleType))
+      },
+      Some {
+        val ladder = caps.init
+          .map(c => s"WHEN n_tok <= $c THEN $c")
+          .mkString(" ")
+        s"""
+        WITH toks AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(
+                   regexp_replace(trim(lower(text)),'\\s+',' ','g'),
+                   '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tok
+          FROM documents),
+        b AS (
+          SELECT n_tok, CASE $ladder ELSE ${caps.last} END AS bucket_cap
+          FROM toks)
+        SELECT bucket_cap, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+               CAST(SUM(bucket_cap - LEAST(n_tok, bucket_cap)) AS BIGINT)
+                 AS padded_tokens,
+               CAST(SUM(bucket_cap - LEAST(n_tok, bucket_cap)) AS DOUBLE)
+                 / CAST(bucket_cap * COUNT(*) AS DOUBLE) AS waste_ratio
+        FROM b GROUP BY 1
+        """
+      })
+  }
+
+  /** Corpus-wide duplicated-8-gram coverage per source: the fraction of
+    * 8-gram start positions whose shingle occurs MORE THAN ONCE in the
+    * whole corpus — the linear-cost telemetry for exact substring
+    * duplication (suffix-array dedup's decision input). Unlike q50
+    * (pairwise doc Jaccard) and q130 (first-seen novelty), this scores
+    * every token position against the global shingle multiset, so
+    * boilerplate shared by MANY documents shows up at full weight.
+    *
+    * Shape: one corpus-scale shingle aggregation to (shingle, source)
+    * counts — map-side combinable, shingles md5-compressed to fixed
+    * width before the shuffle — then vocabulary-scale algebra (a
+    * self-aggregation to corpus totals and a vocab-sized equi-join
+    * back). No pairwise fan-out anywhere; cost is Θ(corpus tokens).
+    * Sources with no 8-gram (all docs shorter than 8 tokens) carry no
+    * start positions and are absent by construction.
+    */
+  private val q220 = Q(
+    "q220_dup_ngram_coverage",
+    (s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("source"), TextOps.words(col("text")).as("w"))
+        .select(col("source"),
+          explode(TextOps.shingles(col("w"), 8)).as("g8"))
+        .select(col("source"), md5(col("g8")).as("g"))
+      val sg = grams.groupBy(col("g"), col("source"))
+        .agg(count(lit(1)).as("c_sg"))
+      val gt = sg.groupBy(col("g"))
+        .agg(sum(col("c_sg")).as("c_g"))
+      sg.join(gt, "g")
+        .groupBy(col("source"))
+        .agg(sum(col("c_sg")).cast(LongType).as("n_starts"),
+          sum(when(col("c_g") > 1, col("c_sg")).otherwise(0L))
+            .cast(LongType).as("dup_starts"))
+        .withColumn("dup_frac",
+          col("dup_starts").cast(DoubleType) /
+            col("n_starts").cast(DoubleType))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source,
+               string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),
+                 ' ') AS w
+        FROM documents),
+      grams AS (
+        SELECT source,
+               md5(unnest([array_to_string(w[i+1:i+8],' ')
+                           FOR i IN range(len(w)-7)])) AS g
+        FROM toks WHERE len(w) >= 8),
+      sg AS (SELECT g, source, COUNT(*) AS c_sg FROM grams GROUP BY 1, 2),
+      gt AS (SELECT g, SUM(c_sg) AS c_g FROM sg GROUP BY 1)
+      SELECT source,
+             CAST(SUM(c_sg) AS BIGINT) AS n_starts,
+             CAST(SUM(CASE WHEN c_g > 1 THEN c_sg ELSE 0 END) AS BIGINT)
+               AS dup_starts,
+             CAST(SUM(CASE WHEN c_g > 1 THEN c_sg ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(c_sg) AS DOUBLE) AS dup_frac
+      FROM sg JOIN gt USING (g)
+      GROUP BY 1
+    """))
+
+  /** Near-dup canonical selection: within each content cluster (the
+    * q46 order-independent vocabulary fingerprint — same word SET,
+    * any order/multiplicity), keep the single best document by the q48
+    * quality score (type-token ratio + stopword + length prior),
+    * doc_id ascending as the total-order tiebreak. This is the step
+    * AFTER dedup detection that q75 (keep-first) approximates: keeping
+    * the first-seen duplicate discards quality information; keeping
+    * the argmax preserves the best representative. Output: per-source
+    * kept/dropped accounting with exact dropped-character mass.
+    *
+    * Shape: one window pass partitioned BY CLUSTER (never global), so
+    * work distributes across clusters at any corpus size; the quality
+    * score is computed per-row before the shuffle.
+    */
+  private val q221 = Q(
+    "q221_cluster_canonical",
+    (s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in")
+      val d = t(s, dir, "documents")
+        .withColumn("w", TextOps.words(col("text")))
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+      val nW = size(col("w"))
+      val ttr = size(array_distinct(col("w"))).cast(DoubleType) / nW
+      val stopRatio = TextOps.vocabHits(col("w"), stop).cast(DoubleType) / nW
+      val lenPrior = least(lit(1.0), nW.cast(DoubleType) / 100.0)
+      val q = round(ttr * 0.4 + (lit(1.0) - stopRatio) * 0.3
+        + lenPrior * 0.3, 6)
+      val win = Window.partitionBy(col("fp"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      d.withColumn("quality", q)
+        .withColumn("rk", row_number().over(win))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum(when(col("rk") === 1, 1L).otherwise(0L))
+            .cast(LongType).as("n_kept"),
+          sum(when(col("rk") > 1, 1L).otherwise(0L))
+            .cast(LongType).as("n_dropped"),
+          sum(when(col("rk") > 1, col("n_chars")).otherwise(0L))
+            .cast(LongType).as("chars_dropped"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT source, doc_id, n_chars,
+               md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fp,
+               round((CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
+                 + (1.0 - CAST(len(list_filter(w,
+                     x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                     / len(w)) * 0.3
+                 + LEAST(1.0, CAST(len(w) AS DOUBLE) / 100.0) * 0.3, 6)
+                 AS quality
+        FROM (SELECT source, doc_id, n_chars,
+                string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),
+                  ' ') AS w
+              FROM documents)),
+      rk AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY fp
+                 ORDER BY quality DESC, doc_id ASC) AS rk
+        FROM scored)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+             CAST(SUM(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS chars_dropped
+      FROM rk GROUP BY 1
+    """))
+
+  /** Deterministic epoch shuffle + shard manifest: training order is a
+    * pseudo-random but REPRODUCIBLE permutation — sort by the salted
+    * md5 of the document id ("epoch1|<id>"; a new epoch = a new salt =
+    * an independent permutation) — sliced into 64 contiguous,
+    * balanced shards: shard = ⌊(pos−1)·64 / N⌋, which differs in size
+    * by at most one document. The global position comes from
+    * [[PrefixPass.withRowNumber]] (two-phase, never an unpartitioned
+    * window), and the same pass returns N for the shard arithmetic —
+    * at any cluster size the plan is one range-shuffle by hash key
+    * plus a numPartitions-row driver aggregate. Output: the per-shard
+    * manifest (row span + byte mass) a dataloader would consume;
+    * min/max positions are contiguous within a shard by construction,
+    * which TrainingSetSpec asserts.
+    */
+  private val q222 = Q(
+    "q222_epoch_shuffle",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("k",
+          md5(concat(lit("epoch1|"), col("doc_id").cast(StringType))))
+      val (withPos, n) = PrefixPass.withRowNumber(
+        d, Seq(col("k").asc), "pos")
+      withPos
+        .withColumn("shard", expr(s"((pos - 1) * 64) div ${n}L"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          min(col("pos")).as("min_pos"),
+          max(col("pos")).as("max_pos"),
+          sum(col("n_chars")).cast(LongType).as("shard_chars"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT n_chars,
+               ROW_NUMBER() OVER (ORDER BY
+                 md5('epoch1|' || CAST(doc_id AS VARCHAR))) AS pos,
+               COUNT(*) OVER () AS n
+        FROM documents)
+      SELECT CAST(((pos - 1) * 64) // n AS BIGINT) AS shard,
+             COUNT(*) AS n_docs,
+             CAST(MIN(pos) AS BIGINT) AS min_pos,
+             CAST(MAX(pos) AS BIGINT) AS max_pos,
+             CAST(SUM(n_chars) AS BIGINT) AS shard_chars
+      FROM o GROUP BY 1
+    """))
+
+  val registry: Seq[Q] = Seq(q218, q219, q220, q221, q222)
+}

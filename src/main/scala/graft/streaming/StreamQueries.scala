@@ -52,12 +52,25 @@ object StreamQueries {
     else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
   }
 
+  /** Count of checkpoint trees whose cleanup failed — tmpfs space is
+    * RAM, so a silent leak here is invisible memory pressure; the
+    * counter (and a stderr line per failure) makes it observable. */
+  private val ckptLeaks = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def deleteRec(p: java.nio.file.Path): Unit =
     try {
       import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala.toSeq.reverse
         .foreach(f => Files.deleteIfExists(f))
-    } catch { case _: Throwable => () }
+    } catch {
+      // only I/O failures are survivable here: InterruptedException
+      // must propagate (the drain harness runs under test timeouts)
+      // and fatal errors (OOM, stack overflow) must never be swallowed
+      case e @ (_: java.io.IOException | _: java.io.UncheckedIOException) =>
+        ckptLeaks.incrementAndGet()
+        System.err.println(
+          s"graft: leaked checkpoint dir $p (${ckptLeaks.get()} total): $e")
+    }
 
   /** Drain a streaming frame through a memory sink with AvailableNow
     * and return the sink table. Centralizes the harness knobs:

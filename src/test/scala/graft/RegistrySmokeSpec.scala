@@ -273,12 +273,28 @@ class RegistrySmokeSpec extends AnyFunSuite {
     // is apples-to-apples (and the naive toggle can't rot silently)
     Seq("q94_ntile_buckets", "q159_skyline", "q178_abc_classes",
       "q182_rfm_segments").foreach { n =>
-      val twoPhase = rowsOf(n).map(_.toString).sorted
+      val q = Queries.registry.find(_.name == n)
+        .getOrElse(fail(s"unknown query $n"))
+      // schema equality FIRST: toString renderings can stringify
+      // distinct types identically (Int vs Long, boxed vs primitive),
+      // so type drift must be caught structurally, not textually
+      val tpDf = q.build(spark, dir)
       spark.conf.set(graft.operators.PrefixPass.NaiveConfKey, "true")
-      val naive =
-        try rowsOf(n).map(_.toString).sorted
+      val (nvDf, naiveRows) =
+        try { val d = q.build(spark, dir); (d, d.collect()) }
         finally spark.conf.unset(graft.operators.PrefixPass.NaiveConfKey)
-      assert(twoPhase.sameElements(naive), s"$n shapes diverge")
+      assert(tpDf.schema == nvDf.schema,
+        s"$n schemas diverge:\n  two-phase ${tpDf.schema.simpleString}" +
+          s"\n  naive     ${nvDf.schema.simpleString}")
+      val twoPhase = tpDf.collect().map(_.toString).sorted
+      val naive = naiveRows.map(_.toString).sorted
+      val diffs = twoPhase.zipAll(naive, "<missing>", "<missing>")
+        .filter { case (a, b) => a != b }.take(3)
+      assert(diffs.isEmpty,
+        s"$n shapes diverge (${twoPhase.length} vs ${naive.length} rows); " +
+          s"first differing rows:\n" +
+          diffs.map { case (a, b) => s"  two-phase $a\n  naive     $b" }
+            .mkString("\n"))
     }
   }
 
