@@ -157,7 +157,9 @@ object TrainingSetQueries {
                    '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tok
           FROM documents),
         b AS (
-          SELECT n_tok, CASE $ladder ELSE ${caps.last} END AS bucket_cap
+          SELECT n_tok,
+                 CAST(CASE $ladder ELSE ${caps.last} END AS BIGINT)
+                   AS bucket_cap
           FROM toks)
         SELECT bucket_cap, COUNT(*) AS n_docs,
                CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
@@ -178,13 +180,15 @@ object TrainingSetQueries {
     * every token position against the global shingle multiset, so
     * boilerplate shared by MANY documents shows up at full weight.
     *
-    * Shape: one corpus-scale shingle aggregation to (shingle, source)
+    * Shape: ONE corpus-scale shingle aggregation to (shingle, source)
     * counts — map-side combinable, shingles md5-compressed to fixed
-    * width before the shuffle — then vocabulary-scale algebra (a
-    * self-aggregation to corpus totals and a vocab-sized equi-join
-    * back). No pairwise fan-out anywhere; cost is Θ(corpus tokens).
-    * Sources with no 8-gram (all docs shorter than 8 tokens) carry no
-    * start positions and are absent by construction.
+    * width before the shuffle — then the corpus total per shingle is a
+    * window partitioned BY SHINGLE over that vocabulary-scale table
+    * (per-gram groups, never global; a self-join formulation would
+    * recompute the corpus aggregation once per join side). No pairwise
+    * fan-out anywhere; cost is Θ(corpus tokens). Sources with no
+    * 8-gram (all docs shorter than 8 tokens) carry no start positions
+    * and are absent by construction.
     */
   private val q220 = Q(
     "q220_dup_ngram_coverage",
@@ -196,9 +200,8 @@ object TrainingSetQueries {
         .select(col("source"), md5(col("g8")).as("g"))
       val sg = grams.groupBy(col("g"), col("source"))
         .agg(count(lit(1)).as("c_sg"))
-      val gt = sg.groupBy(col("g"))
-        .agg(sum(col("c_sg")).as("c_g"))
-      sg.join(gt, "g")
+      sg.withColumn("c_g",
+          sum(col("c_sg")).over(Window.partitionBy(col("g"))))
         .groupBy(col("source"))
         .agg(sum(col("c_sg")).cast(LongType).as("n_starts"),
           sum(when(col("c_g") > 1, col("c_sg")).otherwise(0L))

@@ -30,7 +30,10 @@ class RegistrySmokeSpec extends AnyFunSuite {
   // entry here must state the bound; anything else must use the
   // two-phase PrefixPass shape (q178/q182/q159).
   private val constantBoundedGlobalWindow = Set(
-    "q179_chisq_contingency" // |event_type| x |day-of-month| cells (~155)
+    "q179_chisq_contingency", // |event_type| x |day-of-month| cells (~155)
+    "q218_temperature_mixing" // |sources| rows (~20; a production
+    // source registry is thousands at most — dimension-bounded, the
+    // corpus-scale work is the one group-count feeding it)
   )
 
   Queries.registry.filterNot(q => slow(q.name)).foreach { q =>

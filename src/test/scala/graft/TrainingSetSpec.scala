@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the round-10 training-set construction wave
+  * (q218–q222) the oracle equality can't express on its own: the
+  * oracle proves both engines agree; these prove the MATH is right,
+  * by brute-force recomputation from the raw documents table at
+  * sf0.001.
+  */
+class TrainingSetSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rowsOf(name: String) =
+    Queries.registry.find(_.name == name)
+      .getOrElse(fail(s"unknown query $name"))
+      .build(spark, dir).collect()
+
+  private def docs(): Array[(Long, String, String, Long)] = {
+    import org.apache.spark.sql.functions.col
+    Tables.load(Tables.tuned(spark), dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+  }
+
+  private def normWords(text: String): Array[String] =
+    text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+
+  test("q218 largest-remainder allocations are whole and sum EXACTLY to the budget") {
+    val rows = rowsOf("q218_temperature_mixing")
+    assert(rows.length > 1)
+    val allocs = rows.map(r => r.getAs[Long]("alloc"))
+    assert(allocs.sum == 1000000L,
+      s"allocations sum to ${allocs.sum}, expected exactly 1000000")
+    assert(allocs.forall(_ >= 0))
+    // temperature flattening: max/min allocation ratio must not exceed
+    // the max/min doc-count ratio (alpha = 1/2 compresses the spread)
+    val byN = rows.map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("alloc")))
+    val nSpread = byN.map(_._1).max.toDouble / byN.map(_._1).min
+    val aSpread = byN.map(_._2).max.toDouble / byN.map(_._2).min
+    assert(aSpread <= nSpread + 1e-9,
+      s"allocation spread $aSpread exceeds doc-count spread $nSpread")
+    val wSum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-9)
+  }
+
+  test("q219 buckets are minimal powers of two and waste accounting is exact") {
+    val rows = rowsOf("q219_length_bucketing")
+    val caps = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L,
+      4096L, 8192L, 16384L, 32768L)
+    // brute-force recount from raw text with the shared regex tokenizer
+    val re = "[a-z]+|[0-9]+|[^a-z0-9 ]".r
+    val expected = docs()
+      .map { case (_, text, _, _) =>
+        val norm = text.toLowerCase.trim.replaceAll("\\s+", " ")
+        val n = re.findAllIn(norm).length.toLong
+        val cap = caps.find(_ >= n).getOrElse(caps.last)
+        (cap, n, cap - math.min(n, cap))
+      }
+      .groupBy(_._1)
+      .map { case (cap, g) =>
+        cap -> ((g.length.toLong, g.map(_._2).sum, g.map(_._3).sum))
+      }
+    val got = rows.map(r => r.getAs[Long]("bucket_cap") ->
+      ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"),
+        r.getAs[Long]("padded_tokens")))).toMap
+    assert(got == expected, s"bucket accounting diverges:\n  got $got\n  expected $expected")
+  }
+
+  test("q220 dup-start fractions match a brute-force corpus recount") {
+    val all = docs()
+    // every 8-gram start in the corpus, keyed by shingle text
+    val starts = all.flatMap { case (_, text, source, _) =>
+      val w = normWords(text)
+      (0 to w.length - 8).map(i => (w.slice(i, i + 8).mkString(" "), source))
+    }
+    val total = starts.groupBy(_._1).view.mapValues(_.length).toMap
+    val expected = starts.groupBy(_._2).map { case (src, g) =>
+      src -> ((g.length.toLong, g.count(s => total(s._1) > 1).toLong))
+    }
+    val got = rowsOf("q220_dup_ngram_coverage").map(r =>
+      r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_starts"), r.getAs[Long]("dup_starts")))).toMap
+    assert(got == expected)
+    got.values.foreach { case (n, d) => assert(d >= 0 && d <= n) }
+  }
+
+  test("q221 keeps exactly one document per content fingerprint") {
+    val rows = rowsOf("q221_cluster_canonical")
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val nKept = rows.map(_.getAs[Long]("n_kept")).sum
+    val nDropped = rows.map(_.getAs[Long]("n_dropped")).sum
+    assert(nKept + nDropped == nDocs)
+    // one keeper per distinct vocabulary fingerprint, corpus-wide
+    val distinctFp = docs()
+      .map { case (_, text, _, _) => normWords(text).distinct.sorted.toSeq }
+      .distinct.length
+    assert(nKept == distinctFp.toLong,
+      s"kept $nKept docs but corpus has $distinctFp distinct fingerprints")
+    assert(nDocs == docs().length.toLong)
+  }
+
+  test("q222 shards are contiguous, tile 1..N, and are balanced within one") {
+    val rows = rowsOf("q222_epoch_shuffle")
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("min_pos"), r.getAs[Long]("max_pos")))
+      .sortBy(_._1)
+    val n = docs().length.toLong
+    assert(rows.map(_._2).sum == n)
+    // each shard is a contiguous position run
+    rows.foreach { case (s, c, mn, mx) =>
+      assert(mx - mn + 1 == c, s"shard $s not contiguous: [$mn,$mx] count $c")
+    }
+    // runs abut: shard k+1 starts where shard k ended
+    rows.toSeq.sliding(2).foreach {
+      case Seq((_, _, _, mxA), (sB, _, mnB, _)) =>
+        assert(mnB == mxA + 1, s"gap before shard $sB")
+      case _ =>
+    }
+    assert(rows.head._3 == 1L && rows.last._4 == n)
+    // balanced: sizes differ by at most one
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1L)
+    assert(rows.map(_._1).toSeq == (0L until rows.length.toLong).toSeq)
+  }
+}
