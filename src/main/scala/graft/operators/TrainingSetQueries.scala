@@ -348,5 +348,144 @@ object TrainingSetQueries {
       FROM o GROUP BY 1
     """))
 
-  val registry: Seq[Q] = Seq(q218, q219, q220, q221, q222)
+  /** N-gram-level train/eval decontamination — the GPT-3-style "remove
+    * any training document sharing a long n-gram with the benchmark"
+    * step, at 8-gram granularity over the q89 hash split (train =
+    * buckets 0–7, eval = bucket 9; the identical md5-derived split
+    * both engines compute). q96/q113 test DOCUMENT membership against
+    * an external list; this finds PARTIAL overlap — a training doc
+    * that merely quotes an eval doc's phrase is flagged even though
+    * its own id/hash is clean.
+    *
+    * Shape: one corpus-scale pass to per-document DISTINCT shingles
+    * (the within-doc dedup happens before the shuffle), a
+    * shingle-partitioned window marks shingles any eval doc carries
+    * (the q220 shape — never a self-join that would re-aggregate the
+    * corpus per side), then a doc-scale distinct and two
+    * dimension-table aggregates. Cost Θ(corpus tokens); no pairwise
+    * doc comparison anywhere.
+    */
+  private val q223 = Q(
+    "q223_ngram_decontamination",
+    (s, dir) => {
+      import graft.functions.Exprs.md5Int32
+      val base = t(s, dir, "documents")
+        .withColumn("b", md5Int32(col("doc_id").cast(StringType)) % 10)
+      val grams = base
+        .select(col("doc_id"), col("source"), col("b"),
+          explode(TextOps.shingleSet(TextOps.words(col("text")), 8))
+            .as("gram"))
+        .select(col("doc_id"), col("source"), col("b"),
+          md5(col("gram")).as("g"))
+      val cont = grams
+        .withColumn("has_eval",
+          max(when(col("b") === 9, 1).otherwise(0))
+            .over(Window.partitionBy(col("g"))))
+        .filter(col("b") <= 7 && col("has_eval") === 1)
+        .select(col("doc_id"), col("source")).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("n_cont"))
+      base.filter(col("b") <= 7)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_train_docs"))
+        .join(cont, Seq("source"), "left")
+        .select(col("source"), col("n_train_docs"),
+          coalesce(col("n_cont"), lit(0L)).cast(LongType)
+            .as("n_contaminated"))
+        .withColumn("contaminated_frac",
+          col("n_contaminated").cast(DoubleType) /
+            col("n_train_docs").cast(DoubleType))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, source,
+               ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 10
+                 AS b,
+               string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),
+                 ' ') AS w
+        FROM documents),
+      grams AS (
+        SELECT doc_id, source, b,
+               md5(unnest(list_distinct([array_to_string(w[i+1:i+8],' ')
+                            FOR i IN range(len(w)-7)]))) AS g
+        FROM base WHERE len(w) >= 8),
+      ev AS (SELECT DISTINCT g FROM grams WHERE b = 9),
+      cont AS (
+        SELECT source, COUNT(*) AS n_cont FROM (
+          SELECT DISTINCT doc_id, source FROM grams
+          WHERE b <= 7 AND g IN (SELECT g FROM ev))
+        GROUP BY 1),
+      tr AS (SELECT source, COUNT(*) AS n_train_docs
+             FROM base WHERE b <= 7 GROUP BY 1)
+      SELECT tr.source, n_train_docs,
+             CAST(COALESCE(cont.n_cont, 0) AS BIGINT) AS n_contaminated,
+             CAST(COALESCE(cont.n_cont, 0) AS DOUBLE)
+               / CAST(n_train_docs AS DOUBLE) AS contaminated_frac
+      FROM tr LEFT JOIN cont USING (source)
+    """))
+
+  /** Sub-document exact span dedup at 16-token tile granularity — the
+    * C4/RefinedWeb line-level dedup reshaped for token streams:
+    * documents are cut into NON-overlapping 16-token tiles (the last
+    * tile ragged), each distinct tile text keeps exactly one owner
+    * corpus-wide (first occurrence: min doc_id, then tile position),
+    * and every later copy is a dropped span. Complements q220, which
+    * MEASURES overlapping duplication; this one performs the removal
+    * accounting a span-dedup pass would apply, at 1/16th the shingle
+    * volume. Doc-level dedup (q45) cannot see these spans: two docs
+    * sharing one boilerplate paragraph are distinct documents.
+    *
+    * Shape: tiles come from in-row array slicing (bounded explode,
+    * ⌈n_tok/16⌉ per doc — linear, never quadratic), the keeper is a
+    * row_number over a window partitioned by TILE HASH (per-tile
+    * groups distribute at any corpus size), then one per-source
+    * rollup.
+    */
+  private val q224 = Q(
+    "q224_tile_dedup",
+    (s, dir) => {
+      val tiles = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.words(col("text")).as("w"))
+        .withColumn("tile_id",
+          explode(expr("sequence(0L, (size(w) - 1) div 16)")))
+        .select(col("doc_id"), col("source"), col("tile_id"),
+          md5(concat_ws(" ",
+            slice(col("w"), (col("tile_id") * 16 + 1).cast(IntegerType),
+              lit(16)))).as("h"))
+      val win = Window.partitionBy(col("h"))
+        .orderBy(col("doc_id").asc, col("tile_id").asc)
+      tiles
+        .withColumn("rk", row_number().over(win))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast(LongType).as("n_tiles"),
+          sum(when(col("rk") === 1, 1L).otherwise(0L))
+            .cast(LongType).as("n_kept"))
+        .withColumn("kept_frac",
+          col("n_kept").cast(DoubleType) / col("n_tiles").cast(DoubleType))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, source,
+               string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),
+                 ' ') AS w
+        FROM documents),
+      tiles AS (
+        SELECT doc_id, source, i AS tile_id,
+               md5(array_to_string(w[i*16+1 : i*16+16], ' ')) AS h
+        FROM (SELECT doc_id, source, w,
+                unnest(range(((len(w)-1)//16) + 1)) AS i
+              FROM toks)),
+      rk AS (
+        SELECT source,
+               ROW_NUMBER() OVER (PARTITION BY h
+                 ORDER BY doc_id ASC, tile_id ASC) AS rk
+        FROM tiles)
+      SELECT source, COUNT(*) AS n_tiles,
+             CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS kept_frac
+      FROM rk GROUP BY 1
+    """))
+
+  val registry: Seq[Q] = Seq(q218, q219, q220, q221, q222, q223, q224)
 }

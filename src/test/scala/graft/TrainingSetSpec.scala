@@ -110,6 +110,57 @@ class TrainingSetSpec extends AnyFunSuite {
     assert(nDocs == docs().length.toLong)
   }
 
+  test("q223 contamination matches a brute-force cross-split 8-gram check") {
+    val all = docs()
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = h.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 10
+    }
+    def gramsOf(text: String): Set[String] = {
+      val w = normWords(text)
+      (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" ")).toSet
+    }
+    val evalGrams = all.filter(d => bucket(d._1) == 9)
+      .flatMap(d => gramsOf(d._2)).toSet
+    val train = all.filter(d => bucket(d._1) <= 7)
+    val expected = train.groupBy(_._3).map { case (src, g) =>
+      src -> ((g.length.toLong,
+        g.count(d => gramsOf(d._2).exists(evalGrams)).toLong))
+    }
+    val got = rowsOf("q223_ngram_decontamination").map(r =>
+      r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_train_docs"), r.getAs[Long]("n_contaminated"))))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("q224 keeps exactly one owner per distinct 16-token tile") {
+    val all = docs()
+    val tiles = all.flatMap { case (id, text, source, _) =>
+      val w = normWords(text)
+      (0 to (w.length - 1) / 16).map(i =>
+        (w.slice(i * 16, i * 16 + 16).mkString(" "), id, i.toLong, source))
+    }
+    val expected = tiles.groupBy(_._4).map { case (src, g) =>
+      src -> (g.length.toLong)
+    }
+    val keepers = tiles.groupBy(_._1).view
+      .mapValues(g => g.minBy(t => (t._2, t._3))).values.toSeq
+    val expectedKept = keepers.groupBy(_._4).view
+      .mapValues(_.length.toLong).toMap
+    val rows = rowsOf("q224_tile_dedup")
+    val gotTiles = rows.map(r =>
+      r.getAs[String]("source") -> r.getAs[Long]("n_tiles")).toMap
+    val gotKept = rows.map(r =>
+      r.getAs[String]("source") -> r.getAs[Long]("n_kept")).toMap
+    assert(gotTiles == expected)
+    assert(gotKept == expectedKept)
+    // global: kept count == distinct tile texts
+    assert(gotKept.values.sum == tiles.map(_._1).distinct.length.toLong)
+  }
+
   test("q222 shards are contiguous, tile 1..N, and are balanced within one") {
     val rows = rowsOf("q222_epoch_shuffle")
       .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
