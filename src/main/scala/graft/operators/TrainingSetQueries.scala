@@ -487,5 +487,96 @@ object TrainingSetQueries {
       FROM rk GROUP BY 1
     """))
 
-  val registry: Seq[Q] = Seq(q218, q219, q220, q221, q222, q223, q224)
+  /** Content-defined chunking dedup (FastCDC's idea at word
+    * granularity): a chunk boundary falls after word j wherever the
+    * hash of the 4-word window ending at j is ≡ 0 (mod 16) — so chunk
+    * boundaries are decided by CONTENT, not position. This is the
+    * property q224's fixed tiles lack: insert one word at the front of
+    * a document and every 16-token tile shifts (zero tiles dedup
+    * against the original), while CDC boundaries after the insertion
+    * point are unchanged and every later chunk still deduplicates —
+    * TrainingSetSpec proves exactly that shift-robustness. Expected
+    * chunk length is the modulus (~16 words); chunks then dedup
+    * corpus-wide with q224's keeper semantics (min doc_id, then chunk
+    * position).
+    *
+    * Shape: boundaries, spans, and chunk texts are all in-row
+    * higher-order functions over the word array (codegen-friendly, no
+    * UDF, no per-word explode — the only explode is one row per CHUNK,
+    * ⌈n/16⌉ expected per doc); the keeper is a window partitioned by
+    * chunk hash; one per-source rollup. Cost Θ(corpus tokens).
+    */
+  private val q225 = Q(
+    "q225_cdc_chunk_dedup",
+    (s, dir) => {
+      def md5i32(c: Column): Column =
+        conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+      val withChunks = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.words(col("text")).as("w"))
+        .withColumn("bp",
+          filter(
+            when(size(col("w")) >= 5,
+              sequence(lit(4), size(col("w")) - 1))
+              .otherwise(array().cast("array<int>")),
+            j => md5i32(concat_ws(" ", slice(col("w"), j - 3, lit(4))))
+              % 16 === 0))
+        .withColumn("starts",
+          concat(array(lit(1)), transform(col("bp"), x => x + 1)))
+        .withColumn("ends",
+          concat(col("bp"), array(size(col("w")))))
+        .withColumn("chunks",
+          zip_with(col("starts"), col("ends"),
+            (a, b) => concat_ws(" ", slice(col("w"), a, b - a + 1))))
+        .select(col("doc_id"), col("source"),
+          posexplode(col("chunks")).as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("source"), col("chunk_idx"),
+          md5(col("chunk")).as("h"))
+      val win = Window.partitionBy(col("h"))
+        .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+      withChunks
+        .withColumn("rk", row_number().over(win))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast(LongType).as("n_chunks"),
+          sum(when(col("rk") === 1, 1L).otherwise(0L))
+            .cast(LongType).as("n_kept"))
+        .withColumn("kept_frac",
+          col("n_kept").cast(DoubleType) / col("n_chunks").cast(DoubleType))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, source,
+               string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),
+                 ' ') AS w
+        FROM documents),
+      b AS (
+        SELECT doc_id, source, w,
+               [j FOR j IN range(4, len(w))
+                IF ('0x'||substr(md5(array_to_string(w[j-3:j],' ')),1,8))
+                     ::BIGINT % 16 = 0] AS bp
+        FROM toks),
+      c AS (
+        SELECT doc_id, source, w,
+               list_concat([1], [x+1 FOR x IN bp]) AS starts,
+               list_concat(bp, [len(w)]) AS ends
+        FROM b),
+      ch AS (
+        SELECT doc_id, source, k AS chunk_idx,
+               md5(array_to_string(w[starts[k+1]:ends[k+1]], ' ')) AS h
+        FROM (SELECT *, unnest(range(len(starts))) AS k FROM c)),
+      rk AS (
+        SELECT source,
+               ROW_NUMBER() OVER (PARTITION BY h
+                 ORDER BY doc_id ASC, chunk_idx ASC) AS rk
+        FROM ch)
+      SELECT source, COUNT(*) AS n_chunks,
+             CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS kept_frac
+      FROM rk GROUP BY 1
+    """))
+
+  val registry: Seq[Q] =
+    Seq(q218, q219, q220, q221, q222, q223, q224, q225)
 }

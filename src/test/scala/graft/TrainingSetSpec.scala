@@ -161,6 +161,64 @@ class TrainingSetSpec extends AnyFunSuite {
     assert(gotKept.values.sum == tiles.map(_._1).distinct.length.toLong)
   }
 
+  // driver-side mirror of q225's chunking definition
+  private def cdcChunks(w: Array[String]): Seq[String] = {
+    def md5i32(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val n = w.length
+    val bp = (4 until n).filter(j =>
+      md5i32(w.slice(j - 4, j).mkString(" ")) % 16 == 0)
+    val starts = 0 +: bp
+    val ends = bp :+ n
+    starts.zip(ends).map { case (a, b) => w.slice(a, b).mkString(" ") }
+  }
+
+  test("q225 chunk accounting matches a brute-force recount") {
+    val all = docs()
+    val chunks = all.flatMap { case (id, text, source, _) =>
+      cdcChunks(normWords(text)).zipWithIndex
+        .map { case (c, i) => (c, id, i.toLong, source) }
+    }
+    val keepers = chunks.groupBy(_._1).view
+      .mapValues(g => g.minBy(t => (t._2, t._3))).values.toSeq
+    val totalBySrc = chunks.groupBy(_._4).view
+      .mapValues(_.length.toLong).toMap
+    val keptBySrc = keepers.groupBy(_._4).view
+      .mapValues(_.length.toLong).toMap
+    val got = rowsOf("q225_cdc_chunk_dedup").map(r =>
+      r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept")))).toMap
+    assert(got.view.mapValues(_._1).toMap == totalBySrc)
+    assert(got.view.mapValues(_._2).toMap == keptBySrc)
+  }
+
+  test("q225 CDC boundaries are shift-robust where fixed tiles are not") {
+    // prepend one word to a document: every 16-token tile shifts (near
+    // zero tile reuse), but every CDC chunk after the first boundary
+    // is byte-identical — the reason content-defined chunking exists
+    val text = docs().maxBy(_._2.length)._2
+    val w = normWords(text)
+    assume(w.length >= 64, "need a long doc for a meaningful check")
+    val orig = cdcChunks(w)
+    val shifted = cdcChunks(Array("zzshift") ++ w)
+    assume(orig.length >= 3, "need several chunks")
+    // all chunks of the original except (possibly) the first survive
+    // verbatim in the shifted version
+    val survived = orig.tail.count(shifted.toSet)
+    assert(survived == orig.tail.length,
+      s"only $survived/${orig.tail.length} CDC chunks survived a 1-word shift")
+    // contrast: fixed 16-token tiles share (almost) nothing
+    def tiles(a: Array[String]) =
+      (0 to (a.length - 1) / 16)
+        .map(i => a.slice(i * 16, i * 16 + 16).mkString(" "))
+    val tileSurvived = tiles(w).tail.count(tiles(Array("zzshift") ++ w).toSet)
+    assert(tileSurvived < orig.tail.length,
+      "fixed tiles unexpectedly survived the shift — check the contrast")
+  }
+
   test("q222 shards are contiguous, tile 1..N, and are balanced within one") {
     val rows = rowsOf("q222_epoch_shuffle")
       .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
