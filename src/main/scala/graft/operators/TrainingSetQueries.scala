@@ -500,27 +500,44 @@ object TrainingSetQueries {
     * corpus-wide with q224's keeper semantics (min doc_id, then chunk
     * position).
     *
-    * Shape: boundaries, spans, and chunk texts are all in-row
-    * higher-order functions over the word array (codegen-friendly, no
-    * UDF, no per-word explode — the only explode is one row per CHUNK,
-    * ⌈n/16⌉ expected per doc); the keeper is a window partitioned by
-    * chunk hash; one per-source rollup. Cost Θ(corpus tokens).
+    * Shape: boundary detection runs CODEGEN'd — one WordShingles
+    * explode (the q220 kernel), a whole-stage md5-prefix filter that
+    * keeps ~1/16 of positions, and a per-doc sort_array(collect_list)
+    * reassembly of boundary positions (bounded: ~n/16 positions per
+    * doc) joined back to the word arrays. Only the cheap span/chunk
+    * construction is in-row higher-order functions — HOF lambdas
+    * evaluate INTERPRETED in Spark, so the first cut, which ran
+    * md5-per-position inside an ArrayFilter lambda, benched 8.0s at
+    * sf0.1 where this shape runs with the q220 family (~0.4s): the
+    * hot per-token work must stay inside whole-stage codegen, HOFs
+    * are for per-CHUNK glue only. Cost Θ(corpus tokens).
+    *
+    * The boundary test `substr(md5(window),8,1) = '0'` is bit-equal
+    * to `md5Int32(window) % 16 == 0` (the 8th hex char IS the low
+    * nibble of the first-8-hex integer) — TrainingSetSpec's mirror
+    * uses the integer form, so the two formulations certify each
+    * other.
     */
   private val q225 = Q(
     "q225_cdc_chunk_dedup",
     (s, dir) => {
-      def md5i32(c: Column): Column =
-        conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
-      val withChunks = t(s, dir, "documents")
+      val base = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           TextOps.words(col("text")).as("w"))
+      // boundary positions j (1-based, j in [4, n-1]): shingle i
+      // (0-based) covers words i+1..i+4, so j = i + 4; the last
+      // shingle (j = n) is excluded — a trailing boundary is a no-op
+      val bps = base
+        .select(col("doc_id"), col("w"),
+          posexplode(TextOps.shingles(col("w"), 4)).as(Seq("i", "g4")))
+        .filter(col("i") < size(col("w")) - 4 &&
+          substring(md5(col("g4")), 8, 1) === "0")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("i") + 4)).as("bp"))
+      val withChunks = base
+        .join(bps, Seq("doc_id"), "left")
         .withColumn("bp",
-          filter(
-            when(size(col("w")) >= 5,
-              sequence(lit(4), size(col("w")) - 1))
-              .otherwise(array().cast("array<int>")),
-            j => md5i32(concat_ws(" ", slice(col("w"), j - 3, lit(4))))
-              % 16 === 0))
+          coalesce(col("bp"), array().cast("array<int>")))
         .withColumn("starts",
           concat(array(lit(1)), transform(col("bp"), x => x + 1)))
         .withColumn("ends",
@@ -552,8 +569,8 @@ object TrainingSetQueries {
       b AS (
         SELECT doc_id, source, w,
                [j FOR j IN range(4, len(w))
-                IF ('0x'||substr(md5(array_to_string(w[j-3:j],' ')),1,8))
-                     ::BIGINT % 16 = 0] AS bp
+                IF substr(md5(array_to_string(w[j-3:j],' ')),8,1) = '0']
+                 AS bp
         FROM toks),
       c AS (
         SELECT doc_id, source, w,

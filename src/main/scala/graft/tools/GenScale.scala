@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.tools.GenScale [srcDir] [outDir] [factor]
   * Defaults: /root/testdata/sf0.1 -> /tmp/graft_sf1, factor 10.
-  * region/nation are constant dimensions and copy unshifted; documents
-  * and embeddings copy unscaled (the measured queries touch only the
-  * TPC-H star + events).
+  * region/nation are constant dimensions and copy unshifted;
+  * embeddings copy unscaled. documents replicate with shifted doc_id
+  * and VERBATIM text (round 10) so the corpus wave is stressed with
+  * xF exact duplication over the same vocabulary.
   */
 object GenScale {
 
@@ -49,7 +50,8 @@ object GenScale {
       "s_suppkey" -> maxOf(load("supplier"), "s_suppkey"),
       "p_partkey" -> maxOf(load("part"), "p_partkey"),
       "o_orderkey" -> maxOf(load("orders"), "o_orderkey"),
-      "user_id" -> maxOf(load("events"), "user_id"))
+      "user_id" -> maxOf(load("events"), "user_id"),
+      "doc_id" -> maxOf(load("documents"), "doc_id"))
 
     // (table, shifted columns -> stride key)
     val scaled: Seq[(String, Map[String, String])] = Seq(
@@ -60,7 +62,14 @@ object GenScale {
         "o_custkey" -> "c_custkey"),
       "lineitem" -> Map("l_orderkey" -> "o_orderkey",
         "l_partkey" -> "p_partkey", "l_suppkey" -> "s_suppkey"),
-      "events" -> Map("user_id" -> "user_id"))
+      "events" -> Map("user_id" -> "user_id"),
+      // round 10: the training-set wave (q216-q225) scales with the
+      // corpus, so documents replicate too. Copies keep the TEXT
+      // verbatim (only doc_id shifts) — so a xF fixture carries xF
+      // exact duplication, which is precisely what the dedup/chunking
+      // shapes should be stressed with: hash groups of F rows instead
+      // of 1, same distinct-shingle vocabulary.
+      "documents" -> Map("doc_id" -> "doc_id"))
 
     scaled.foreach { case (t, shifts) =>
       val base = load(t)
@@ -73,7 +82,7 @@ object GenScale {
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[genscale] $t x$factor written")
     }
-    Seq("region", "nation", "documents", "embeddings").foreach { t =>
+    Seq("region", "nation", "embeddings").foreach { t =>
       load(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[genscale] $t copied")
     }

@@ -66,6 +66,11 @@ object ScaleBench {
           ("naive_window",
             () => spark.conf.set(PrefixPass.NaiveConfKey, "true"),
             () => spark.conf.unset(PrefixPass.NaiveConfKey)))
+        else if (!GatedQueries.contains(name))
+          // no shape toggle for this query: a single plain timing
+          // (used for the linear-scaling measurements of the corpus
+          // wave — sf0.1 vs the GenScale x10 fixture)
+          Seq(("plain", () => (), () => ()))
         else Seq(
           ("gated_broadcast", () => (), () => ()),
           ("shuffle_join",
