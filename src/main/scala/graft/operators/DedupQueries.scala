@@ -128,8 +128,8 @@ object DedupQueries {
       d.select(
         col("doc_id"),
         nWs.cast(LongType).as("n_ws_tokens"),
-        size(regexp_extract_all(col("t"),
-          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        regexp_count(col("t"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
           .cast(LongType).as("n_re_tokens"),
         (length(col("t")) - (nWs - lit(1))).cast(LongType).as("n_token_chars"),
         ((length(col("t")) - (nWs - lit(1))).cast(DoubleType) / nWs)

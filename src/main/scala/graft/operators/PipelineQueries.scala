@@ -1417,8 +1417,8 @@ object PipelineQueries {
         val toks = t(s, dir, "documents")
           .withColumn("t", TextOps.norm(col("text")))
           .select(col("doc_id"),
-            size(regexp_extract_all(col("t"),
-              lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            regexp_count(col("t"),
+              lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
               .cast(DecimalType(18, 0)).as("n_tok"))
         val (cum, _) = PrefixPass.cumSumDecimal(toks,
           Seq(col("doc_id").asc), "n_tok", "cum_tok")
@@ -1472,8 +1472,8 @@ object PipelineQueries {
         val toks = t(s, dir, "documents")
           .withColumn("t", TextOps.norm(col("text")))
           .select(col("doc_id"),
-            size(regexp_extract_all(col("t"),
-              lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            regexp_count(col("t"),
+              lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
               .cast(DecimalType(18, 0)).as("n_tok"))
         val (cum, _) = PrefixPass.cumSumDecimal(toks,
           Seq(col("doc_id").asc), "n_tok", "cum_tok")

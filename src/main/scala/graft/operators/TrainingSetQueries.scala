@@ -39,8 +39,8 @@ object TrainingSetQueries {
   /** Regex token count shared with q47/q216: letter runs | digit runs |
     * single punctuation over normalized text. */
   private def reTokens(c: Column): Column =
-    size(regexp_extract_all(TextOps.norm(c),
-      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast(LongType)
+    regexp_count(TextOps.norm(c),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast(LongType)
 
   /** Temperature-sampled source mixing (α = 1/2): the multilingual /
     * multi-domain corpus-balancing step — sampling probability
