@@ -594,6 +594,175 @@ object TrainingSetQueries {
       FROM rk GROUP BY 1
     """))
 
+  /** The end-to-end corpus pipeline as ONE composed query — exact
+    * dedup (keep-first by normalized-text hash, q45 semantics) →
+    * quality gate (q48 score ≥ 0.63, ~70% survival on the fixture) →
+    * 2048-token sequence packing of the survivors (q216 semantics).
+    * Each stage exists standalone elsewhere in the registry; this
+    * entry pins that they COMPOSE — pack identities here are over the
+    * filtered corpus, so any drift in either upstream stage shifts
+    * every downstream pack id and the oracle hash catches it. The
+    * quality cut compares the 6dp-ROUNDED score both engines compute
+    * identically (the q48 discipline), so the gate itself is
+    * bit-reproducible.
+    *
+    * Shape: dedup is a text-hash-partitioned window (per-cluster),
+    * the gate is a map-side filter, packing is the PrefixPass
+    * distributed cumsum — no global window, no driver pass; the
+    * whole pipeline is three shuffles end to end (hash window, range
+    * partition, pack rollup).
+    */
+  private val q226 = {
+    val PackTokens = 2048
+    Q(
+      "q226_corpus_pipeline",
+      (s, dir) => {
+        val stop = Seq("the", "a", "of", "and", "to", "in")
+        val d = t(s, dir, "documents")
+          .withColumn("t", TextOps.norm(col("text")))
+          .withColumn("w", split(col("t"), " "))
+        val nW = size(col("w"))
+        val ttr = size(array_distinct(col("w"))).cast(DoubleType) / nW
+        val stopRatio =
+          TextOps.vocabHits(col("w"), stop).cast(DoubleType) / nW
+        val lenPrior = least(lit(1.0), nW.cast(DoubleType) / 100.0)
+        val keepWin = Window.partitionBy(md5(col("t")))
+          .orderBy(col("doc_id").asc)
+        val survivors = d
+          .withColumn("rk", row_number().over(keepWin))
+          .withColumn("quality",
+            round(ttr * 0.4 + (lit(1.0) - stopRatio) * 0.3
+              + lenPrior * 0.3, 6))
+          .filter(col("rk") === 1 && col("quality") >= 0.63)
+          .select(col("doc_id"),
+            regexp_count(col("t"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+              .cast(DecimalType(18, 0)).as("n_tok"))
+          .filter(col("n_tok") > 0)
+        val (cum, _) = PrefixPass.cumSumDecimal(survivors,
+          Seq(col("doc_id").asc), "n_tok", "cum_tok")
+        cum
+          .withColumn("pack_id",
+            expr(s"CAST(cum_tok - n_tok AS BIGINT) div $PackTokens"))
+          .groupBy(col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast(LongType).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+                 regexp_replace(trim(lower(text)),'\\s+',' ','g') AS t,
+                 string_split(regexp_replace(trim(lower(text)),'\\s+',' ',
+                   'g'),' ') AS w
+          FROM documents),
+        scored AS (
+          SELECT doc_id, t,
+                 ROW_NUMBER() OVER (PARTITION BY md5(t)
+                   ORDER BY doc_id ASC) AS rk,
+                 round((CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
+                   + (1.0 - CAST(len(list_filter(w,
+                       x -> x IN ('the','a','of','and','to','in')))
+                       AS DOUBLE) / len(w)) * 0.3
+                   + LEAST(1.0, CAST(len(w) AS DOUBLE) / 100.0) * 0.3, 6)
+                   AS quality
+          FROM d),
+        toks AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(t, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                   AS n_tok
+          FROM scored WHERE rk = 1 AND quality >= 0.63),
+        cum AS (
+          SELECT doc_id, n_tok,
+                 SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tok
+          FROM toks WHERE n_tok > 0)
+        SELECT CAST((cum_tok - n_tok) // $PackTokens AS BIGINT) AS pack_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM cum GROUP BY 1
+      """))
+  }
+
+  /** Deterministic negative sampling for implicit-feedback training:
+    * for every customer, k=4 hash-proposed items
+    * (md5Int32("cust|i") mod |parts| + 1) minus any that collide with
+    * the customer's TRUE purchases — the standard
+    * one-negative-per-positive trainer input, reproducible at any
+    * cluster size because the proposal is pure hashing, never rand().
+    * Output is the per-customer accounting (proposed / rejected /
+    * accepted), which certifies the anti-join did its job:
+    * n_accepted = k − collisions.
+    *
+    * Shape: the positive set reduces orders⋈lineitem to DISTINCT
+    * (customer, part) pairs once (fact-scale shuffle, the join keys
+    * of the downstream anti join), proposals are a bounded ×k explode
+    * of the customer DIMENSION, and the left-anti join shuffles on
+    * (cust, item) — no broadcast of anything fact-scaled, no
+    * driver-side sampling loop. The |parts| modulus is a scalar
+    * aggregate broadcast into the proposal expression.
+    */
+  private val q227 = {
+    val K = 4
+    Q(
+      "q227_negative_sampling",
+      (s, dir) => {
+        import graft.functions.Exprs.md5Int32
+        val pos = t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_custkey"))
+          .join(t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("custkey"),
+            col("l_partkey").as("item"))
+          .distinct()
+        val nParts = t(s, dir, "part")
+          .agg(max(col("p_partkey")).as("max_part"))
+        val proposals = t(s, dir, "customer").select(col("c_custkey"))
+          .crossJoin(broadcast(nParts))
+          .select(col("c_custkey").as("custkey"), col("max_part"),
+            explode(sequence(lit(0), lit(K - 1))).as("i"))
+          .select(col("custkey"),
+            (md5Int32(concat(col("custkey").cast(StringType), lit("|"),
+              col("i").cast(StringType))) % col("max_part") + 1)
+              .as("item"))
+        val accepted = proposals
+          .join(pos, Seq("custkey", "item"), "left_anti")
+          .groupBy(col("custkey"))
+          .agg(count(lit(1)).as("n_accepted"))
+        t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+          .join(accepted, Seq("custkey"), "left")
+          .select(col("custkey"),
+            lit(K.toLong).as("n_proposed"),
+            coalesce(col("n_accepted"), lit(0L)).as("n_accepted"))
+          .withColumn("n_rejected",
+            col("n_proposed") - col("n_accepted"))
+      },
+      Some(s"""
+        WITH pos AS (
+          SELECT DISTINCT o_custkey AS custkey, l_partkey AS item
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        mp AS (SELECT MAX(p_partkey) AS max_part FROM part),
+        prop AS (
+          SELECT c_custkey AS custkey,
+                 ('0x'||substr(md5(CAST(c_custkey AS VARCHAR) || '|' ||
+                   CAST(i AS VARCHAR)),1,8))::BIGINT % max_part + 1 AS item
+          FROM customer, mp, unnest(range($K)) AS t(i)),
+        acc AS (
+          SELECT custkey, COUNT(*) AS n_accepted
+          FROM prop ANTI JOIN pos USING (custkey, item)
+          GROUP BY 1)
+        SELECT c_custkey AS custkey,
+               CAST($K AS BIGINT) AS n_proposed,
+               CAST(COALESCE(acc.n_accepted, 0) AS BIGINT) AS n_accepted,
+               CAST($K - COALESCE(acc.n_accepted, 0) AS BIGINT)
+                 AS n_rejected
+        FROM customer LEFT JOIN acc ON c_custkey = acc.custkey
+      """))
+  }
+
   val registry: Seq[Q] =
-    Seq(q218, q219, q220, q221, q222, q223, q224, q225)
+    Seq(q218, q219, q220, q221, q222, q223, q224, q225, q226, q227)
 }

@@ -219,6 +219,71 @@ class TrainingSetSpec extends AnyFunSuite {
       "fixed tiles unexpectedly survived the shift — check the contrast")
   }
 
+  test("q226 composes dedup, gate, and packing exactly (brute-force survivors)") {
+    val re = "[a-z]+|[0-9]+|[^a-z0-9 ]".r
+    val stop = Set("the", "a", "of", "and", "to", "in")
+    // brute-force the survivor token stream in doc_id order
+    val seen = scala.collection.mutable.Set[String]()
+    val survivors = docs().sortBy(_._1).flatMap { case (id, text, _, _) =>
+      val t = text.toLowerCase.trim.replaceAll("\\s+", " ")
+      val w = t.split(" ")
+      val ttr = w.distinct.length.toDouble / w.length
+      val stopR = w.count(stop).toDouble / w.length
+      val lenP = math.min(1.0, w.length / 100.0)
+      val q = BigDecimal(ttr * 0.4 + (1.0 - stopR) * 0.3 + lenP * 0.3)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val isFirst = seen.add(t)
+      val nTok = re.findAllIn(t).length.toLong
+      if (isFirst && q >= 0.63 && nTok > 0) Some((id, nTok)) else None
+    }
+    var cum = 0L
+    val expected = survivors.map { case (id, n) =>
+      val pack = cum / 2048; cum += n; (pack, id, n)
+    }.groupBy(_._1).map { case (p, g) =>
+      p -> ((g.length.toLong, g.map(_._3).sum))
+    }
+    val got = rowsOf("q226_corpus_pipeline").map(r =>
+      r.getAs[Long]("pack_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    assert(got == expected)
+    assert(got.values.map(_._2).sum == survivors.map(_._2).sum)
+  }
+
+  test("q227 accounting: accepted + rejected = k, rejections are true collisions") {
+    val rows = rowsOf("q227_negative_sampling")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_proposed") == 4L)
+      assert(r.getAs[Long]("n_accepted") + r.getAs[Long]("n_rejected") == 4L)
+    }
+    // brute force the collisions for every customer
+    import org.apache.spark.sql.functions.col
+    val pos = Tables.load(Tables.tuned(spark), dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.load(Tables.tuned(spark), dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val maxPart = Tables.load(Tables.tuned(spark), dir, "part")
+      .agg(org.apache.spark.sql.functions.max(col("p_partkey")))
+      .collect().head.getLong(0)
+    def md5i32(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    rows.foreach { r =>
+      val c = r.getAs[Long]("custkey")
+      val rejected = (0 until 4).count { i =>
+        pos.contains((c, md5i32(s"$c|$i") % maxPart + 1))
+      }
+      assert(r.getAs[Long]("n_rejected") == rejected.toLong,
+        s"customer $c: rejected ${r.getAs[Long]("n_rejected")}, " +
+          s"brute force $rejected")
+    }
+  }
+
   test("q222 shards are contiguous, tile 1..N, and are balanced within one") {
     val rows = rowsOf("q222_epoch_shuffle")
       .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
