@@ -11,15 +11,19 @@ import graft.functions.TextOps
 /** Round-10 wave: training-SET construction — the operators that turn
   * a cleaned, deduped corpus (the q45–q52/q89–q146 pipeline output)
   * into the artifact a training run actually consumes. q216/q217 pack
-  * documents into context windows; these five cover the remaining
-  * standard steps: source mixing weights (temperature sampling à la
-  * multilingual-corpus balancing), length-bucketed batching with
-  * padding-waste accounting, corpus-wide duplicated-n-gram coverage
-  * (the exact-substring-dup telemetry of Lee et al.'s "Deduplicating
-  * Training Data" — at n-gram-start granularity, which keeps the pass
-  * linear), near-dup canonical selection (keep the best-quality
-  * representative per content cluster, not merely the first), and the
-  * deterministic epoch shuffle + contiguous shard manifest.
+  * documents into context windows; these ten cover the remaining
+  * standard steps: source mixing weights q218 (temperature sampling à
+  * la multilingual-corpus balancing), length-bucketed batching q219
+  * with padding-waste accounting, corpus-wide duplicated-n-gram
+  * coverage q220 (the exact-substring-dup telemetry of Lee et al.'s
+  * "Deduplicating Training Data" — at n-gram-start granularity, which
+  * keeps the pass linear), near-dup canonical selection q221 (keep
+  * the best-quality representative per content cluster, not merely
+  * the first), the deterministic epoch shuffle + contiguous shard
+  * manifest q222, n-gram-level train/eval decontamination q223,
+  * sub-document span dedup as fixed tiles q224 and content-defined
+  * chunks q225, the composed end-to-end pipeline q226, and
+  * deterministic negative sampling q227.
   *
   * The reference has no analogue for any of these (its corpus surface
   * is one group-count); they extend the SURVEY §2.11 tier.
