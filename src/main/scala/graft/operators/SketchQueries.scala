@@ -255,5 +255,123 @@ object SketchQueries {
       GROUP BY 1
     """))
 
-  val registry: Seq[Q] = Seq(q190, q191, q195)
+  /** KMV (k-minimum-values) distinct sketch with SET-OPERATION algebra
+    * — the capability q190's HLL lacks: max-merged HLL registers give
+    * union estimates only, while two KMV sketches support union AND
+    * intersection/Jaccard estimation from the sketches alone
+    * (Beyer et al., "On Synopses for Distinct-Value Estimation Under
+    * Multiset Operations", SIGMOD'07). For every event-type pair
+    * (a < b): K_A/K_B are each type's k=64 smallest md5-derived
+    * 32-bit user hashes; K_U = the k smallest of K_A ∪ K_B (a valid
+    * KMV of the union by the k-min property); ρ = |{h ∈ K_U : h ∈ K_A
+    * ∧ h ∈ K_B}| / |K_U| estimates Jaccard; est_union = (k−1)·2³²/t_k
+    * (t_k = K_U's largest member) when the union carries ≥ k distinct
+    * hashes, the EXACT distinct count below that (small-range branch,
+    * like q190's linear counting; the sf ladder exercises both).
+    *
+    * Deterministic end to end: md5 hashing, integer thresholds, and
+    * divisions of integers both engines computed identically — the
+    * approximate estimates are hash-compared, not bounded. Scale: one
+    * distinct-(type,user) aggregation of the fact table; everything
+    * after runs on ≤ k·|types| rows of sketch state (320 here —
+    * constant in fact volume, the point of a sketch).
+    */
+  private val q228 = {
+    val K = 64
+    Q(
+      "q228_kmv_sketch",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val kmv = t(s, dir, "events")
+          .select(col("event_type"), col("user_id")).distinct()
+          .select(col("event_type"),
+            md5Int32(col("user_id").cast(StringType)).as("h"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("h").asc)))
+          .filter(col("rk") <= K)
+          .select(col("event_type"), col("h"))
+        // sketch state from here on: ≤ k·|types| rows. Pair grid and
+        // union sketches are dimension-table algebra (the OR-join is a
+        // broadcast nested loop over ≤ 25 pairs × 320 sketch rows).
+        val types = kmv.select(col("event_type")).distinct()
+        val pairs = types.select(col("event_type").as("type_a"))
+          .join(types.select(col("event_type").as("type_b")),
+            col("type_a") < col("type_b"))
+        val unionK = pairs
+          .join(kmv, col("event_type") === col("type_a") ||
+            col("event_type") === col("type_b"))
+          .select(col("type_a"), col("type_b"), col("h"))
+          .distinct()
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("type_a"), col("type_b"))
+              .orderBy(col("h").asc)))
+          .filter(col("rk") <= K)
+        val a = kmv.select(col("event_type").as("type_a"),
+          col("h"), lit(1).as("in_a"))
+        val b = kmv.select(col("event_type").as("type_b"),
+          col("h"), lit(1).as("in_b"))
+        val flagged = unionK
+          .join(a, Seq("type_a", "h"), "left")
+          .join(b, Seq("type_b", "h"), "left")
+        flagged.groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("ku"),
+            sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+              .otherwise(0L)).as("shared"),
+            max(col("h")).as("tk"))
+          .select(col("type_a"), col("type_b"),
+            col("ku").cast(LongType).as("union_sketch_size"),
+            col("shared").cast(LongType).as("shared_in_union"),
+            (col("shared").cast(DoubleType) / col("ku").cast(DoubleType))
+              .as("est_jaccard"),
+            when(col("ku") < K, col("ku").cast(DoubleType))
+              .otherwise(lit((K - 1).toDouble) * lit(4294967296.0) /
+                col("tk").cast(DoubleType))
+              .as("est_union"))
+      },
+      Some(s"""
+        WITH du AS (
+          SELECT DISTINCT event_type, user_id FROM events),
+        kmv AS (
+          SELECT event_type, h FROM (
+            SELECT event_type,
+                   ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT
+                     AS h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY ('0x'||substr(md5(CAST(user_id AS VARCHAR)),
+                       1,8))::BIGINT ASC) AS rk
+            FROM du)
+          WHERE rk <= $K),
+        pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b
+          FROM (SELECT DISTINCT event_type FROM kmv) a,
+               (SELECT DISTINCT event_type FROM kmv) b
+          WHERE a.event_type < b.event_type),
+        uni AS (
+          SELECT type_a, type_b, h, ROW_NUMBER() OVER (
+                   PARTITION BY type_a, type_b ORDER BY h ASC) AS rk
+          FROM (
+            SELECT DISTINCT p.type_a, p.type_b, k.h
+            FROM pairs p JOIN kmv k
+              ON k.event_type = p.type_a OR k.event_type = p.type_b)),
+        fl AS (
+          SELECT u.type_a, u.type_b, u.h,
+                 CASE WHEN ka.h IS NOT NULL AND kb.h IS NOT NULL
+                      THEN 1 ELSE 0 END AS in_both
+          FROM uni u
+          LEFT JOIN kmv ka ON ka.event_type = u.type_a AND ka.h = u.h
+          LEFT JOIN kmv kb ON kb.event_type = u.type_b AND kb.h = u.h
+          WHERE u.rk <= $K)
+        SELECT type_a, type_b,
+               COUNT(*) AS union_sketch_size,
+               CAST(SUM(in_both) AS BIGINT) AS shared_in_union,
+               CAST(SUM(in_both) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 AS est_jaccard,
+               CASE WHEN COUNT(*) < $K THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE ${K - 1}.0 * 4294967296.0
+                         / CAST(MAX(h) AS DOUBLE) END AS est_union
+        FROM fl GROUP BY 1, 2
+      """))
+  }
+
+  val registry: Seq[Q] = Seq(q190, q191, q195, q228)
 }

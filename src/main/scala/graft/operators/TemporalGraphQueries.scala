@@ -784,6 +784,75 @@ object TemporalGraphQueries {
       FROM ranked WHERE rnk <= 3
     """))
 
+  /** Ordered event funnel (round 10): per user, the earliest
+    * strictly-increasing view → click → purchase chain — t₁ = first
+    * view, t₂ = first click AFTER t₁, t₃ = first purchase AFTER t₂ —
+    * the sequencing q151 (cohorts), q172 (attribution), and q177
+    * (streaks) don't cover: a user with all three event types still
+    * fails the funnel if they never occur in ORDER. The greedy
+    * earliest-chain rule is the standard funnel semantic (it maximizes
+    * completion: if any increasing chain exists, the greedy one does).
+    *
+    * Shape: three per-user min-aggregations chained by two user-keyed
+    * joins — every shuffle is on user_id, each stage's input is
+    * pre-filtered to one event type, and nothing is ever collected or
+    * windowed globally. Output: per-step completing-user counts plus
+    * the conversion fraction (one division of two counts).
+    */
+  private val q229 = Q(
+    "q229_event_funnel",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      def firstOf(tpe: String) = ev.filter(col("event_type") === tpe)
+      val s1 = firstOf("view").groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t1"))
+      val s2 = firstOf("click").join(s1, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = firstOf("purchase").join(s2, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      val counts = s1.agg(count(lit(1)).as("n")).withColumn("step", lit(1))
+        .unionByName(
+          s2.agg(count(lit(1)).as("n")).withColumn("step", lit(2)))
+        .unionByName(
+          s3.agg(count(lit(1)).as("n")).withColumn("step", lit(3)))
+      val base = s1.agg(count(lit(1)).as("n_base"))
+      counts.crossJoin(base)
+        .select(col("step"),
+          when(col("step") === 1, "view")
+            .when(col("step") === 2, "view>click")
+            .otherwise("view>click>purchase").as("funnel_step"),
+          col("n").cast(LongType).as("n_users"),
+          (col("n").cast(DoubleType) / col("n_base").cast(DoubleType))
+            .as("conversion"))
+    },
+    Some("""
+      WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+      c AS (
+        SELECT 1 AS step, COUNT(*) AS n FROM s1
+        UNION ALL SELECT 2, COUNT(*) FROM s2
+        UNION ALL SELECT 3, COUNT(*) FROM s3)
+      SELECT step,
+             CASE step WHEN 1 THEN 'view' WHEN 2 THEN 'view>click'
+                  ELSE 'view>click>purchase' END AS funnel_step,
+             CAST(n AS BIGINT) AS n_users,
+             CAST(n AS DOUBLE) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM s1)
+               AS conversion
+      FROM c
+    """))
+
   val registry: Seq[Q] = Seq(q162, q163, q164, q165, q166, q167, q168,
-    q169, q170, q171, q172, q173, q174)
+    q169, q170, q171, q172, q173, q174, q229)
 }

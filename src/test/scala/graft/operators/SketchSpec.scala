@@ -139,4 +139,43 @@ class SketchSpec extends AnyFunSuite {
       assert(avg > 0.5 && avg < 1.5, s"label ${r.get(0)}: avg=$avg")
     }
   }
+
+  test("q228_kmv_sketch: estimates match brute-force sets; jaccard/union are honest") {
+    import org.apache.spark.sql.functions.col
+    val rows = df("q228_kmv_sketch").collect()
+    assert(rows.nonEmpty)
+    // brute-force the per-type distinct user sets
+    val pairs = table("events").select(col("event_type"), col("user_id"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val sets = pairs.groupBy(_._1).map { case (t, g) => t -> g.map(_._2).toSet }
+    def md5i32(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      assert(a < b)
+      val (sa, sb) = (sets(a), sets(b))
+      val union = sa ++ sb
+      val ku = r.getAs[Long]("union_sketch_size")
+      assert(ku <= 64L && ku <= union.size.toLong)
+      // recompute the union sketch and shared count from raw hashes
+      val hA = sa.map(u => md5i32(u.toString))
+      val hB = sb.map(u => md5i32(u.toString))
+      val kU = (hA ++ hB).toSeq.sorted.take(64)
+      assert(ku == kU.length.toLong)
+      val shared = kU.count(h => hA(h) && hB(h)).toLong
+      assert(r.getAs[Long]("shared_in_union") == shared)
+      val estU = r.getAs[Double]("est_union")
+      if (union.size < 64) assert(estU == union.size.toDouble)
+      else {
+        // KMV standard error ~ 1/sqrt(k-1) ~ 12.6%; allow 4 sigma
+        assert(math.abs(estU - union.size) / union.size < 0.5,
+          s"($a,$b): est_union $estU vs ${union.size}")
+      }
+      val trueJ = (sa & sb).size.toDouble / union.size
+      assert(math.abs(r.getAs[Double]("est_jaccard") - trueJ) <= 0.5)
+    }
+  }
 }

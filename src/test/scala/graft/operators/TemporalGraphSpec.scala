@@ -214,4 +214,35 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(m.values.forall(_ >= 0L))
   }
 
+
+  test("q229_event_funnel: greedy chain counts match driver brute force") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.Queries.queries("q229_event_funnel")(spark, dir)
+      .collect().map(r => r.getAs[Int]("step") ->
+        r.getAs[Long]("n_users")).toMap
+    val ev = graft.Tables.load(graft.Tables.tuned(spark), dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime))
+    val byUser = ev.groupBy(_._1)
+    var (n1, n2, n3) = (0L, 0L, 0L)
+    byUser.values.foreach { g =>
+      val views = g.filter(_._2 == "view").map(_._3)
+      if (views.nonEmpty) {
+        n1 += 1
+        val t1 = views.min
+        val clicks = g.filter(e => e._2 == "click" && e._3 > t1).map(_._3)
+        if (clicks.nonEmpty) {
+          n2 += 1
+          val t2 = clicks.min
+          if (g.exists(e => e._2 == "purchase" && e._3 > t2)) n3 += 1
+        }
+      }
+    }
+    assert(rows(1) == n1 && rows(2) == n2 && rows(3) == n3,
+      s"got $rows, brute force ($n1, $n2, $n3)")
+    // monotone funnel
+    assert(n1 >= n2 && n2 >= n3)
+  }
 }
