@@ -294,8 +294,11 @@ object SketchQueries {
         // union sketches are dimension-table algebra (the OR-join is a
         // broadcast nested loop over ≤ 25 pairs × 320 sketch rows).
         val types = kmv.select(col("event_type")).distinct()
+        // explicit broadcast so the inequality self-join of the TYPE
+        // DIMENSION (≤ |event types| rows, enum-bounded) plans as a
+        // BroadcastNestedLoopJoin, never a CartesianProduct
         val pairs = types.select(col("event_type").as("type_a"))
-          .join(types.select(col("event_type").as("type_b")),
+          .join(broadcast(types.select(col("event_type").as("type_b"))),
             col("type_a") < col("type_b"))
         val unionK = pairs
           .join(kmv, col("event_type") === col("type_a") ||

@@ -819,7 +819,9 @@ object TemporalGraphQueries {
         .unionByName(
           s3.agg(count(lit(1)).as("n")).withColumn("step", lit(3)))
       val base = s1.agg(count(lit(1)).as("n_base"))
-      counts.crossJoin(base)
+      // broadcast the 1-row denominator: BroadcastNestedLoopJoin, not
+      // CartesianProduct (PLANS.md broadcast audit: 1-row aggregates)
+      counts.crossJoin(broadcast(base))
         .select(col("step"),
           when(col("step") === 1, "view")
             .when(col("step") === 2, "view>click")
