@@ -300,8 +300,8 @@ object SketchQueries {
         val pairs = types.select(col("event_type").as("type_a"))
           .join(broadcast(types.select(col("event_type").as("type_b"))),
             col("type_a") < col("type_b"))
-        val unionK = pairs
-          .join(kmv, col("event_type") === col("type_a") ||
+        val unionK = kmv
+          .join(broadcast(pairs), col("event_type") === col("type_a") ||
             col("event_type") === col("type_b"))
           .select(col("type_a"), col("type_b"), col("h"))
           .distinct()
