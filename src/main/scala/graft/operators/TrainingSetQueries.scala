@@ -25,8 +25,10 @@ import graft.functions.TextOps
   * chunks q225, the composed end-to-end pipeline q226, and
   * deterministic negative sampling q227.
   *
-  * The reference has no analogue for any of these (its corpus surface
-  * is one group-count); they extend the SURVEY §2.11 tier.
+  * The reference has no analogue for any of these — its only corpus
+  * aggregation surface is the single group-count at
+  * pyspark_app/spark_model_trainer.py:151-156 (see SURVEY §2.3); they
+  * extend the SURVEY §2.11 tier.
   *
   * Exactness discipline (the hash-compare contract): every number that
   * crosses the oracle boundary is a 64-bit integer, or a double from
