@@ -185,6 +185,78 @@ class PropertySpec extends AnyFunSuite {
     assert(r.getAs[Double]("mse_mean") <= r.getAs[Double]("mse_max"))
   }
 
+  // --- sequence-packing pair (q216/q217) under generated corpora ----
+  // Random doc lengths (incl. zero-token and >2·2048-token docs, plus
+  // exact pack multiples) written as a documents.parquet fixture, then
+  // run through the REAL registry queries — not a re-implementation.
+  private lazy val packingFixture: (String, Long) = {
+    import spark.implicits._
+    // one [a-z]+ token per "a" word; "" and "   " carry zero tokens
+    val lens = sample(Gen.listOfN(80, Gen.frequency(
+      (5, Gen.choose(0, 300)),      // typical short docs (incl. 0)
+      (2, Gen.choose(4097, 6000)),  // docs spanning >2 packs
+      (1, Gen.oneOf(2048, 4096)),   // exact pack multiples
+      (1, Gen.const(0)))))          // extra zero-token mass
+    val rows = lens.zipWithIndex.map { case (n, i) =>
+      val text = if (n == 0 && i % 2 == 0) "   " // whitespace-only
+                 else Seq.fill(n)("a").mkString(" ")
+      (i.toLong, text)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_packing_prop_").toString
+    rows.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    (dir, lens.map(_.toLong).sum)
+  }
+
+  test("packing conservation: q217 slice tokens sum to the corpus total") {
+    val (dir, totalTok) = packingFixture
+    val manifest = Queries.registry
+      .find(_.name == "q217_pack_boundary_manifest").get.build(spark, dir)
+      .collect()
+    assert(manifest.map(_.getAs[Long]("n_tokens")).sum == totalTok,
+      s"slices lose/mint tokens (expected $totalTok)")
+  }
+
+  test("packing exactness: every interior pack holds exactly 2048 tokens") {
+    val (dir, _) = packingFixture
+    val manifest = Queries.registry
+      .find(_.name == "q217_pack_boundary_manifest").get.build(spark, dir)
+      .collect()
+    val lastPack = manifest.map(_.getAs[Long]("pack_id")).max
+    val bad = manifest.filter(r =>
+      r.getAs[Long]("pack_id") != lastPack &&
+        r.getAs[Long]("n_tokens") != 2048L)
+    assert(bad.isEmpty,
+      s"non-2048 interior packs: ${bad.take(3).mkString(", ")}")
+  }
+
+  test("packing consistency: q217 manifest reproduces q216's pack summary") {
+    val (dir, _) = packingFixture
+    val summary = Queries.registry
+      .find(_.name == "q216_sequence_packing").get.build(spark, dir)
+      .collect().map(r => r.getAs[Long]("pack_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    val manifest = Queries.registry
+      .find(_.name == "q217_pack_boundary_manifest").get.build(spark, dir)
+      .collect().map(r => r.getAs[Long]("pack_id") ->
+        (r.getAs[Long]("n_slices"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_carryover_docs"))).toMap
+    // q216 assigns each doc to the pack of its FIRST token, so q216's
+    // pack set is the set of packs where at least one doc STARTS —
+    // exactly the manifest packs with a non-carryover slice
+    val startPacks = manifest.filter { case (_, (sl, _, co)) => sl > co }
+    assert(summary.keySet == startPacks.keySet,
+      "pack sets diverge between summary and manifest")
+    // docs starting in a pack = its slices minus its carried-over docs
+    startPacks.foreach { case (p, (slices, _, carry)) =>
+      assert(summary(p)._1 == slices - carry,
+        s"pack $p: n_docs ${summary(p)._1} != $slices-$carry")
+    }
+    // both views conserve the same corpus total
+    assert(summary.values.map(_._2).sum ==
+      manifest.values.map(_._2).sum)
+  }
+
   test("q142 reconciliation is total and unambiguous") {
     // every document's key attaches to exactly one canonical source:
     // per-source n_obs sums to the corpus size, and exact+fuzzy
