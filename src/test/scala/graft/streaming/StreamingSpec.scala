@@ -313,6 +313,135 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** Run `body` with the RocksDB state-store provider (required by
+    * transformWithState), restoring the previous provider after. */
+  private def withRocksDB[A](body: => A): A = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally {
+      before match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("ListState buffer survives a checkpointed restart") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import spark.implicits._
+    withRocksDB {
+      val dir = java.nio.file.Files.createTempDirectory("graft_tws_ls_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_ls_").toString
+      def writeFile(rows: Seq[(Long, Long, Long)]): Unit =
+        rows.toDF("user_id", "ts_us", "event_id").coalesce(1)
+          .write.mode("append").parquet(dir)
+      // run one AvailableNow leg; returns (user, rnk) -> (event_id, ts_us)
+      // for every row emitted during THIS leg only
+      def run(): Map[(Long, Long), (Long, Long)] = {
+        val seen = new java.util.concurrent.ConcurrentHashMap[
+          (Long, Long), (Long, Long)]()
+        val src = spark.readStream
+          .schema("user_id LONG, ts_us LONG, event_id LONG")
+          .parquet(dir)
+          .as[(Long, Long, Long)]
+        val out = src.groupByKey(_._1)
+          .transformWithState(new LastEventsProcessor,
+            TimeMode.None(), OutputMode.Update())
+        val q = out.toDF("user_id", "rnk", "event_id", "ts_us")
+          .writeStream
+          .outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], _: Long) =>
+            batch.collect().foreach(r =>
+              seen.put((r.getLong(0), r.getLong(1)),
+                (r.getLong(2), r.getLong(3))))
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        import scala.jdk.CollectionConverters._
+        seen.asScala.toMap
+      }
+      writeFile(Seq((1L, 400L, 4L), (1L, 300L, 3L), (1L, 200L, 2L),
+        (1L, 100L, 1L)))
+      val first = run()
+      assert(first == Map((1L, 1L) -> (4L, 400L), (1L, 2L) -> (3L, 300L),
+        (1L, 3L) -> (2L, 200L)))
+      // restart against the SAME checkpoint: the new events must merge
+      // into the buffer carried in ListState — a lost buffer would rank
+      // (350,5) first and surface (50,6), never (400,4)/(300,3)
+      writeFile(Seq((1L, 350L, 5L), (1L, 50L, 6L)))
+      val second = run()
+      assert(second == Map((1L, 1L) -> (4L, 400L), (1L, 2L) -> (5L, 350L),
+        (1L, 3L) -> (3L, 300L)),
+        s"ListState buffer did not carry across restart: $second")
+    }
+  }
+
+  test("event-time timers and their state survive a checkpointed restart") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import spark.implicits._
+    withRocksDB {
+      val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prevNd = spark.conf.get(ndKey)
+      // timers fire in the terminal no-data batch (watermark advance)
+      spark.conf.set(ndKey, "true")
+      try {
+        val dir = java.nio.file.Files.createTempDirectory("graft_tws_tm_").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_tm_").toString
+        val T0 = 1000000000000L // fixed epoch ms; determinism per the no-wall-clock rule
+        val Gap = 30L * 60 * 1000
+        def writeFile(rows: Seq[(Long, Long)]): Unit =
+          rows.toDF("user_id", "ms")
+            .select(col("user_id"), timestamp_millis(col("ms")).as("ets"))
+            .coalesce(1).write.mode("append").parquet(dir)
+        def run(): Map[Long, (Long, Long)] = {
+          val seen = new java.util.concurrent.ConcurrentHashMap[
+            Long, (Long, Long)]()
+          val src = spark.readStream
+            .schema("user_id LONG, ets TIMESTAMP")
+            .parquet(dir)
+            .withWatermark("ets", "1 second")
+            .select(col("user_id"), unix_millis(col("ets")).as("ms"))
+            .as[(Long, Long)]
+          val out = src.groupByKey(_._1)
+            .transformWithState(new InactivityTimerProcessor,
+              TimeMode.EventTime(), OutputMode.Update())
+          val q = out.toDF("user_id", "last_ms", "expiry_ms")
+            .writeStream
+            .outputMode("update")
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+                org.apache.spark.sql.Row], _: Long) =>
+              batch.collect().foreach(r =>
+                seen.put(r.getLong(0), (r.getLong(1), r.getLong(2))))
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          import scala.jdk.CollectionConverters._
+          seen.asScala.toMap
+        }
+        // leg 1: user 1 at T0 registers a timer at T0+30min; the leg's
+        // terminal watermark is T0-1s, so nothing fires yet
+        writeFile(Seq((1L, T0)))
+        val first = run()
+        assert(first.isEmpty, s"timer fired before its expiry: $first")
+        // leg 2 restart: user 2 at T0+40min pushes the watermark past
+        // user 1's pending timer — the timer AND the last_seen value it
+        // emits from must both have survived the restart
+        writeFile(Seq((2L, T0 + 40 * 60 * 1000)))
+        val second = run()
+        assert(second == Map(1L -> (T0, T0 + Gap)),
+          s"timer/state did not carry across restart: $second")
+      } finally spark.conf.set(ndKey, prevNd)
+    }
+  }
+
   test("q197 transformWithState equals batch agg; provider conf restored") {
     val dir = "/root/testdata/sf0.001"
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
