@@ -137,6 +137,23 @@ object Trainer {
     * slicing — nothing here is bounded by Int.MaxValue rows. */
   private[ml] def indexByOrder(
       df: DataFrame, orderCols: Seq[String]): (DataFrame, () => Unit) = {
+    val (frame, release, _) = indexByOrderN(df, orderCols, 0L)
+    (frame, release)
+  }
+
+  /** [[indexByOrder]] that also returns the row count (free — the sort
+    * is materialized by a count) and, when `rowsPerPartition` > 0,
+    * right-sizes the indexed frame's partition count to the data with
+    * a shuffle-free `coalesce` INSTEAD of the former post-hoc
+    * `repartition` pass. Once the index column is attached, row
+    * placement no longer matters (slices filter on [[RnCol]]), so the
+    * coalesce's arbitrary grouping of parent partitions is safe — and
+    * it saves one full shuffle + materialization per training run,
+    * which at local job-latency floors is a measurable slice of the
+    * q63 bench line. */
+  private[ml] def indexByOrderN(
+      df: DataFrame, orderCols: Seq[String],
+      rowsPerPartition: Long): (DataFrame, () => Unit, Long) = {
     val ordered = df.orderBy(orderCols.map(col): _*)
     val schema = org.apache.spark.sql.types.StructType(
       ordered.schema.fields :+ org.apache.spark.sql.types.StructField(
@@ -144,12 +161,22 @@ object Trainer {
     val sortedRdd = ordered.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val indexedRdd = sortedRdd.zipWithIndex.map { case (r, i) =>
+      // one job: materialize the range-partitioned sort AND learn n
+      val n = sortedRdd.count()
+      // zipWithIndex's internal per-partition-size job reads the
+      // cached sort blocks (cheap); the map attaches the global index
+      val indexed0 = sortedRdd.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      val indexedRdd = (if (rowsPerPartition > 0) {
+        val parts = math.max(1, math.min(sortedRdd.getNumPartitions,
+          (n / rowsPerPartition + 1L).toInt))
+        indexed0.coalesce(parts)
+      } else indexed0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       indexedRdd.count() // eager: materialize while the sort is cached
       val frame = df.sparkSession.createDataFrame(indexedRdd, schema)
-      (frame, () => indexedRdd.unpersist(false): Unit)
+      (frame, () => indexedRdd.unpersist(false): Unit, n)
     } finally sortedRdd.unpersist(false)
   }
 
@@ -196,22 +223,17 @@ object Trainer {
       orderCols: Seq[String],
       outDir: String,
       minRows: Long = 10): Map[Int, Long] = {
-    // MLlib fits are iterative (tens of jobs); right-size the cached
-    // training frame's partition count to the data so per-task
-    // scheduling overhead doesn't dominate tiny fits. repartition (a
-    // shuffle of the already-materialized indexed rows), NOT coalesce —
-    // coalesce would collapse the upstream sort's parallelism too.
-    val (prepared, releasePrepared) = indexByOrder(
-      withLabel(prepare(raw)), orderCols)
-    val n = prepared.count()
-    val parts = math.max(1, math.min(
-      prepared.rdd.getNumPartitions, (n / 4096L + 1L).toInt))
-    val indexed = prepared.repartition(parts).persist()
+    // MLlib fits are iterative (tens of tiny jobs); right-size the
+    // cached training frame's partition count to the data so per-task
+    // scheduling overhead doesn't dominate tiny fits. The sizing
+    // happens INSIDE the indexing pass (shuffle-free coalesce after
+    // the index is attached — see indexByOrderN), not as a post-hoc
+    // repartition: that saves one full shuffle + materialization +
+    // two count jobs per run, which at the measured ~23ms/job local
+    // scheduling floor was a visible slice of the q63 bench line.
+    val (indexed, releasePrepared, n) = indexByOrderN(
+      withLabel(prepare(raw)), orderCols, rowsPerPartition = 4096L)
     try {
-      indexed.count()
-      // indexed is materialized — the pre-repartition index blocks are
-      // no longer needed (release is idempotent; also in the finally)
-      releasePrepared()
       // The 5 fits are independent seeded pipelines over nested slices
       // of the SAME cached frame: run them concurrently (the
       // CrossValidator-parallelism pattern). Each fit is a chain of
@@ -262,7 +284,7 @@ object Trainer {
         Await.result(dataWrite, Duration.Inf)
         futures.map(Await.result(_, Duration.Inf)).toMap
       } finally pool.shutdown()
-    } finally { releasePrepared(); indexed.unpersist() }
+    } finally releasePrepared()
   }
 
   def loadModel(dir: String, k: Int): PipelineModel =

@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc warm-loop profiler: runs the named registry queries N times
+  * in one warm session and prints per-iteration seconds. Used to
+  * separate plan cost from first-use class-loading when a bench line
+  * looks slow in isolation. */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args.toSeq else Seq("q63_ml_cumulative_train")
+    val builder = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+    // conf experiments: GRAFT_PROF_CONF="k1=v1,k2=v2"
+    sys.env.get("GRAFT_PROF_CONF").foreach(_.split(",").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val reps = sys.env.getOrElse("GRAFT_PROF_REPS", "3").toInt
+    if (sys.env.contains("GRAFT_PROF_TRAINER")) profTrainer(spark, reps)
+    else names.foreach { n =>
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(n)(spark, sys.env.getOrElse(
+          "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")).count()
+        println(f"[prof] $n iter$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+    spark.stop()
+  }
+
+  /** Phase breakdown of q63's trainAll path: prep/index vs the five
+    * fits vs the artifact saves. */
+  private def profTrainer(spark: SparkSession, reps: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.ml.{FoodSchema, Trainer}
+    def tm[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof]   $tag ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    // scheduler floor: 50 trivial 1-task jobs, warm
+    val rdd1 = spark.sparkContext.parallelize(1 to 10, 1).cache()
+    rdd1.count()
+    val tf0 = System.nanoTime()
+    (1 to 50).foreach(_ => rdd1.count())
+    println(f"[prof] trivial-job latency ${(System.nanoTime() - tf0) / 50e6}%.1f ms")
+    (1 to reps).foreach { i =>
+      println(s"[prof] trainer iter$i")
+      val raw = graft.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+        .orderBy(col("l_orderkey"), col("l_linenumber")).limit(2500)
+        .select(
+          col("l_quantity").as(FoodSchema.proteinCol),
+          (col("l_extendedprice") / 1000.0).as(FoodSchema.energyCol),
+          col("l_discount").as("Total lipid (fat)-G"),
+          col("l_tax").as("Carbohydrate, by difference-G"),
+          col("l_returnflag").as(FoodSchema.descriptionCol))
+      val out = java.nio.file.Files.createTempDirectory("graft_prof_").toString
+      val prepared = tm("prepare+label")(Trainer.withLabel(Trainer.prepare(raw)))
+      val slices = tm("slices") {
+        val s = Trainer.cumulativeSlices(prepared,
+          Seq(FoodSchema.proteinCol, FoodSchema.energyCol))
+        s.foreach(_.persist().count()); s
+      }
+      tm("fit m1 kmeans")(Trainer.clusteringPipeline().fit(slices(0)))
+      tm("fit m3 scaler")(Trainer.scalingPipeline().fit(slices(2)))
+      val m4 = tm("fit m4 gbt-reg")(Trainer.regressionPipeline().fit(slices(3)))
+      val m5 = tm("fit m5 gbt-cls")(Trainer.classificationPipeline().fit(slices(4)))
+      tm("save m4")(m4.write.overwrite().save(s"$out/model_4"))
+      tm("save m5")(m5.write.overwrite().save(s"$out/model_5"))
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val stageMs = new java.util.concurrent.atomic.AtomicLong
+      val tasks = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          tasks.addAndGet(s.stageInfo.numTasks)
+          for (a <- s.stageInfo.submissionTime; b <- s.stageInfo.completionTime)
+            stageMs.addAndGet(b - a)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      tm("full trainAll")(Trainer.trainAll(raw,
+        Seq(FoodSchema.proteinCol, FoodSchema.energyCol),
+        java.nio.file.Files.createTempDirectory("graft_prof2_").toString))
+      spark.sparkContext.removeSparkListener(listener)
+      println(s"[prof]   trainAll jobs=${jobs.get} tasks=${tasks.get} " +
+        s"stageMs=${stageMs.get}")
+      slices.foreach(_.unpersist())
+    }
+  }
+}
