@@ -240,7 +240,12 @@ object DedupQueries {
     * shingle; scores themselves are exact (computed on the full sets,
     * q51's verify pattern). Pairs of a >cap-replicated cluster beyond
     * its cap lowest members are covered by q45/q46/q51, not here. */
-  private def prunedPairStats(docs: DataFrame): DataFrame = {
+  /** The capped-posting candidate machinery's two building blocks —
+    * (candidate pairs, full shingle-set table) — exposed to the
+    * SCALE.md candidate-growth probes (tools/ScaleBench `dedup` mode)
+    * so the measurement counts EXACTLY the frames the queries join,
+    * not a re-derivation that could drift. */
+  private[graft] def prunedCandParts(docs: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val c = corpus(docs)
       .withColumn("sh",
@@ -262,6 +267,11 @@ object DedupQueries {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     val shTab = c.select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+    (cand, shTab)
+  }
+
+  private def prunedPairStats(docs: DataFrame): DataFrame = {
+    val (cand, shTab) = prunedCandParts(docs)
     cand
       .join(shTab.select(col("doc_id").as("d1"), col("sh").as("sh1"),
         col("nsh").as("n1")), "d1")
@@ -311,36 +321,45 @@ object DedupQueries {
     * exact Jaccard ≥ 0.5 on the shingle sets. The banding join is the
     * 100 TB path — candidates are generated per-bucket, never all-pairs.
     */
+  /** q51's LSH index build + band-bucket candidate generation —
+    * (candidate pairs, full shingle-set table) — exposed to the
+    * SCALE.md candidate-growth probes for the same no-drift reason as
+    * [[prunedCandParts]]. */
+  private[graft] def lshBandParts(docs: DataFrame): (DataFrame, DataFrame) = {
+    // materialize the shingle-set table, then the band signature
+    // table: every downstream branch (band self-join sides, the two
+    // verify joins) reuses them instead of recomputing the
+    // tokenize->shingle->8x-minhash lineage — the LSH "index build"
+    val c = corpus(docs)
+      .withColumn("sh",
+        TextOps.shingleSet(TextOps.words(col("text")), 5))
+      .localCheckpoint()
+    // all 8 signature components in one native pass over the shingles
+    // (graft.plans.MinHashSig) instead of 8 interpreted HOF columns
+    val withMin = c.withColumn("ms",
+      graft.plans.MinHashSig.minhashSig(col("sh"), 8))
+    val withBands = withMin.withColumn("bands",
+      array((0 until 4).map(j =>
+        md5(concat(element_at(col("ms"), 2 * j + 1),
+          element_at(col("ms"), 2 * j + 2)))): _*))
+    val ex = withBands.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "bh")))
+      .localCheckpoint()
+    val cand = ex.alias("a")
+      .join(ex.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val shTab = c.select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+    (cand, shTab)
+  }
+
   private val q51 = Q(
     "q51_minhash_lsh",
     (s, dir) => {
-      // materialize the shingle-set table, then the band signature
-      // table: every downstream branch (band self-join sides, the two
-      // verify joins) reuses them instead of recomputing the
-      // tokenize->shingle->8x-minhash lineage — the LSH "index build"
-      val c = corpus(t(s, dir, "documents"))
-        .withColumn("sh",
-          TextOps.shingleSet(TextOps.words(col("text")), 5))
-        .localCheckpoint()
-      // all 8 signature components in one native pass over the shingles
-      // (graft.plans.MinHashSig) instead of 8 interpreted HOF columns
-      val withMin = c.withColumn("ms",
-        graft.plans.MinHashSig.minhashSig(col("sh"), 8))
-      val withBands = withMin.withColumn("bands",
-        array((0 until 4).map(j =>
-          md5(concat(element_at(col("ms"), 2 * j + 1),
-            element_at(col("ms"), 2 * j + 2)))): _*))
-      val ex = withBands.select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band_idx", "bh")))
-        .localCheckpoint()
-      val cand = ex.alias("a")
-        .join(ex.alias("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-      val shTab = c.select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+      val (cand, shTab) = lshBandParts(t(s, dir, "documents"))
       cand
         .join(shTab.select(col("doc_id").as("d1"), col("sh").as("sh1"),
           col("nsh").as("n1")), "d1")

@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.GenScale [srcDir] [outDir] [factor]
   * Defaults: /root/testdata/sf0.1 -> /tmp/graft_sf1, factor 10.
   * region/nation are constant dimensions and copy unshifted;
-  * embeddings copy unscaled. documents replicate with shifted doc_id
+  * embeddings replicate with shifted vec_id + deterministic ±5%
+  * jitter on copies (see inline note). documents replicate with
+  * shifted doc_id
   * and VERBATIM text (round 10) so the corpus wave is stressed with
   * xF exact duplication over the same vocabulary.
   */
@@ -28,6 +30,8 @@ object GenScale {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 4th arg: regenerate only the named tables
+    val only = args.drop(3).toSet
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -72,19 +76,50 @@ object GenScale {
       "documents" -> Map("doc_id" -> "doc_id"))
 
     scaled.foreach { case (t, shifts) =>
-      val base = load(t)
-      val copies = (0 until factor).map { i =>
-        shifts.foldLeft(base) { case (df, (c, strideKey)) =>
-          df.withColumn(c, col(c) + lit(i * strides(strideKey)))
+      if (only.isEmpty || only(t)) {
+        val base = load(t)
+        val copies = (0 until factor).map { i =>
+          shifts.foldLeft(base) { case (df, (c, strideKey)) =>
+            df.withColumn(c, col(c) + lit(i * strides(strideKey)))
+          }
         }
+        copies.reduce(_.unionAll(_))
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+        println(s"[genscale] $t x$factor written")
+      }
+    }
+    // embeddings replicate with shifted vec_id AND a small
+    // deterministic multiplicative jitter (±5%, xxhash64-derived) on
+    // copies i>0: verbatim vector copies would make every duplicate a
+    // cosine-identical tie and the recall-at-scale measurement
+    // (SCALE.md, round-9 advice #5) vacuous — jittered copies densify
+    // each vector's true neighborhood instead, which is the stress an
+    // ANN index actually faces as a corpus grows. Copy 0 is verbatim,
+    // so the probe vector (vec_id = 0) and every original neighbor
+    // ranking stay available.
+    if (only.isEmpty || only("embeddings")) {
+      val e = load("embeddings")
+      val stride = maxOf(e, "vec_id")
+      val copies = (0 until factor).map { i =>
+        if (i == 0) e
+        else e.select(
+          (col("vec_id") + lit(i * stride)).as("vec_id"),
+          transform(col("embedding"), (x, d) =>
+            (x * (lit(1.0) +
+              (pmod(xxhash64(col("vec_id") * 64 + d + lit(i * 1000003L)),
+                lit(2001L)).cast("double") - 1000.0) / 20000.0))
+              .cast("float")).as("embedding"),
+          col("label"))
       }
       copies.reduce(_.unionAll(_))
-        .write.mode("overwrite").parquet(s"$out/$t.parquet")
-      println(s"[genscale] $t x$factor written")
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      println(s"[genscale] embeddings x$factor written (jittered copies)")
     }
-    Seq("region", "nation", "embeddings").foreach { t =>
-      load(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
-      println(s"[genscale] $t copied")
+    Seq("region", "nation").foreach { t =>
+      if (only.isEmpty || only(t)) {
+        load(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+        println(s"[genscale] $t copied")
+      }
     }
     spark.stop()
   }

@@ -60,6 +60,16 @@ object ScaleBench {
     }
 
     names.foreach { name =>
+      if (name == "probe:dedup") { dedupProbe(spark, sfDir); cleanup() }
+      else if (name == "probe:recall") { recallProbe(spark, sfDir); cleanup() }
+      else runShapes(spark, sfDir, name, time)
+    }
+    spark.stop()
+  }
+
+  private def runShapes(spark: SparkSession, sfDir: String, name: String,
+      time: String => Double): Unit = {
+    {
       val shapes: Seq[(String, () => Unit, () => Unit)] =
         if (PrefixQueries.contains(name)) Seq(
           ("twophase", () => (), () => ()),
@@ -84,6 +94,46 @@ object ScaleBench {
         } finally unset()
       }
     }
-    spark.stop()
+  }
+
+  /** SCALE.md candidate-growth probe for the dedup family (round-9
+    * advice #2): counts the EXACT candidate frames q50/q112 (capped
+    * posting lists) and q51 (LSH band buckets) join, next to corpus
+    * size and verified-output size, so SCALE.md can state measured
+    * candidate growth instead of a design argument. */
+  private def dedupProbe(spark: SparkSession, sfDir: String): Unit = {
+    val docs = graft.Tables.load(graft.Tables.tuned(spark), sfDir, "documents")
+    val nDocs = docs.count()
+    val (cand50, _) = graft.operators.DedupQueries.prunedCandParts(docs)
+    val nCand50 = cand50.count()
+    val nOut50 = graft.SparkEntry.queries("q50_ngram_jaccard")(spark, sfDir).count()
+    val (cand51, _) = graft.operators.DedupQueries.lshBandParts(docs)
+    val nCand51 = cand51.count()
+    val nOut51 = graft.SparkEntry.queries("q51_minhash_lsh")(spark, sfDir).count()
+    println(s"""{"probe":"dedup","sf":"$sfDir","n_docs":$nDocs,""" +
+      s""""cand_posting_cap":$nCand50,"out_q50":$nOut50,""" +
+      s""""cand_lsh_bands":$nCand51,"out_q51":$nOut51}""")
+  }
+
+  /** SCALE.md ANN recall probe (round-9 advice #5): recall@10 of the
+    * multiprobe LSH (q101's own output), plus recall@5 of the
+    * single-bucket LSH query (q56) and the IVF nprobe=2 query (q59)
+    * against the exact scan (q53, self excluded) — all through the
+    * registry queries themselves. */
+  private def recallProbe(spark: SparkSession, sfDir: String): Unit = {
+    val r101 = graft.SparkEntry.queries("q101_ann_recall")(spark, sfDir)
+      .collect().head
+    val exact5 = graft.SparkEntry.queries("q53_cosine_knn")(spark, sfDir)
+      .collect().map(_.getLong(0)).filter(_ != 0L).take(5).toSet
+    def top5(name: String): Set[Long] =
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .collect().map(_.getLong(0)).take(5).toSet
+    val lsh5 = top5("q56_ann_lsh_query")
+    val ivf5 = top5("q59_ivf_ann")
+    val rl = (exact5 & lsh5).size / 5.0
+    val ri = (exact5 & ivf5).size / 5.0
+    println(s"""{"probe":"recall","sf":"$sfDir",""" +
+      s""""multiprobe_recall10":${r101.getAs[Double]("recall")},""" +
+      f""""lsh_bucket_recall5":$rl%.2f,"ivf_recall5":$ri%.2f}""")
   }
 }
