@@ -24,6 +24,7 @@ object Prof {
     spark.range(1000000).selectExpr("sum(id)").collect()
     val reps = sys.env.getOrElse("GRAFT_PROF_REPS", "3").toInt
     if (sys.env.contains("GRAFT_PROF_TRAINER")) profTrainer(spark, reps)
+    else if (sys.env.contains("GRAFT_PROF_STREAM")) profStream(spark, reps)
     else names.foreach { n =>
       (1 to reps).foreach { i =>
         val t0 = System.nanoTime()
@@ -33,6 +34,84 @@ object Prof {
       }
     }
     spark.stop()
+  }
+
+  /** Streaming fixed-cost isolation (round-9 advice #6): times the
+    * MINIMAL possible AvailableNow micro-batch query (3-row
+    * MemoryStream -> count -> noop sink, /dev/shm checkpoint) in a
+    * warm session, next to the real q43. If the minimal query costs
+    * ~the same fixed wall as q43's machinery share, the residual
+    * per-query ~0.9s is StreamExecution itself (thread spawn, offset
+    * WAL, incremental planning, commit log), not anything in our query
+    * code. */
+  private def profStream(spark: SparkSession, reps: Int): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // in-process sampling profiler for the micro-batch run: samples the
+    // stream-execution thread's top frames every 10ms and prints the
+    // histogram — names where the ~0.6s fixed cost actually goes
+    val sampling = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hist = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val sampler = new Thread(() => {
+      while (true) {
+        if (sampling.get()) {
+          import scala.jdk.CollectionConverters._
+          Thread.getAllStackTraces.asScala.foreach { case (t, frames) =>
+            if (t.getName.contains("stream execution") && frames.nonEmpty) {
+              val interesting = frames.find { f =>
+                val c = f.getClassName
+                c.startsWith("org.apache.spark") && !c.contains("Logging")
+              }.getOrElse(frames.head)
+              val key = s"${interesting.getClassName.split('.').last}" +
+                s".${interesting.getMethodName}"
+              hist.merge(key, 1, (a, b) => a + b)
+            }
+          }
+        }
+        Thread.sleep(10)
+      }
+    })
+    sampler.setDaemon(true); sampler.start()
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      sampling.set(true)
+      val ms = MemoryStream[Long]
+      ms.addData(1L, 2L, 3L)
+      val ckpt = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/dev/shm"), "graft_prof_ck_").toString
+      val q = ms.toDF().groupBy().count()
+        .writeStream.outputMode("complete").format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      val tStart = System.nanoTime()
+      q.awaitTermination(60000)
+      val tRun = System.nanoTime()
+      q.stop()
+      val tStop = System.nanoTime()
+      sampling.set(false)
+      println(f"[prof] minimal-stream iter$i ${(tStop - t0) / 1e9}%.2f s " +
+        f"(start ${(tStart - t0) / 1e9}%.2f, run ${(tRun - tStart) / 1e9}%.2f, " +
+        f"stop ${(tStop - tRun) / 1e9}%.2f)")
+      scala.util.Try(java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () }))
+    }
+    locally {
+      import scala.jdk.CollectionConverters._
+      val top = hist.asScala.toSeq.sortBy(-_._2).take(15)
+      val total = hist.asScala.values.map(_.toInt).sum
+      println(s"[prof] stream-exec samples=$total")
+      top.foreach { case (k, v) => println(f"[prof]   $v%4d  $k") }
+    }
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries("q43_stream_tumbling")(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")).count()
+      println(f"[prof] q43 iter$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
   }
 
   /** Phase breakdown of q63's trainAll path: prep/index vs the five
