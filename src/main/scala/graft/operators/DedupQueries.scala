@@ -569,28 +569,30 @@ object DedupQueries {
     """))
 
   /** Duplicate-cluster assignment: connected components over the q50
-    * near-dup pair graph (Jaccard >= 0.3), by iterative min-label
-    * propagation — the step that turns pairwise dup detection into
-    * keep-one-per-cluster dedup. Each iteration is one join + one
-    * min-aggregate (both key-partitioned shuffles, no driver data);
-    * the driver only checks a 1-row convergence aggregate per round,
-    * exactly the Pregel/GraphX iteration pattern, and rounds needed =
-    * graph diameter (checkpointed lineage, bounded at 20). Oracle:
-    * DuckDB recursive CTE computing min reachable id per node. */
+    * near-dup pair graph (capped-posting candidates, exact Jaccard >=
+    * 0.3 verify), by iterative min-label propagation — the step that
+    * turns pairwise dup detection into keep-one-per-cluster dedup.
+    * Each iteration is one join + one min-aggregate (both
+    * key-partitioned shuffles, no driver data); the driver only checks
+    * a 1-row convergence aggregate per round, exactly the
+    * Pregel/GraphX iteration pattern, and rounds needed = graph
+    * diameter (checkpointed lineage, bounded at 20).
+    *
+    * The pair graph is [[prunedPairStats]] — the SAME
+    * [[MaxShingleDf]]-capped machinery as q50/q112, not an uncapped
+    * shingle self-join: the uncapped formulation "worked" at bench SF
+    * and detonated on the ×100 replication measurement (a shingle
+    * shared by m docs emits m² pair rows before the Jaccard filter —
+    * OOM at m ≈ 5000), which is exactly the skew blow-up the cap
+    * exists to bound. Recall contract inherited from q50: pairs of a
+    * >cap-replicated cluster beyond its cap lowest members arrive
+    * transitively or not at all (q45/q46/q51 cover full membership).
+    * Oracle: DuckDB recursive CTE computing min reachable id per
+    * node over the same capped pair set. */
   private val q99 = Q(
     "q99_dup_clusters",
     (s, dir) => {
-      val c = corpus(t(s, dir, "documents"))
-        .withColumn("sh",
-          TextOps.shingleSet(TextOps.words(col("text")), 5))
-      val ex = c.select(col("doc_id"), size(col("sh")).as("nsh"),
-        explode(col("sh")).as("s")).localCheckpoint()
-      val pairs = ex.alias("a")
-        .join(ex.alias("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          col("a.nsh").as("n1"), col("b.nsh").as("n2"))
-        .agg(count(lit(1)).as("inter"))
+      val pairs = prunedPairStats(t(s, dir, "documents"))
         .filter(col("inter").cast(DoubleType) /
           (col("n1") + col("n2") - col("inter")) >= 0.3)
         .select(col("d1"), col("d2"))
@@ -619,13 +621,8 @@ object DedupQueries {
             _.cast(StringType)), ",").as("members"))
     },
     Some(s"""
-      WITH RECURSIVE $shingleSql,
-      ex AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS s FROM sh),
-      p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.nsh AS n1, b.nsh AS n2,
-                   COUNT(*) AS inter
-            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2, 3, 4),
-      pq AS (SELECT d1, d2 FROM p
+      WITH RECURSIVE $prunedPairSql,
+      pq AS (SELECT d1, d2 FROM v
              WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.3),
       e AS (SELECT d1 AS src, d2 AS dst FROM pq
             UNION ALL SELECT d2, d1 FROM pq),
@@ -1030,6 +1027,102 @@ object DedupQueries {
       FROM pairs GROUP BY 1
     """))
 
+  /** Cross-corpus LSH decontamination: NEAR-duplicate train→eval
+    * leakage detection as an ASYMMETRIC banded join — the
+    * index-vs-query LSH shape, where q51 is the self-join variant and
+    * q223 the exact-13-gram variant. The eval probe set is built
+    * identically on both engines (every 50th doc, last word dropped,
+    * id +500000 — the same near-copy construction the dedup corpus
+    * plants), train = the full documents table; a train doc is
+    * flagged iff it shares any of 4 MinHash band buckets with an eval
+    * doc AND exact Jaccard on the full shingle sets is ≥ 0.5.
+    *
+    * Scale: both sides hash to (band_idx, band_hash) keys and the
+    * candidate join is bucket-equi — candidates are bucket
+    * co-occupants only, never eval x train; the verify joins re-attach
+    * each side's OWN shingle table (built once, localCheckpoint'd).
+    * In production the eval side is small enough to broadcast, but
+    * the shape never requires it. */
+  private val q232 = Q(
+    "q232_lsh_decontamination",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = TextOps.words(col("text"))
+      val evalDocs = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          array_join(slice(w, lit(1), size(w) - 1), " ").as("text"))
+      def index(side: DataFrame): (DataFrame, DataFrame) = {
+        val c = side
+          .withColumn("sh", TextOps.shingleSet(TextOps.words(col("text")), 5))
+          .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+          .localCheckpoint()
+        val bands = c
+          .withColumn("ms", graft.plans.MinHashSig.minhashSig(col("sh"), 8))
+          .withColumn("bands", array((0 until 4).map(j =>
+            md5(concat(element_at(col("ms"), 2 * j + 1),
+              element_at(col("ms"), 2 * j + 2)))): _*))
+          .select(col("doc_id"),
+            posexplode(col("bands")).as(Seq("band_idx", "bh")))
+        (c, bands)
+      }
+      val (shT, bandsT) = index(docs.select(col("doc_id"), col("text")))
+      val (shE, bandsE) = index(evalDocs)
+      val cand = bandsT.alias("t")
+        .join(bandsE.alias("e"),
+          col("t.band_idx") === col("e.band_idx") &&
+            col("t.bh") === col("e.bh"))
+        .select(col("t.doc_id").as("train_id"),
+          col("e.doc_id").as("eval_id"))
+        .distinct()
+      cand
+        .join(shT.select(col("doc_id").as("train_id"), col("sh").as("sh1"),
+          col("nsh").as("n1")), "train_id")
+        .join(shE.select(col("doc_id").as("eval_id"), col("sh").as("sh2"),
+          col("nsh").as("n2")), "eval_id")
+        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+        .withColumn("jaccard",
+          col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("train_id"), col("eval_id"),
+          round(col("jaccard"), 6).as("jac"))
+    },
+    Some {
+      val w = """string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ')"""
+      val mins = (0 until 8).map(i =>
+        s"list_min([md5('$i|'||s) FOR s IN sh]) AS m$i").mkString(", ")
+      def bandSelects(mh: String) = (0 until 4).map(j =>
+        s"SELECT doc_id, $j AS band_idx, md5(m${2 * j}||m${2 * j + 1}) AS bh FROM $mh")
+        .mkString(" UNION ALL ")
+      val shingle =
+        """list_distinct([array_to_string(w[i+1:i+5],' ') FOR i IN range(len(w)-4)])"""
+      s"""
+      WITH evd AS (
+        SELECT doc_id + 500000 AS doc_id,
+               array_to_string(($w)[1:len($w)-1], ' ') AS text
+        FROM documents WHERE doc_id % 50 = 0),
+      shT AS (SELECT doc_id, $shingle AS sh
+              FROM (SELECT doc_id, $w AS w FROM documents)),
+      shE AS (SELECT doc_id, $shingle AS sh
+              FROM (SELECT doc_id, $w AS w FROM evd)),
+      mhT AS (SELECT doc_id, sh, $mins FROM shT),
+      mhE AS (SELECT doc_id, sh, $mins FROM shE),
+      bT AS (${bandSelects("mhT")}),
+      bE AS (${bandSelects("mhE")}),
+      cand AS (SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+               FROM bT t JOIN bE e
+               ON t.band_idx = e.band_idx AND t.bh = e.bh),
+      v AS (SELECT train_id, eval_id,
+                   len(list_intersect(s1.sh, s2.sh)) AS inter,
+                   len(s1.sh) AS n1, len(s2.sh) AS n2
+            FROM cand
+            JOIN shT s1 ON s1.doc_id = train_id
+            JOIN shE s2 ON s2.doc_id = eval_id)
+      SELECT train_id, eval_id,
+             round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jac
+      FROM v WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.5
+      """
+    })
+
   val registry: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52,
-    q82, q84, q85, q99, q112, q124, q130, q133, q136, q196)
+    q82, q84, q85, q99, q112, q124, q130, q133, q136, q196, q232)
 }

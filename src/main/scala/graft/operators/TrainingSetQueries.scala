@@ -769,6 +769,130 @@ object TrainingSetQueries {
       """))
   }
 
+  /** Deterministic stratified train/val/test split: 80/10/10 by
+    * md5-hash order WITHIN each (lang, source) stratum, with EXACT
+    * per-stratum counts — floor(0.8n)/floor(0.9n) boundaries over a
+    * hash-shuffled row number, so the assignment is reproducible from
+    * the data alone (no rand(), no epoch state) and every stratum's
+    * class balance is preserved by construction. The reference's
+    * train/test handling is a single un-stratified randomSplit
+    * (spark_model_trainer.py:72 trains on everything); stratified
+    * exact-proportion splitting is the step an evaluation pipeline
+    * needs BEFORE the q223/q232 decontamination passes make sense.
+    *
+    * Scale: one partitioned window per stratum (lang x source —
+    * thousands of strata in production, each shuffle-spread), then a
+    * plain group-count; nothing global, nothing collected. Output is
+    * per (stratum, split) counts plus the min doc_id as a membership
+    * spot-check, so the oracle pins assignment, not just totals. */
+  private val q230 = Q(
+    "q230_stratified_split",
+    (s, dir) => {
+      val stratum = Window.partitionBy(col("lang"), col("source"))
+      val ord = stratum.orderBy(
+        md5(col("doc_id").cast(StringType).cast(BinaryType)),
+        col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("lang"), col("source"), col("doc_id"))
+        .withColumn("n", count(lit(1)).over(stratum))
+        .withColumn("rn", row_number().over(ord).cast(LongType))
+        .withColumn("split",
+          when(col("rn") <= expr("(n * 8) div 10"), "train")
+            .when(col("rn") <= expr("(n * 9) div 10"), "val")
+            .otherwise("test"))
+        .groupBy(col("lang"), col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT lang, source, doc_id,
+               COUNT(*) OVER (PARTITION BY lang, source) AS n,
+               ROW_NUMBER() OVER (PARTITION BY lang, source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+      SELECT lang, source,
+             CASE WHEN rn <= (n * 8) // 10 THEN 'train'
+                  WHEN rn <= (n * 9) // 10 THEN 'val'
+                  ELSE 'test' END AS split,
+             COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+      FROM r GROUP BY 1, 2, 3
+    """))
+
+  /** Token-budget data selection (curriculum head): per language, keep
+    * the highest-quality documents until a fixed token budget (2000)
+    * is exhausted — the selection step of quality-pruned pretraining
+    * mixes (score docs, sort, take the best slice the budget affords).
+    * Quality here is the integer type-token ratio
+    * floor(n_distinct_tokens x 10^6 / n_tokens) with doc_id
+    * tie-break, so the order is total and engine-exact.
+    *
+    * Scale: the running sum is NEVER a per-lang partitioned window —
+    * group count is tiny (5 langs) while group size scales with the
+    * corpus, the exact skew shape [[PrefixPass.withRowNumberByGroup]]
+    * documents. Instead ONE [[PrefixPass.cumSumDecimal]] under the
+    * lang-leading total order (lang asc, score desc, doc_id) gives a
+    * global running sum in which each lang's rows are contiguous, and
+    * the per-lang cum is `global cum - lang offset`, with the 5-row
+    * offset table computed by a broadcast triangular self-join of the
+    * per-lang totals (no global window anywhere). */
+  private val q231 = {
+    val Budget = 2000L
+    Q(
+      "q231_token_budget_select",
+      (s, dir) => {
+        val scored = t(s, dir, "documents")
+          .withColumn("w", regexp_extract_all(TextOps.norm(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .select(col("lang"), col("doc_id"),
+            size(col("w")).cast(LongType).as("n_tok"),
+            size(array_distinct(col("w"))).cast(LongType).as("n_types"))
+          .filter(col("n_tok") > 0)
+          .withColumn("score", expr("(n_types * 1000000) div n_tok"))
+          .withColumn("tok_dec", col("n_tok").cast(DecimalType(20, 0)))
+        val (withCum, _) = PrefixPass.cumSumDecimal(scored,
+          Seq(col("lang").asc, col("score").desc, col("doc_id").asc),
+          "tok_dec", "gcum")
+        val totals = scored.groupBy(col("lang"))
+          .agg(sum(col("n_tok")).as("lang_tot"))
+        val off = totals.alias("a")
+          .join(broadcast(totals.alias("b")),
+            col("b.lang") < col("a.lang"), "left")
+          .groupBy(col("a.lang").as("lang"))
+          .agg(coalesce(sum(col("b.lang_tot")), lit(0L)).as("off"))
+        withCum.join(broadcast(off), "lang")
+          .filter(col("gcum") - col("off") <= Budget)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_tok")).cast(LongType).as("tok_kept"),
+            min(col("score")).as("cutoff_score"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT lang, doc_id,
+                 regexp_extract_all(
+                   regexp_replace(trim(lower(text)),'\\s+',' ','g'),
+                   '[a-z]+|[0-9]+|[^a-z0-9 ]') AS w
+          FROM documents),
+        scored AS (
+          SELECT lang, doc_id,
+                 CAST(len(w) AS BIGINT) AS n_tok,
+                 (CAST(len(list_distinct(w)) AS BIGINT) * 1000000)
+                   // CAST(len(w) AS BIGINT) AS score
+          FROM toks WHERE len(w) > 0),
+        cum AS (
+          SELECT lang, doc_id, n_tok, score,
+                 SUM(n_tok) OVER (PARTITION BY lang
+                   ORDER BY score DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS c
+          FROM scored)
+        SELECT lang, COUNT(*) AS n_kept,
+               CAST(SUM(n_tok) AS BIGINT) AS tok_kept,
+               MIN(score) AS cutoff_score
+        FROM cum WHERE c <= $Budget GROUP BY 1
+      """))
+  }
+
   val registry: Seq[Q] =
-    Seq(q218, q219, q220, q221, q222, q223, q224, q225, q226, q227)
+    Seq(q218, q219, q220, q221, q222, q223, q224, q225, q226, q227,
+      q230, q231)
 }

@@ -55,7 +55,12 @@ object GenScale {
       "p_partkey" -> maxOf(load("part"), "p_partkey"),
       "o_orderkey" -> maxOf(load("orders"), "o_orderkey"),
       "user_id" -> maxOf(load("events"), "user_id"),
-      "doc_id" -> maxOf(load("documents"), "doc_id"))
+      // documents: stride must clear the dedup corpus()'s planted-copy
+      // id bands (+100000 near / +200000 exact on doc_id < 20) — a
+      // shifted copy landing in 100000..200020 would collide with a
+      // planted id, fan out the verify joins, and poison the
+      // candidate-growth measurement (seen at x100: out > candidates)
+      "doc_id" -> math.max(maxOf(load("documents"), "doc_id"), 1000000L))
 
     // (table, shifted columns -> stride key)
     val scaled: Seq[(String, Map[String, String])] = Seq(

@@ -306,4 +306,85 @@ class TrainingSetSpec extends AnyFunSuite {
     assert(rows.map(_._2).max - rows.map(_._2).min <= 1L)
     assert(rows.map(_._1).toSeq == (0L until rows.length.toLong).toSeq)
   }
+
+  test("q230 split sizes are the exact 80/10/10 floor boundaries per stratum") {
+    val rows = rowsOf("q230_stratified_split").map(r =>
+      ((r.getAs[String]("lang"), r.getAs[String]("source")),
+        r.getAs[String]("split") -> r.getAs[Long]("n_docs")))
+    val byStratum = rows.groupBy(_._1).view.mapValues(_.map(_._2).toMap)
+    assert(byStratum.nonEmpty)
+    byStratum.foreach { case ((lang, source), splits) =>
+      val n = splits.values.sum
+      val train = n * 8 / 10
+      val valN = n * 9 / 10 - train
+      val test = n - n * 9 / 10
+      assert(splits.getOrElse("train", 0L) == train,
+        s"($lang,$source) train ${splits.get("train")} != $train of $n")
+      assert(splits.getOrElse("val", 0L) == valN,
+        s"($lang,$source) val ${splits.get("val")} != $valN of $n")
+      assert(splits.getOrElse("test", 0L) == test,
+        s"($lang,$source) test ${splits.get("test")} != $test of $n")
+    }
+    // totals reconcile with the raw table
+    val total = byStratum.values.map(_.values.sum).sum
+    assert(total == docs().length.toLong)
+  }
+
+  test("q231 keeps a maximal prefix: under budget, and the next doc would overflow") {
+    val Budget = 2000L
+    val rows = rowsOf("q231_token_budget_select").map(r =>
+      (r.getAs[String]("lang"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("tok_kept"), r.getAs[Long]("cutoff_score")))
+    assert(rows.nonEmpty)
+    // brute-force the same selection from the raw table
+    val re = "[a-z]+|[0-9]+|[^a-z0-9 ]".r
+    val langOf = Tables.load(Tables.tuned(spark), dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val perLang = langOf.map { case (id, lang, text) =>
+      val norm = text.toLowerCase.trim.replaceAll("\\s+", " ")
+      val toks = re.findAllIn(norm).toVector
+      (lang, id, toks.size.toLong, toks.distinct.size.toLong)
+    }.filter(_._3 > 0)
+      .map { case (lang, id, nTok, nTypes) =>
+        (lang, id, nTok, nTypes * 1000000L / nTok)
+      }
+      .groupBy(_._1)
+    rows.foreach { case (lang, nKept, tokKept, cutoff) =>
+      val ordered = perLang(lang).sortBy { case (_, id, _, score) =>
+        (-score, id)
+      }
+      val prefix = ordered.scanLeft(0L)(_ + _._3).tail.zip(ordered)
+        .takeWhile(_._1 <= Budget).map(_._2)
+      assert(prefix.length.toLong == nKept, s"$lang kept count")
+      assert(prefix.map(_._3).sum == tokKept, s"$lang kept tokens")
+      assert(tokKept <= Budget, s"$lang over budget")
+      assert(prefix.map(_._4).min == cutoff, s"$lang cutoff score")
+      // maximality: the next doc in order would overflow the budget
+      if (prefix.length < ordered.length)
+        assert(tokKept + ordered(prefix.length)._3 > Budget,
+          s"$lang selection is not maximal")
+    }
+  }
+
+  test("q232 flags every planted eval near-copy against its source document") {
+    val flagged = rowsOf("q232_lsh_decontamination").map(r =>
+      (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id"))).toSet
+    val evalSources = docs().map(_._1).filter(_ % 50 == 0)
+      // >= 6 words so dropping the last still leaves >= 5-shingles with
+      // high overlap (shorter docs legitimately hash apart)
+      .filter { id =>
+        val text = docs().find(_._1 == id).get._2
+        normWords(text).length >= 10
+      }
+    assert(evalSources.nonEmpty)
+    evalSources.foreach { id =>
+      assert(flagged.contains((id, id + 500000L)),
+        s"eval near-copy of doc $id not flagged against its source")
+    }
+    // and the pairing is asymmetric: eval ids only on the eval side
+    assert(flagged.forall { case (t, e) => e >= 500000L && t < 500000L })
+  }
 }
