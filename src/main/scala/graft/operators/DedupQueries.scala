@@ -1041,8 +1041,12 @@ object DedupQueries {
     * candidate join is bucket-equi — candidates are bucket
     * co-occupants only, never eval x train; the verify joins re-attach
     * each side's OWN shingle table (built once, localCheckpoint'd).
-    * In production the eval side is small enough to broadcast, but
-    * the shape never requires it. */
+    * The eval band table (4 narrow rows per eval doc) goes through
+    * [[GatedBroadcast]] on the count its localCheckpoint already paid
+    * for — under the gate the corpus-side band table streams with NO
+    * exchange; past it (1.25M+ eval docs) the join falls back to
+    * shuffle. The verify joins stay shuffled: their small side (the
+    * candidate list) is runtime-sized, which is AQE's job. */
   private val q232 = Q(
     "q232_lsh_decontamination",
     (s, dir) => {
@@ -1066,7 +1070,10 @@ object DedupQueries {
         (c, bands)
       }
       val (shT, bandsT) = index(docs.select(col("doc_id"), col("text")))
-      val (shE, bandsE) = index(evalDocs)
+      val (shE, bandsE0) = index(evalDocs)
+      // measurement is free: shE is localCheckpoint'd, so this count
+      // reads cached blocks; bands are exactly 4 rows per eval doc
+      val bandsE = GatedBroadcast(bandsE0, shE.count() * 4)
       val cand = bandsT.alias("t")
         .join(bandsE.alias("e"),
           col("t.band_idx") === col("e.band_idx") &&
