@@ -134,6 +134,10 @@ object Bench {
         // query silently reports a plausible-looking time.
         val dt = if (good.nonEmpty) good.map(_._1).min
           else -runs.map(_._1).min
+        // progress to stderr so a mid-run crash (e.g. an executor OOM
+        // stopping the context) still identifies the query that died;
+        // the stdout JSON contract is untouched
+        System.err.println(f"[bench] $name $dt%.2f s ok=${good.nonEmpty}")
         (name, dt, good.nonEmpty)
     }
     def fmt(v: Double, dp: Int): String = s"%.${dp}f".format(v)
