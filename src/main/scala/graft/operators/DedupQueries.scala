@@ -397,17 +397,45 @@ object DedupQueries {
       """
     })
 
+  /** One-pass codegen SimHash table: explode the distinct words into
+    * narrow (doc_id, word-hash) rows, then ONE hash aggregate with
+    * `bits` codegen'd conditional sums (map-side combinable) plus the
+    * distinct-word count, then assemble the signature. Bit b of the
+    * signature is set iff a majority of the doc's distinct-word hashes
+    * have bit b set — identical math to the per-bit
+    * `filter(hw, ...)` HOF formulation this replaces, which ran
+    * INTERPRETED at bits × words lambda evaluations per document:
+    * fine at bench SF, ~6×10⁹ evaluations for q84's 60-bit signature
+    * at the ×100 fixture (did not finish in 20 minutes; q225's
+    * hot-per-token-work-must-stay-in-codegen lesson, rediscovered).
+    * The oracles keep the HOF rendering — DuckDB list comprehensions
+    * are vectorized and the oracle runs at sf0.01. */
+  private def simhashTable(
+      docs: DataFrame, hexDigits: Int, bits: Int): DataFrame = {
+    val words = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .select(col("doc_id"),
+        expr(s"cast(conv(substring(md5(w),1,$hexDigits),16,10) as bigint)")
+          .as("h"))
+    val aggs = (0 until bits).map(b =>
+      sum(expr(s"(h div ${1L << b}) % 2")).as(s"c$b")) :+
+      count(lit(1)).as("nw")
+    words.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(b =>
+          when(lit(2L) * col(s"c$b") > col("nw"), lit(1L << b))
+            .otherwise(lit(0L)))
+          .reduce(_ + _).as("sh"))
+  }
+
   /** SimHash (16-bit, majority vote over distinct-word hashes) — the
     * constant-size near-dup signature. */
   private val q52 = Q(
     "q52_simhash",
-    (s, dir) => {
-      val (hw, nw) = TextOps.wordHashSparkExpr("text")
-      t(s, dir, "documents")
-        .selectExpr("doc_id", s"$hw AS hw", s"$nw AS nw")
-        .selectExpr("doc_id",
-          s"${TextOps.simhashSparkExprOver("hw", "nw", 16)} AS simhash")
-    },
+    (s, dir) =>
+      simhashTable(t(s, dir, "documents"), hexDigits = 8, bits = 16)
+        .select(col("doc_id"), col("sh").as("simhash")),
     Some {
       val (hw, nw) = TextOps.wordHashDuckExpr("text")
       s"""WITH hws AS (SELECT doc_id, $hw AS hw, $nw AS nw FROM documents)
@@ -468,24 +496,47 @@ object DedupQueries {
   private val q84 = Q(
     "q84_simhash_hamming",
     (s, dir) => {
-      val (hw, nw) = TextOps.wordHashSparkExprWide("text")
-      val sh = t(s, dir, "documents")
-        .selectExpr("doc_id", s"$hw AS hw", s"$nw AS nw")
-        .selectExpr("doc_id",
-          s"${TextOps.simhashSparkExprOver("hw", "nw", 60)} AS sh")
+      val sh = simhashTable(t(s, dir, "documents"),
+        hexDigits = 15, bits = 60)
         .localCheckpoint()
-      val bands = sh.select(col("doc_id"), col("sh"),
+      // The pair set is purely SIGNATURE-determined: dist <= 3 over a
+      // 4-band x 15-bit split implies >= 1 identical band (pigeonhole
+      // — 3 differing bits touch at most 3 bands), so banding over
+      // DISTINCT signatures finds every qualifying signature pair,
+      // and doc pairs are the expansion of signature pairs. Banding
+      // at the DOC level instead is a replication bomb: simhash bits
+      // correlate across same-language documents, so band values
+      // cluster — the x100 fixture put 32% of all docs in ONE
+      // (band, value) bucket (measured 15,820 of 50k at x10), and the
+      // doc-level self-join wrote 41 GB of shuffle before dying.
+      // Distinct signatures are invariant under replication: the same
+      // bucket holds ~1.6k SIGNATURES at every scale, so candidate
+      // volume stays ~constant while the doc expansion below is
+      // output-bound (every expanded row IS a result row).
+      val sigs = sh.select(col("sh")).distinct().localCheckpoint()
+      val bands = sigs.select(col("sh"),
         posexplode(array((0 until 4).map(i =>
           expr(s"(sh div ${1L << (15 * i)}) % 32768")): _*))
           .as(Seq("band_i", "band")))
-      bands.alias("a").join(bands.alias("b"),
+      val sigPairs = bands.alias("a").join(bands.alias("b"),
           col("a.band_i") === col("b.band_i") &&
             col("a.band") === col("b.band") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          expr("bit_count(a.sh ^ b.sh)").cast(LongType).as("dist"))
-        .filter(col("dist") <= 3) // before distinct: the dedup shuffle
-        .distinct()               // then carries only qualifying pairs
+            col("a.sh") < col("b.sh"))
+        .select(col("a.sh").as("s1"), col("b.sh").as("s2"))
+        .distinct()
+        .withColumn("dist", expr("bit_count(s1 ^ s2)").cast(LongType))
+        .filter(col("dist") <= 3)
+      val cross = sigPairs
+        .join(sh.select(col("sh").as("s1"), col("doc_id").as("da")), "s1")
+        .join(sh.select(col("sh").as("s2"), col("doc_id").as("db")), "s2")
+        .select(least(col("da"), col("db")).as("d1"),
+          greatest(col("da"), col("db")).as("d2"), col("dist"))
+      val intra = sh.alias("x").join(sh.alias("y"),
+          col("x.sh") === col("y.sh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          lit(0L).as("dist"))
+      cross.unionByName(intra)
         .select(col("d1"), col("d2"), col("dist"))
     },
     Some {
