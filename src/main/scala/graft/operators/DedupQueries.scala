@@ -526,12 +526,24 @@ object DedupQueries {
         .distinct()
         .withColumn("dist", expr("bit_count(s1 ^ s2)").cast(LongType))
         .filter(col("dist") <= 3)
-      val cross = sigPairs
-        .join(sh.select(col("sh").as("s1"), col("doc_id").as("da")), "s1")
-        .join(sh.select(col("sh").as("s2"), col("doc_id").as("db")), "s2")
+        .localCheckpoint()
+      // Expansion joins stream over sh's EVEN partitioning with both
+      // small sides gated-broadcast: keyed by signature instead, the
+      // hot signature's whole doc group lands in one shuffle
+      // partition and the expansion runs on one core (measured: a
+      // single straggler task carrying the x100 run). Under the gate
+      // nothing shuffles and nothing materializes — the count streams
+      // through whole-stage codegen; past the gate the fallback is the
+      // keyed shuffle, where AQE's skew split applies.
+      val spB = GatedBroadcast(sigPairs, sigPairs.count())
+      val shN = sh.count()
+      val cross = sh.select(col("sh").as("s1"), col("doc_id").as("da"))
+        .join(spB, "s1")
+        .join(GatedBroadcast(
+          sh.select(col("sh").as("s2"), col("doc_id").as("db")), shN), "s2")
         .select(least(col("da"), col("db")).as("d1"),
           greatest(col("da"), col("db")).as("d2"), col("dist"))
-      val intra = sh.alias("x").join(sh.alias("y"),
+      val intra = sh.alias("x").join(GatedBroadcast(sh.alias("y"), shN),
           col("x.sh") === col("y.sh") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
