@@ -55,14 +55,12 @@ object Tables {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    // Recursive-CTE row guard: the 1M default is a safety valve, not a
-    // semantic bound, and q167's walk output is data-linear (chains x
-    // bounded depth 10) — it tripped the default at the x100 fixture
-    // (~3M rows) while the recursion itself stays depth-bounded. 100M
-    // keeps the valve (a runaway recursion still dies) while clearing
-    // any measured scale; the LEVEL limit (default 100) is untouched —
-    // depth is the dimension that must stay bounded by design.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
+    // NOTE: spark.sql.cteRecursionRowLimit is left at its 1M default
+    // here — the one recursive query that can legitimately exceed it
+    // (q167, data-linear walk output) raises it LOCALLY, sized from
+    // its own input, and restores it (TemporalGraphQueries.q167), so
+    // the runaway-recursion valve stays armed for the rest of the
+    // session.
     spark
   }
 }

@@ -409,7 +409,13 @@ object DedupQueries {
     * at the ×100 fixture (did not finish in 20 minutes; q225's
     * hot-per-token-work-must-stay-in-codegen lesson, rediscovered).
     * The oracles keep the HOF rendering — DuckDB list comprehensions
-    * are vectorized and the oracle runs at sf0.01. */
+    * are vectorized and the oracle runs at sf0.01.
+    *
+    * Null-text docs: `explode` of a null word array drops the row,
+    * but the HOF/oracle formulation's `CASE WHEN NULL THEN p ELSE 0`
+    * collapses every bit to 0 — so the doc list is left-joined back
+    * and a missing signature coalesces to 0, keeping Spark/DuckDB
+    * parity for documents with null text. */
   private def simhashTable(
       docs: DataFrame, hexDigits: Int, bits: Int): DataFrame = {
     val words = docs
@@ -421,12 +427,14 @@ object DedupQueries {
     val aggs = (0 until bits).map(b =>
       sum(expr(s"(h div ${1L << b}) % 2")).as(s"c$b")) :+
       count(lit(1)).as("nw")
-    words.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val sigs = words.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         (0 until bits).map(b =>
           when(lit(2L) * col(s"c$b") > col("nw"), lit(1L << b))
             .otherwise(lit(0L)))
           .reduce(_ + _).as("sh"))
+    docs.select(col("doc_id")).join(sigs, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("sh"), lit(0L)).as("sh"))
   }
 
   /** SimHash (16-bit, majority vote over distinct-word hashes) — the
@@ -1095,7 +1103,7 @@ object DedupQueries {
     * index-vs-query LSH shape, where q51 is the self-join variant and
     * q223 the exact-13-gram variant. The eval probe set is built
     * identically on both engines (every 50th doc, last word dropped,
-    * id +500000 — the same near-copy construction the dedup corpus
+    * id negated — the same near-copy construction the dedup corpus
     * plants), train = the full documents table; a train doc is
     * flagged iff it shares any of 4 MinHash band buckets with an eval
     * doc AND exact Jaccard on the full shingle sets is ≥ 0.5.
@@ -1115,8 +1123,12 @@ object DedupQueries {
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val w = TextOps.words(col("text"))
+      // Eval ids are NEGATED (-id-1): doc_id >= 0 on every fixture, so
+      // the eval id space is disjoint from train ids at ANY scale —
+      // a fixed "+500000" offset collides once GenScale strides doc_id
+      // past the offset (x10/x100 fixtures stride >= 1M).
       val evalDocs = docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 500000).as("doc_id"),
+        .select((-col("doc_id") - 1).as("doc_id"),
           array_join(slice(w, lit(1), size(w) - 1), " ").as("text"))
       def index(side: DataFrame): (DataFrame, DataFrame) = {
         val c = side
@@ -1167,7 +1179,7 @@ object DedupQueries {
         """list_distinct([array_to_string(w[i+1:i+5],' ') FOR i IN range(len(w)-4)])"""
       s"""
       WITH evd AS (
-        SELECT doc_id + 500000 AS doc_id,
+        SELECT -doc_id - 1 AS doc_id,
                array_to_string(($w)[1:len($w)-1], ' ') AS text
         FROM documents WHERE doc_id % 50 = 0),
       shT AS (SELECT doc_id, $shingle AS sh

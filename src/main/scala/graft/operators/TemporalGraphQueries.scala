@@ -338,17 +338,33 @@ object TemporalGraphQueries {
         .filter(col("rn") <= 10) // bounded walk: first 10 links per chain
         .localCheckpoint()
       ranked.createOrReplaceTempView("orders_rc_ranked_v")
-      s.sql("""
-        WITH RECURSIVE walk AS (
-          SELECT o_custkey, rn, o_orderkey, cents AS cum_cents
-          FROM orders_rc_ranked_v WHERE rn = 1
-          UNION ALL
-          SELECT r.o_custkey, r.rn, r.o_orderkey, w.cum_cents + r.cents
-          FROM walk w JOIN orders_rc_ranked_v r
-            ON r.o_custkey = w.o_custkey AND r.rn = w.rn + 1)
-        SELECT o_custkey, CAST(rn AS BIGINT) AS step, o_orderkey, cum_cents
-        FROM walk
-      """)
+      // Recursive-CTE row guard, raised LOCALLY and sized from the
+      // data: the walk emits each ranked row exactly once, so its
+      // cumulative output is ranked.count() (data-linear; tripped the
+      // 1M session default at the x100 fixture's ~3M rows). 2x + the
+      // default keeps the valve armed against a genuinely runaway
+      // recursion while clearing any measured scale. ranked is
+      // localCheckpoint'd, so the count reads cached blocks; the
+      // localCheckpoint on the result forces the recursion to execute
+      // INSIDE the raised-limit scope (the restore in `finally` would
+      // otherwise race a lazy downstream execution).
+      val limitKey = "spark.sql.cteRecursionRowLimit"
+      val oldLimit = s.conf.get(limitKey)
+      s.conf.set(limitKey, (1000000L + 2 * ranked.count()).toString)
+      try {
+        s.sql("""
+          WITH RECURSIVE walk AS (
+            SELECT o_custkey, rn, o_orderkey, cents AS cum_cents
+            FROM orders_rc_ranked_v WHERE rn = 1
+            UNION ALL
+            SELECT r.o_custkey, r.rn, r.o_orderkey, w.cum_cents + r.cents
+            FROM walk w JOIN orders_rc_ranked_v r
+              ON r.o_custkey = w.o_custkey AND r.rn = w.rn + 1)
+          SELECT o_custkey, CAST(rn AS BIGINT) AS step, o_orderkey,
+                 cum_cents
+          FROM walk
+        """).localCheckpoint()
+      } finally s.conf.set(limitKey, oldLimit)
     },
     Some("""
       WITH ranked AS (

@@ -372,19 +372,19 @@ class TrainingSetSpec extends AnyFunSuite {
   test("q232 flags every planted eval near-copy against its source document") {
     val flagged = rowsOf("q232_lsh_decontamination").map(r =>
       (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id"))).toSet
-    val evalSources = docs().map(_._1).filter(_ % 50 == 0)
-      // >= 6 words so dropping the last still leaves >= 5-shingles with
-      // high overlap (shorter docs legitimately hash apart)
-      .filter { id =>
-        val text = docs().find(_._1 == id).get._2
-        normWords(text).length >= 10
-      }
+    val allDocs = docs()
+    val textOf = allDocs.map(d => d._1 -> d._2).toMap
+    val evalSources = allDocs.map(_._1).filter(_ % 50 == 0)
+      // >= 10 words so dropping the last still leaves >= 5-shingles
+      // with high overlap (shorter docs legitimately hash apart)
+      .filter(id => normWords(textOf(id)).length >= 10)
     assert(evalSources.nonEmpty)
     evalSources.foreach { id =>
-      assert(flagged.contains((id, id + 500000L)),
+      assert(flagged.contains((id, -id - 1L)),
         s"eval near-copy of doc $id not flagged against its source")
     }
-    // and the pairing is asymmetric: eval ids only on the eval side
-    assert(flagged.forall { case (t, e) => e >= 500000L && t < 500000L })
+    // and the pairing is asymmetric: eval ids (negated) only on the
+    // eval side — disjoint from nonnegative train ids at every scale
+    assert(flagged.forall { case (t, e) => e < 0L && t >= 0L })
   }
 }
