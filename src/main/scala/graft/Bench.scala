@@ -44,6 +44,29 @@ object Bench {
     } catch { case _: Throwable => () }
   }
 
+  /** Contention canary: a fixed-work, single-task, pure-CPU job whose
+    * wall time depends ONLY on how much of one core the OS actually
+    * gives this JVM. Run before and after the suite and reported in
+    * the JSON, it makes a host-contended window self-labelling: the
+    * benched code cannot influence it, so canary inflation vs the
+    * committed clean-pair values (~0.2s on an idle box) marks
+    * the RUN as noisy, not the code as slow (rounds 8 and 10 both had
+    * end-of-round benches inflated 2-11x by box contention with no
+    * way to prove it from the artifact alone). Median of 3 so one
+    * descheduling spike doesn't dominate, while sustained contention
+    * -- the case worth flagging -- still shows. */
+  private def canary(spark: SparkSession): Double = {
+    val runs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      // modulo-sum, not id*id: sum of squares over 20M ids overflows
+      // Long under ANSI mode; the modulo keeps the sum ~1e13
+      spark.range(0L, 20000000L, 1L, 1)
+        .selectExpr("sum(id % 1234567)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    runs(1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -73,7 +96,10 @@ object Bench {
     val repeatThreshold =
       sys.env.getOrElse("GRAFT_BENCH_REPEAT_THRESHOLD", "1.0").toDouble
     var spark = newSession(cpus)
+    val warmT0 = System.nanoTime()
     warmup(spark, sfDir)
+    val warmupS = (System.nanoTime() - warmT0) / 1e9
+    val canaryPre = canary(spark)
     val only = args.toSet
     var sinceRecycle = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -140,6 +166,7 @@ object Bench {
         System.err.println(f"[bench] $name $dt%.2f s ok=${good.nonEmpty}")
         (name, dt, good.nonEmpty)
     }
+    val canaryPost = canary(spark)
     def fmt(v: Double, dp: Int): String = s"%.${dp}f".format(v)
     def line(dp: Int): String = {
       val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, dp) }
@@ -151,8 +178,13 @@ object Bench {
       // captures this output keeps only the last ~2000 characters, so a
       // long per-query map truncates at the HEAD — trailing keys (and the
       // later queries) survive. Full-precision copy goes to a repo file.
+      // The canary pair rides in the surviving tail: read it FIRST when
+      // judging the totals (idle-box reference ~0.2s).
       s"""{"metric":"total","unit":"sec","queries":$qs,""" +
-        s""""failed":$failed,"value":${fmt(total, dp)},"sf":"$sfDir"}"""
+        s""""failed":$failed,"warmup_s":${fmt(warmupS, dp)},""" +
+        s""""canary_pre_s":${fmt(canaryPre, dp)},""" +
+        s""""canary_post_s":${fmt(canaryPost, dp)},""" +
+        s""""value":${fmt(total, dp)},"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
