@@ -892,7 +892,96 @@ object TrainingSetQueries {
       """))
   }
 
+  /** Exact duplicated-substring REMOVAL — the Lee et al.
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499) suffix-array ExactSubstr step, re-expressed
+    * as a linear shingle pass: a token position is removable iff one
+    * of its covering 8-grams has an EARLIER occurrence anywhere in
+    * the corpus (earlier = smaller (doc_id, pos) — so exactly one
+    * canonical occurrence of every duplicated substring survives,
+    * including self-repeats within a document), and the removable
+    * 8-gram starts merge into MAXIMAL spans with q177's
+    * gaps-and-islands kernel. Reported spans of e−s+1 consecutive
+    * duplicated starts cover e−s+8 tokens; spans shorter than
+    * MinSpan tokens are left in place (Lee et al.'s length
+    * threshold). q220 MEASURES this duplication; q224/q225
+    * approximate removal at tile/chunk granularity; this emits the
+    * exact maximal token spans a remover would cut. Known gram-level
+    * over-merge: adjacent starts duplicated in DIFFERENT places
+    * chain into one span — the standard trade for staying linear.
+    *
+    * Shape: canonical ownership is ONE map-side-combinable
+    * `min(struct(doc_id, pos))` aggregate per gram — deliberately
+    * NOT a per-gram row_number window (a boilerplate gram occurring
+    * 10⁸ times corpus-wide would pin one un-splittable window
+    * partition; the agg combines map-side and the join back is
+    * AQE-skew-splittable). Island merging is a per-DOC window
+    * (bounded by doc length). Cost Θ(corpus tokens); output mass =
+    * number of maximal spans, data-linear. */
+  private val q233 = {
+    val K = 8        // gram width = minimum detectable duplicate run
+    val MinSpan = 10 // only spans covering >= this many tokens are cut
+    Q(
+      "q233_dup_span_removal",
+      (s, dir) => {
+        val grams = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextOps.words(col("text")).as("w"))
+          .select(col("doc_id"), col("source"),
+            posexplode(TextOps.shingles(col("w"), K)).as(Seq("pos", "g8")))
+          .select(col("doc_id"), col("source"), col("pos"),
+            md5(col("g8")).as("g"))
+        val canon = grams.groupBy(col("g"))
+          .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+        val marked = grams.join(canon, "g")
+          .filter(col("doc_id") =!= col("c.doc_id") ||
+            col("pos") =!= col("c.pos"))
+          .select(col("doc_id"), col("source"), col("pos"))
+        val rn = row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos")))
+        marked
+          .withColumn("grp", col("pos") - rn)
+          .groupBy(col("doc_id"), col("source"), col("grp"))
+          .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
+          .filter(col("e") - col("s") + K >= MinSpan)
+          .select(col("doc_id"), col("source"),
+            (col("s") + 1).cast(LongType).as("span_start"),
+            (col("e") - col("s") + K).cast(LongType).as("span_tokens"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 string_split(regexp_replace(trim(lower(text)),'\\s+',' ','g'),
+                   ' ') AS w
+          FROM documents),
+        grams AS (
+          SELECT doc_id, source, i AS pos,
+                 md5(array_to_string(w[i+1:i+$K],' ')) AS g
+          FROM (SELECT doc_id, source, w, unnest(range(len(w)-${K - 1}))
+                  AS i
+                FROM toks WHERE len(w) >= $K)),
+        rk AS (
+          SELECT doc_id, source, pos,
+                 ROW_NUMBER() OVER (PARTITION BY g
+                   ORDER BY doc_id, pos) AS rk
+          FROM grams),
+        marked AS (SELECT doc_id, source, pos FROM rk WHERE rk > 1),
+        isl AS (
+          SELECT doc_id, source, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY pos) AS grp
+          FROM marked),
+        sp AS (
+          SELECT doc_id, source, MIN(pos) AS s, MAX(pos) AS e
+          FROM isl GROUP BY doc_id, source, grp)
+        SELECT doc_id, source,
+               CAST(s + 1 AS BIGINT) AS span_start,
+               CAST(e - s + $K AS BIGINT) AS span_tokens
+        FROM sp WHERE e - s + $K >= $MinSpan
+      """))
+  }
+
   val registry: Seq[Q] =
     Seq(q218, q219, q220, q221, q222, q223, q224, q225, q226, q227,
-      q230, q231)
+      q230, q231, q233)
 }

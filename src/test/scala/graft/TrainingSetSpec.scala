@@ -387,4 +387,71 @@ class TrainingSetSpec extends AnyFunSuite {
     // eval side — disjoint from nonnegative train ids at every scale
     assert(flagged.forall { case (t, e) => e < 0L && t >= 0L })
   }
+
+  test("q233 spans match a brute-force first-occurrence recount at sf0.001") {
+    // mark every 8-gram start whose gram occurred EARLIER (smaller
+    // (doc_id, pos)) anywhere in the corpus, merge consecutive marked
+    // starts into maximal islands, keep spans covering >= 10 tokens —
+    // the exact semantics the distributed min-struct/gaps-and-islands
+    // plan claims
+    val firstSeen = scala.collection.mutable.HashSet[String]()
+    val marked = scala.collection.mutable.ArrayBuffer[(Long, String, Int)]()
+    docs().sortBy(_._1).foreach { case (id, text, src, _) =>
+      val w = normWords(text)
+      for (i <- 0 to w.length - 8) {
+        val g = w.slice(i, i + 8).mkString(" ")
+        if (!firstSeen.add(g)) marked += ((id, src, i))
+      }
+    }
+    val expected = marked.groupBy(m => (m._1, m._2)).flatMap {
+      case ((id, src), ms) =>
+        val ps = ms.map(_._3).sorted
+        val runs = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+        var s = ps.head; var e = ps.head
+        ps.tail.foreach { p =>
+          if (p == e + 1) e = p else { runs += ((s, e)); s = p; e = p }
+        }
+        runs += ((s, e))
+        runs.filter { case (a, b) => b - a + 8 >= 10 }
+          .map { case (a, b) =>
+            (id, src, (a + 1).toLong, (b - a + 8).toLong) }
+    }.toSet
+    val got = rowsOf("q233_dup_span_removal").map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_tokens"))).toSet
+    assert(got == expected,
+      s"span sets diverge: got ${got.size}, expected ${expected.size}")
+    assert(got.nonEmpty, "fixture plants no duplicated spans?")
+  }
+
+  test("q233 planted corpus: exact boundaries, self-repeat, sub-threshold runs") {
+    import spark.implicits._
+    def filler(tag: String, n: Int) =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val run12 = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val run9 = (1 to 9).map(i => s"sub$i").mkString(" ")
+    val run11 = (1 to 11).map(i => s"rep$i").mkString(" ")
+    val corpus = Seq(
+      // canonical occurrence of the 12-token run — keeps everything
+      (1L, s"${filler("a", 5)} $run12 ${filler("b", 5)}", "en", "s1", 0L),
+      // copy of the run mid-document: exactly tokens 8..19 must go —
+      // grams straddling into the differing filler stay unique
+      (2L, s"${filler("c", 7)} $run12 ${filler("d", 3)}", "en", "s1", 0L),
+      // SELF-repeat of a 9-token run: second occurrence is marked but
+      // the span (9 tokens) is under the 10-token threshold -> kept
+      (3L, s"$run9 ${filler("e", 10)} $run9", "en", "s2", 0L),
+      // self-repeat of an 11-token run: second occurrence IS cut
+      (4L, s"$run11 ${filler("g", 5)} $run11", "en", "s2", 0L),
+      // no duplication at all
+      (5L, filler("f", 30), "en", "s3", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("q233corpus").toString
+    corpus.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Queries.registry.find(_.name == "q233_dup_span_removal").get
+      .build(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_tokens"))).toSet
+    assert(got == Set((2L, 8L, 12L), (4L, 17L, 11L)),
+      s"unexpected spans: $got")
+  }
 }
