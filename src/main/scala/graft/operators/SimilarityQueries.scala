@@ -920,6 +920,91 @@ object SimilarityQueries {
       """
     })
 
+  /** Cross-modal (image-text PAIR) dedup — the multimodal-corpus step
+    * the unimodal passes miss: a sample is (image embedding, caption),
+    * keyed doc_id == vec_id, and the duplication cases differ in
+    * disposition: same caption on a near-dup image is a TRUE duplicate
+    * (drop), same caption re-imaged is a distinct sample (keep both).
+    * Candidates come from the CAPTION side: q46's order-independent
+    * vocabulary fingerprint groups captions, and each member pairs
+    * only against its cluster CANONICAL (min doc_id) — m−1 pairs per
+    * m-member cluster, linear, never the m² clique (the q84 lesson).
+    * Each pair then gets its image-space verdict: exact cosine plus
+    * q55's 8-hyperplane LSH bucket equality; `cross_modal_dup` = same
+    * bucket AND cosine ≥ 0.9. The threshold compares the UNROUNDED
+    * cosine — bit-identical on both engines via the index-ordered dot
+    * fold — so the cut itself is reproducible.
+    *
+    * Shape: canonical selection is a map-side-combinable min per
+    * fingerprint; every join is equi (fp, then id = vec_id twice);
+    * output mass = number of non-canonical captions, data-linear. */
+  private val q234 = Q(
+    "q234_cross_modal_dedup",
+    (s, dir) => {
+      val caps = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextOps.fingerprint(col("text")).as("fp"))
+      val canon = caps.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("canon_id"))
+      val pairs = caps.join(canon, "fp")
+        .filter(col("doc_id") =!= col("canon_id"))
+        .select(col("canon_id"), col("doc_id").as("dup_id"))
+      val bucketOf = (0 until 8).map { p =>
+        when(dot(col("v"), planeSpark(p)) > 0.0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      val eb = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("bucket", bucketOf)
+      pairs
+        .join(eb.select(col("vec_id").as("canon_id"), col("v").as("cv"),
+          col("bucket").as("cb")), "canon_id")
+        .join(eb.select(col("vec_id").as("dup_id"), col("v").as("dv"),
+          col("bucket").as("db")), "dup_id")
+        .withColumn("cos", dot(col("cv"), col("dv")) /
+          (sqrt(dot(col("cv"), col("cv"))) * sqrt(dot(col("dv"), col("dv")))))
+        .select(col("canon_id"), col("dup_id"),
+          round(col("cos"), 5).as("img_sim"),
+          when(col("cb") === col("db"), 1L).otherwise(0L)
+            .as("same_bucket"),
+          when(col("cb") === col("db") && col("cos") >= 0.9, 1L)
+            .otherwise(0L).as("cross_modal_dup"))
+    },
+    Some {
+      val bits = (0 until 8).map { p =>
+        s"(CASE WHEN list_dot_product(v, ${planeDuck(p)}) > 0.0 " +
+          s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      val cos = "list_dot_product(cv, dv) / " +
+        "(sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(dv, dv)))"
+      s"""
+      WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                 string_split(regexp_replace(trim(lower(text)),'\\s+',' ','g'),
+                   ' '))), ' ')) AS fp
+        FROM documents),
+      canon AS (SELECT fp, MIN(doc_id) AS canon_id FROM fp GROUP BY 1),
+      pairs AS (
+        SELECT canon_id, doc_id AS dup_id
+        FROM fp JOIN canon USING (fp) WHERE doc_id <> canon_id),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      b AS (SELECT vec_id, v, $bits AS bucket FROM e),
+      j AS (
+        SELECT canon_id, dup_id, c.v AS cv, c.bucket AS cb,
+               d.v AS dv, d.bucket AS db
+        FROM pairs
+        JOIN b c ON c.vec_id = canon_id
+        JOIN b d ON d.vec_id = dup_id)
+      SELECT canon_id, dup_id, round($cos, 5) AS img_sim,
+             CAST(CASE WHEN cb = db THEN 1 ELSE 0 END AS BIGINT)
+               AS same_bucket,
+             CAST(CASE WHEN cb = db AND $cos >= 0.9 THEN 1 ELSE 0 END
+               AS BIGINT) AS cross_modal_dup
+      FROM j
+      """
+    })
+
   val registry: Seq[Q] = Seq(q53, q54, q55, q56, q57, q58, q59, q101,
-    q134, q138, q141, q145, q146, q147, q192)
+    q134, q138, q141, q145, q146, q147, q192, q234)
 }

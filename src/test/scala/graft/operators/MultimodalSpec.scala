@@ -48,4 +48,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.length == 4)
     assert(frames.head.startsWith("abcdefgh"))
   }
+
+  test("q234 planted pairs: identical images flag as cross-modal dups, re-imaged captions do not") {
+    import spark.implicits._
+    // three identical captions (ids 1,2,3; canonical = 1) + one unique;
+    // image space: vec 2 IS vec 1 (true duplicate sample), vec 3 is
+    // orthogonal (same caption RE-IMAGED — a distinct sample to keep)
+    val dim = 64
+    val vA = Array.tabulate(dim)(i => if (i == 0) 1.0f else 0.0f)
+    val vB = Array.tabulate(dim)(i => if (i == 1) 1.0f else 0.0f)
+    val tmp = java.nio.file.Files.createTempDirectory("q234corpus").toString
+    Seq(
+      (1L, "the cat sat", "en", "s1", 0L),
+      (2L, "the cat sat", "en", "s1", 0L),
+      (3L, "the cat sat", "en", "s1", 0L),
+      (4L, "entirely different words", "en", "s2", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    Seq((1L, vA.toSeq, 0), (2L, vA.toSeq, 0), (3L, vB.toSeq, 0),
+      (4L, vB.toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = graft.Queries.registry
+      .find(_.name == "q234_cross_modal_dedup").get
+      .build(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("canon_id"), r.getAs[Long]("dup_id")) ->
+        ((r.getAs[Double]("img_sim"), r.getAs[Long]("cross_modal_dup"))))
+      .toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L)),
+      s"unexpected pair set: ${got.keySet}")
+    assert(got((1L, 2L)) == ((1.0, 1L)), "identical image must flag")
+    val (sim13, flag13) = got((1L, 3L))
+    assert(sim13 == 0.0 && flag13 == 0L,
+      "orthogonal re-imaged caption must NOT flag")
+  }
 }
