@@ -581,6 +581,104 @@ object DedupQueries {
       """
     })
 
+  /** Bounded-output variant of q84 — SimHash near-dup TELEMETRY. q84's
+    * answer is inherently quadratic under verbatim replication (every
+    * doc pair in an F-fold-replicated cluster is a result row: 271k →
+    * 10⁴× at the ×100 fixture, correct but telemetry-hostile). This
+    * variant reports at SIGNATURE-pair grain with a documented
+    * bounded-recall contract: for each qualifying pair (hamming ≤ 3
+    * over the same 60-bit/4-band blocking) it emits the per-signature
+    * doc counts, the EXACT total pair mass n1·n2 (so Σ n_pairs over
+    * the result equals q84's row count exactly — DupClustersSpec pins
+    * the identity), and a ≤5-doc sample per side; intra-signature
+    * clusters appear as (s,s,dist=0) rows with n·(n−1)/2 mass.
+    * Individual doc pairs beyond the sample are the only information
+    * surrendered. Output mass = qualifying signature pairs +
+    * duplicated signatures — INVARIANT under replication, safe to
+    * collect/alert on at any corpus size.
+    *
+    * Shape: samples via the mergeable TopK Aggregator (≤5 rows per
+    * partition per signature reach the shuffle — the hot signature's
+    * 160k-doc group at ×100 never buffers); counts map-side combine;
+    * banding runs over distinct signatures exactly as q84. */
+  private val q235 = Q(
+    "q235_simhash_dup_telemetry",
+    (s, dir) => {
+      import s.implicits._
+      val sh = simhashTable(t(s, dir, "documents"),
+        hexDigits = 15, bits = 60)
+        .localCheckpoint()
+      val counts = sh.groupBy(col("sh")).agg(count(lit(1)).as("n"))
+      // smallest-5 doc ids, ascending: TopK ranks (v desc, t asc), so
+      // feed (v, t) = (-doc_id, doc_id)
+      val samples = sh.select(col("sh"), col("doc_id")).as[(Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (-r._2, r._2))
+        .agg(new graft.functions.TopK(5).toColumn.name("top"))
+        .toDF("sh", "top")
+        .select(col("sh"),
+          array_join(transform(col("top"),
+            p => p.getField("_2").cast(StringType)), ",").as("sample"))
+      val grp = counts.join(samples, "sh").localCheckpoint()
+      val bands = grp.select(col("sh"),
+        posexplode(array((0 until 4).map(i =>
+          expr(s"(sh div ${1L << (15 * i)}) % 32768")): _*))
+          .as(Seq("band_i", "band")))
+      val crossp = bands.alias("a").join(bands.alias("b"),
+          col("a.band_i") === col("b.band_i") &&
+            col("a.band") === col("b.band") &&
+            col("a.sh") < col("b.sh"))
+        .select(col("a.sh").as("s1"), col("b.sh").as("s2"))
+        .distinct()
+        .withColumn("dist", expr("bit_count(s1 ^ s2)").cast(LongType))
+        .filter(col("dist") <= 3)
+        .join(grp.select(col("sh").as("s1"), col("n").as("n1"),
+          col("sample").as("sample1")), "s1")
+        .join(grp.select(col("sh").as("s2"), col("n").as("n2"),
+          col("sample").as("sample2")), "s2")
+        .select(col("s1"), col("s2"), col("dist"),
+          col("n1"), col("n2"),
+          (col("n1") * col("n2")).as("n_pairs"),
+          col("sample1"), col("sample2"))
+      val intra = grp.filter(col("n") > 1)
+        .select(col("sh").as("s1"), col("sh").as("s2"),
+          lit(0L).as("dist"), col("n").as("n1"), col("n").as("n2"),
+          expr("n * (n - 1) div 2").as("n_pairs"),
+          col("sample").as("sample1"), col("sample").as("sample2"))
+      crossp.unionByName(intra)
+    },
+    Some {
+      val (hw, nw) = TextOps.wordHashDuckExprWide("text")
+      s"""
+      WITH hws AS (SELECT doc_id, $hw AS hw, $nw AS nw FROM documents),
+      sh AS (
+        SELECT doc_id, ${TextOps.simhashDuckExprOver("hw", "nw", 60)} AS sh
+        FROM hws),
+      grp AS (
+        SELECT sh, COUNT(*) AS n,
+               array_to_string(list_sort(list(doc_id))[1:5], ',') AS sample
+        FROM sh GROUP BY 1),
+      bands AS (
+        SELECT sh, i AS band_i, (sh // (1 << (15 * i))) % 32768 AS band
+        FROM grp, range(4) t(i)),
+      cand AS (
+        SELECT DISTINCT a.sh AS s1, b.sh AS s2
+        FROM bands a JOIN bands b
+          ON a.band_i = b.band_i AND a.band = b.band AND a.sh < b.sh)
+      SELECT s1, s2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS dist,
+             g1.n AS n1, g2.n AS n2,
+             CAST(g1.n * g2.n AS BIGINT) AS n_pairs,
+             g1.sample AS sample1, g2.sample AS sample2
+      FROM cand JOIN grp g1 ON g1.sh = s1 JOIN grp g2 ON g2.sh = s2
+      WHERE bit_count(xor(s1, s2)) <= 3
+      UNION ALL
+      SELECT sh AS s1, sh AS s2, CAST(0 AS BIGINT) AS dist,
+             n AS n1, n AS n2, CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs,
+             sample AS sample1, sample AS sample2
+      FROM grp WHERE n > 1
+      """
+    })
+
   /** ANALYZE-style column profiler: per-column null/distinct counts and
     * min/max (stringified through exact decimal for numerics) — the
     * table-stats surface an optimizer and a data-quality gate both
@@ -1206,5 +1304,5 @@ object DedupQueries {
     })
 
   val registry: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52,
-    q82, q84, q85, q99, q112, q124, q130, q133, q136, q196, q232)
+    q82, q84, q85, q99, q112, q124, q130, q133, q136, q196, q232, q235)
 }

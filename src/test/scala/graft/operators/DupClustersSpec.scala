@@ -45,4 +45,27 @@ class DupClustersSpec extends AnyFunSuite {
     val all = clusters.toSeq.flatMap(_._3)
     assert(all.size == all.distinct.size, "overlapping clusters")
   }
+
+  test("q235 telemetry pair mass equals q84's exact pair count; samples bounded") {
+    val dir = "/root/testdata/sf0.001"
+    def q(n: String) = Queries.registry.find(_.name == n).get
+    val q84Rows = q("q84_simhash_hamming").build(spark, dir).count()
+    val rows = q("q235_simhash_dup_telemetry").build(spark, dir).collect()
+    // the bounded-recall contract: the telemetry surrenders individual
+    // doc pairs beyond the sample, NEVER pair mass — every doc pair
+    // q84 emits is counted in exactly one signature-pair row
+    val mass = rows.map(_.getAs[Long]("n_pairs")).sum
+    assert(mass == q84Rows,
+      s"telemetry pair mass $mass != q84 pair count $q84Rows")
+    rows.foreach { r =>
+      val ids1 = r.getAs[String]("sample1").split(",").map(_.toLong)
+      assert(ids1.length <= 5 && ids1.length.toLong <= r.getAs[Long]("n1"))
+      assert(ids1.sorted.sameElements(ids1), "sample not ascending")
+      val ids2 = r.getAs[String]("sample2").split(",").map(_.toLong)
+      assert(ids2.length <= 5 && ids2.length.toLong <= r.getAs[Long]("n2"))
+      if (r.getAs[Long]("dist") == 0L)
+        assert(r.getAs[Long]("s1") == r.getAs[Long]("s2"))
+      else assert(r.getAs[Long]("s1") < r.getAs[Long]("s2"))
+    }
+  }
 }
