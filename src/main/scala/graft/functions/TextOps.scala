@@ -12,9 +12,26 @@ import org.apache.spark.sql.types._
   */
 object TextOps {
 
-  /** Normalize: lowercase, trim, collapse whitespace runs. */
+  /** Normalize: lowercase, trim, collapse whitespace runs.
+    *
+    * The whitespace class is EXPLICIT — `[ \t\n\f\r]`, the set RE2's
+    * `\s` matches — because Java's `\s` additionally matches vertical
+    * tab U+000B, which DuckDB (RE2) keeps: a `\s+` rendering here
+    * silently diverged from every oracle on \x0B-bearing text
+    * (measured round 11; no fixture carries \x0B, so published hashes
+    * are unchanged). Likewise the `translate` pre-maps the only two
+    * code points where Java's FULL case mapping (used by Spark's
+    * `lower`) disagrees with utf8proc's SIMPLE mapping (used by
+    * DuckDB's): U+0130 İ (Java: i + combining dot; simple: i) and
+    * final-position U+03A3 Σ (Java: ς by the Final_Sigma rule;
+    * simple: σ always). Both engines now produce identical
+    * normalization over the full UTF-8 plane — PropertySpec's
+    * adversarial generators pin this against a JVM mirror, and the
+    * nasty-fixture DuckDB differential (tools/nasty_check.py) pins
+    * the engine pair end-to-end. */
   def norm(c: Column): Column =
-    regexp_replace(trim(lower(c)), "\\s+", " ")
+    regexp_replace(trim(lower(translate(c, "İΣ", "iσ"))),
+      "[ \\t\\n\\f\\r]+", " ")
 
   /** Whitespace tokenization of normalized text. */
   def words(c: Column): Column = split(norm(c), " ")

@@ -118,13 +118,18 @@ object DedupQueries {
     """))
 
   /** Token counting: whitespace tokens and a BPE-ish regex tokenizer
-    * (letter runs | digit runs | single punctuation). */
+    * (letter runs | digit runs | single punctuation). Null text must
+    * yield NULL counts on both engines: Spark's legacy `size(NULL)`
+    * is -1 where DuckDB's `len(NULL)` is NULL (caught by the
+    * tools/nasty_check.py adversarial differential), so the
+    * whitespace count is null-guarded explicitly — the other three
+    * columns already propagate NULL through `length`/`regexp_count`. */
   private val q47 = Q(
     "q47_token_stats",
     (s, dir) => {
       val d = t(s, dir, "documents")
         .withColumn("t", TextOps.norm(col("text")))
-      val nWs = size(split(col("t"), " "))
+      val nWs = when(col("t").isNotNull, size(split(col("t"), " ")))
       d.select(
         col("doc_id"),
         nWs.cast(LongType).as("n_ws_tokens"),

@@ -257,6 +257,101 @@ class PropertySpec extends AnyFunSuite {
       manifest.values.map(_._2).sum)
   }
 
+  // --- adversarial UTF-8 plane (round-11): the text kernels against
+  // a JVM mirror of the normalization CONTRACT (explicit whitespace
+  // class [ \t\n\f\r], simple case mapping for the two Java-vs-
+  // utf8proc hazard chars U+0130/U+03A3). tools/nasty_check.py runs
+  // the same plane END-TO-END against DuckDB. -----------------------
+
+  /** The contract mirror of TextOps.norm (NOT Java's `\s`, NOT
+    * String.trim — Spark's trim strips ' ' only). */
+  private def normRef(s: String): String =
+    s.map { case 'İ' => 'i'; case 'Σ' => 'σ'; case c => c }
+      .mkString
+      .toLowerCase(java.util.Locale.ROOT)
+      .dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      .replaceAll("[ \t\n\f\r]+", " ")
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  private val nastyTokens: Seq[String] = Seq(
+    "plain", "漢字テキスト", "étude", "e\u0301tude" /* combining */,
+    "😀😀", "👩‍👩‍👧" /* ZWJ family */, "a‍b",
+    "İstanbul", "ΦΩΣ" /* final sigma */, "ΣΑΣ", "ς", "ß", "ı",
+    "a b" /* NBSP glues into ONE token */, "a　b",
+    "a b", "ab", "ab" /* vtab: NOT whitespace */,
+    "x" * 100000 /* 10^5-char single token */)
+
+  private val nastyDoc: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    toks <- Gen.listOfN(n, Gen.oneOf(nastyTokens))
+    sep <- Gen.listOfN(math.max(n - 1, 0),
+      Gen.oneOf(" ", "  ", "\t", "\n", " \r ", "\f"))
+    lead <- Gen.oneOf("", " ", "\t ")
+    trail <- Gen.oneOf("", " ", " \n")
+  } yield lead + toks.zip(sep :+ "").map { case (a, b) => a + b }
+    .mkString + trail
+
+  test("nasty plane: TextOps.norm matches the contract mirror exactly") {
+    import spark.implicits._
+    import graft.functions.TextOps
+    val docs = sample(Gen.listOfN(300, nastyDoc)) ++ nastyTokens
+    val got = docs.toDF("text")
+      .select(TextOps.norm(col("text")).as("n"))
+      .collect().map(_.getString(0))
+    val want = docs.map(normRef)
+    got.zip(want).zip(docs).foreach { case ((g, w), d) =>
+      assert(g == w, s"norm diverges on ${d.take(40).map(_.toInt)}")
+    }
+  }
+
+  test("nasty plane: fingerprint matches md5 over mirror-sorted vocab; shingle algebra holds") {
+    import spark.implicits._
+    import graft.functions.TextOps
+    val docs = sample(Gen.listOfN(200, nastyDoc)).filter(_.nonEmpty)
+    val rows = docs.toDF("text")
+      .select(col("text"), TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.words(col("text")).as("w"),
+        TextOps.shingles(TextOps.words(col("text")), 3).as("sh"))
+      .collect()
+    rows.foreach { r =>
+      val text = r.getString(0)
+      // mirror fingerprint: md5 of space-joined UTF8-BINARY-sorted
+      // distinct words (Spark string sort order = unsigned byte order)
+      val words = normRef(text).split(" ", -1).toSeq
+      val vocab = words.distinct
+        .sortBy(w => w.getBytes("UTF-8").map(b => (b & 0xff).toChar).mkString)
+      assert(r.getString(1) == md5Hex(vocab.mkString(" ")),
+        s"fingerprint diverges on ${text.take(40).map(_.toInt)}")
+      val w = r.getSeq[String](2)
+      assert(w == words, "words diverge from mirror")
+      val sh = r.getSeq[String](3)
+      assert(sh.length == math.max(0, w.length - 2))
+      // post-split words carry no ' ', so each 3-shingle splits back
+      // into exactly 3 words
+      assert(sh.forall(_.split(" ", -1).length == 3))
+    }
+  }
+
+  test("nasty plane: 1e5-char tokens keep every kernel total and linear") {
+    import spark.implicits._
+    import graft.functions.TextOps
+    val big = Seq.fill(50)("y" * 100000).mkString(" ")
+    val r = Seq(big, "z " + big, big + " " + big).toDF("text")
+      .select(TextOps.fingerprint(col("text")).as("fp"),
+        size(TextOps.shingleSet(TextOps.words(col("text")), 5)).as("nsh"),
+        graft.plans.MinHashSig.minhashSig(
+          TextOps.shingleSet(TextOps.words(col("text")), 5), 4).as("ms"))
+      .collect()
+    assert(r.length == 3)
+    assert(r.forall(_.getAs[String]("fp").length == 32))
+    assert(r.forall(_.getAs[Seq[String]]("ms").length == 4))
+    // doc 1: 50 identical tokens -> 1 distinct 5-shingle
+    assert(r(0).getAs[Int]("nsh") == 1)
+  }
+
   test("q142 reconciliation is total and unambiguous") {
     // every document's key attaches to exactly one canonical source:
     // per-source n_obs sums to the corpus size, and exact+fuzzy
