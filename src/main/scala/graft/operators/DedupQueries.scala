@@ -1221,6 +1221,59 @@ object DedupQueries {
     * exchange; past it (1.25M+ eval docs) the join falls back to
     * shuffle. The verify joins stay shuffled: their small side (the
     * candidate list) is runtime-sized, which is AQE's job. */
+  /** The q232 machinery, exposed for ScaleBench's planted-leak recall
+    * probe: banded candidates AND verified flags from arbitrary
+    * train/eval frames (each `(doc_id, text)`), so the probe measures
+    * the exact scheme the query ships — 5-shingles, 8 MinHash rows in
+    * `bands` bands of `rowsPerBand`, Jaccard ≥ `tau` verify — never a
+    * reimplementation that could drift. Returns (candidates, flagged):
+    * candidates = distinct (train_id, eval_id) band collisions,
+    * flagged = the verified subset with exact Jaccard. */
+  private[graft] def lshDecontamParts(
+      train: DataFrame, evalDocs: DataFrame,
+      bands: Int = 4, rowsPerBand: Int = 2, tau: Double = 0.5)
+      : (DataFrame, DataFrame) = {
+    def index(side: DataFrame): (DataFrame, DataFrame) = {
+      val c = side
+        .withColumn("sh", TextOps.shingleSet(TextOps.words(col("text")), 5))
+        .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+        .localCheckpoint()
+      val b = c
+        .withColumn("ms", graft.plans.MinHashSig.minhashSig(
+          col("sh"), bands * rowsPerBand))
+        .withColumn("bands", array((0 until bands).map(j =>
+          md5(concat_ws("", (0 until rowsPerBand).map(r =>
+            element_at(col("ms"), rowsPerBand * j + r + 1)): _*))): _*))
+        .select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band_idx", "bh")))
+      (c, b)
+    }
+    val (shT, bandsT) = index(train.select(col("doc_id"), col("text")))
+    val (shE, bandsE0) = index(evalDocs.select(col("doc_id"), col("text")))
+    // measurement is free: shE is localCheckpoint'd, so this count
+    // reads cached blocks; bands are exactly `bands` rows per eval doc
+    val bandsE = GatedBroadcast(bandsE0, shE.count() * bands)
+    val cand = bandsT.alias("t")
+      .join(bandsE.alias("e"),
+        col("t.band_idx") === col("e.band_idx") &&
+          col("t.bh") === col("e.bh"))
+      .select(col("t.doc_id").as("train_id"),
+        col("e.doc_id").as("eval_id"))
+      .distinct()
+    val flagged = cand
+      .join(shT.select(col("doc_id").as("train_id"), col("sh").as("sh1"),
+        col("nsh").as("n1")), "train_id")
+      .join(shE.select(col("doc_id").as("eval_id"), col("sh").as("sh2"),
+        col("nsh").as("n2")), "eval_id")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("train_id"), col("eval_id"),
+        round(col("jaccard"), 6).as("jac"))
+    (cand, flagged)
+  }
+
   private val q232 = Q(
     "q232_lsh_decontamination",
     (s, dir) => {
@@ -1233,43 +1286,7 @@ object DedupQueries {
       val evalDocs = docs.filter(col("doc_id") % 50 === 0)
         .select((-col("doc_id") - 1).as("doc_id"),
           array_join(slice(w, lit(1), size(w) - 1), " ").as("text"))
-      def index(side: DataFrame): (DataFrame, DataFrame) = {
-        val c = side
-          .withColumn("sh", TextOps.shingleSet(TextOps.words(col("text")), 5))
-          .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
-          .localCheckpoint()
-        val bands = c
-          .withColumn("ms", graft.plans.MinHashSig.minhashSig(col("sh"), 8))
-          .withColumn("bands", array((0 until 4).map(j =>
-            md5(concat(element_at(col("ms"), 2 * j + 1),
-              element_at(col("ms"), 2 * j + 2)))): _*))
-          .select(col("doc_id"),
-            posexplode(col("bands")).as(Seq("band_idx", "bh")))
-        (c, bands)
-      }
-      val (shT, bandsT) = index(docs.select(col("doc_id"), col("text")))
-      val (shE, bandsE0) = index(evalDocs)
-      // measurement is free: shE is localCheckpoint'd, so this count
-      // reads cached blocks; bands are exactly 4 rows per eval doc
-      val bandsE = GatedBroadcast(bandsE0, shE.count() * 4)
-      val cand = bandsT.alias("t")
-        .join(bandsE.alias("e"),
-          col("t.band_idx") === col("e.band_idx") &&
-            col("t.bh") === col("e.bh"))
-        .select(col("t.doc_id").as("train_id"),
-          col("e.doc_id").as("eval_id"))
-        .distinct()
-      cand
-        .join(shT.select(col("doc_id").as("train_id"), col("sh").as("sh1"),
-          col("nsh").as("n1")), "train_id")
-        .join(shE.select(col("doc_id").as("eval_id"), col("sh").as("sh2"),
-          col("nsh").as("n2")), "eval_id")
-        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
-        .withColumn("jaccard",
-          col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("train_id"), col("eval_id"),
-          round(col("jaccard"), 6).as("jac"))
+      lshDecontamParts(docs, evalDocs)._2
     },
     Some {
       val w = """string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ')"""

@@ -62,7 +62,9 @@ object ScaleBench {
     names.foreach { name =>
       if (name == "probe:dedup") { dedupProbe(spark, sfDir); cleanup() }
       else if (name == "probe:recall") { recallProbe(spark, sfDir); cleanup() }
-      else runShapes(spark, sfDir, name, time)
+      else if (name == "probe:decontam") {
+        decontamProbe(spark, sfDir); cleanup()
+      } else runShapes(spark, sfDir, name, time)
     }
     spark.stop()
   }
@@ -113,6 +115,104 @@ object ScaleBench {
     println(s"""{"probe":"dedup","sf":"$sfDir","n_docs":$nDocs,""" +
       s""""cand_posting_cap":$nCand50,"out_q50":$nOut50,""" +
       s""""cand_lsh_bands":$nCand51,"out_q51":$nOut51}""")
+  }
+
+  /** SCALE.md decontamination recall probe (round-10 advice #3):
+    * plants KNOWN leaks — train copies of eval-side documents mutated
+    * at controlled word-replacement distances d (d evenly-spaced words
+    * replaced by unique sentinels) — into the full corpus, runs the
+    * exact q232 machinery ([[graft.operators.DedupQueries
+    * .lshDecontamParts]], never a reimplementation), and reports per
+    * distance: the banding's candidate recall, the verified flag
+    * recall, and the mean true Jaccard. Candidate recall < flag
+    * recall separation attributes misses to the 4-band/2-row scheme
+    * vs the 0.5 verify threshold. An 8-band/1-row alternative is
+    * measured alongside to answer "is the default banding right".
+    */
+  private def decontamProbe(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DoubleType, IntegerType}
+    import graft.functions.TextOps
+    val docs = graft.Tables.load(graft.Tables.tuned(spark), sfDir,
+      "documents")
+    // deterministic eval sample: base-band originals (GenScale copies
+    // stride >= 1M) long enough that d=8 still leaves shingle mass
+    val base = docs
+      .filter(col("doc_id") % 25 === 0 && col("doc_id") < 1000000)
+      .withColumn("w", TextOps.words(col("text")))
+      .filter(size(col("w")) >= 30)
+      .select(col("doc_id"), col("w"))
+      .localCheckpoint()
+    val dists = Seq(0, 1, 2, 3, 4, 6, 8)
+    def strideOf(d: Int): Long = 1000000000000L * (d + 1)
+    def mutated(d: Int): org.apache.spark.sql.Column =
+      if (d == 0) col("w")
+      else {
+        val pos = array((0 until d).map(k =>
+          (lit(k) * size(col("w")) / lit(d)).cast(IntegerType)): _*)
+        transform(col("w"), (x, i) =>
+          when(array_contains(pos, i.cast(IntegerType)),
+            concat(lit(s"zzleak${d}x"), i.cast("string"))).otherwise(x))
+      }
+    // per-(src, d) planted copy + its true Jaccard against the source
+    val pairs = dists.map { d =>
+      base.select(col("doc_id").as("src"), lit(d).as("d"),
+        array_join(col("w"), " ").as("otext"),
+        array_join(mutated(d), " ").as("mtext"))
+    }.reduce(_ unionByName _)
+      .withColumn("sh1", TextOps.shingleSet(TextOps.words(col("otext")), 5))
+      .withColumn("sh2", TextOps.shingleSet(TextOps.words(col("mtext")), 5))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jac", col("inter").cast(DoubleType) /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .select(col("src"), col("d"), col("mtext"), col("jac"))
+      .localCheckpoint()
+    // stride encodes d so expected train ids are reconstructable
+    val planted = pairs.select(
+      expr("src + (d + 1) * 1000000000000").as("doc_id"),
+      col("mtext").as("text"))
+    val train = docs.select(col("doc_id"), col("text"))
+      .unionByName(planted.select(col("doc_id"), col("text")))
+    val evalDocs = base.select(col("doc_id"),
+      array_join(col("w"), " ").as("text"))
+    def measure(bands: Int, rows: Int)
+        : (Long, Map[Int, (Long, Long)]) = {
+      val (cand, flagged) = graft.operators.DedupQueries
+        .lshDecontamParts(train, evalDocs, bands, rows)
+      val candC = cand.localCheckpoint()
+      val totalCand = candC.count() // corpus-wide candidate COST
+      def hits(df: DataFrame): Map[Int, Long] = df
+        .join(pairs.select(col("src"),
+          expr("src + (d + 1) * 1000000000000").as("tid"), col("d")),
+          col("train_id") === col("tid") && col("eval_id") === col("src"))
+        .groupBy(col("d")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val c = hits(candC.select(col("train_id"), col("eval_id")))
+      val f = hits(flagged.select(col("train_id"), col("eval_id")))
+      (totalCand,
+        dists.map(d => d -> ((c.getOrElse(d, 0L), f.getOrElse(d, 0L))))
+          .toMap)
+    }
+    val (tot42, def42) = measure(4, 2)
+    val (tot81, alt81) = measure(8, 1)
+    println(s"""{"probe":"decontam_cost","sf":"$sfDir",""" +
+      s""""total_cand_4x2":$tot42,"total_cand_8x1":$tot81}""")
+    val nPlanted = pairs.filter(col("d") === 0).count()
+    val jacByD = pairs.groupBy(col("d"))
+      .agg(avg(col("jac")).as("mj"), min(col("jac")).as("minj"))
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    dists.foreach { d =>
+      val (c42, f42) = def42(d)
+      val (c81, f81) = alt81(d)
+      val (mj, minj) = jacByD(d)
+      println(s"""{"probe":"decontam","sf":"$sfDir","d":$d,""" +
+        s""""n":$nPlanted,"mean_jac":${f"$mj%.3f"},""" +
+        s""""min_jac":${f"$minj%.3f"},""" +
+        s""""cand_4x2":$c42,"flag_4x2":$f42,""" +
+        s""""cand_8x1":$c81,"flag_8x1":$f81}""")
+    }
   }
 
   /** SCALE.md ANN recall probe (round-9 advice #5): recall@10 of the
