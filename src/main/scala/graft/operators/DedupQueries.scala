@@ -1208,14 +1208,14 @@ object DedupQueries {
     * identically on both engines (every 50th doc, last word dropped,
     * id negated — the same near-copy construction the dedup corpus
     * plants), train = the full documents table; a train doc is
-    * flagged iff it shares any of 4 MinHash band buckets with an eval
+    * flagged iff it shares any of 8 MinHash band buckets with an eval
     * doc AND exact Jaccard on the full shingle sets is ≥ 0.5.
     *
     * Scale: both sides hash to (band_idx, band_hash) keys and the
     * candidate join is bucket-equi — candidates are bucket
     * co-occupants only, never eval x train; the verify joins re-attach
     * each side's OWN shingle table (built once, localCheckpoint'd).
-    * The eval band table (4 narrow rows per eval doc) goes through
+    * The eval band table (8 narrow rows per eval doc) goes through
     * [[GatedBroadcast]] on the count its localCheckpoint already paid
     * for — under the gate the corpus-side band table streams with NO
     * exchange; past it (1.25M+ eval docs) the join falls back to
@@ -1286,14 +1286,26 @@ object DedupQueries {
       val evalDocs = docs.filter(col("doc_id") % 50 === 0)
         .select((-col("doc_id") - 1).as("doc_id"),
           array_join(slice(w, lit(1), size(w) - 1), " ").as("text"))
-      lshDecontamParts(docs, evalDocs)._2
+      // 8 bands x 1 row (round-11 retune, measured): the original
+      // 4x2 scheme's S-curve midpoint (1/4)^(1/2) = 0.5 sits exactly
+      // AT the tau=0.5 verify threshold, so it silently lost 10-25%
+      // of TRUE >=0.5-Jaccard leaks in the planted-leak probe (118
+      // vs 132 flags at edit distance 3, 84 vs 98 at 4 — identical
+      // at x1/x10/x100). 8x1's midpoint is 1/8, recall at tau is
+      // 1-(1-0.5)^8 = 0.996, and the measured candidate cost is only
+      // 3.5-20% higher (shrinking with scale: 16.8k -> 17.4k at
+      // x100). Decontamination is recall-critical — a missed leak
+      // poisons an eval — so the banding belongs well BELOW the
+      // verify threshold, which does the precision work. SCALE.md
+      // round-11 records the full table.
+      lshDecontamParts(docs, evalDocs, bands = 8, rowsPerBand = 1)._2
     },
     Some {
       val w = """string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ')"""
       val mins = (0 until 8).map(i =>
         s"list_min([md5('$i|'||s) FOR s IN sh]) AS m$i").mkString(", ")
-      def bandSelects(mh: String) = (0 until 4).map(j =>
-        s"SELECT doc_id, $j AS band_idx, md5(m${2 * j}||m${2 * j + 1}) AS bh FROM $mh")
+      def bandSelects(mh: String) = (0 until 8).map(j =>
+        s"SELECT doc_id, $j AS band_idx, md5(m$j) AS bh FROM $mh")
         .mkString(" UNION ALL ")
       val shingle =
         """list_distinct([array_to_string(w[i+1:i+5],' ') FOR i IN range(len(w)-4)])"""
