@@ -981,7 +981,61 @@ object TrainingSetQueries {
       """))
   }
 
+  /** Deterministic stratified RESERVOIR sample — the eval/calibration
+    * draw a 100 TB pipeline needs: exactly K docs per language,
+    * uniform without replacement, identical on every run and every
+    * engine. Sampling is by HASH RANK — the K smallest 60-bit md5
+    * prefixes of "sample1|doc_id" per stratum (a new salt = a fresh
+    * independent sample, the q222 epoch trick) — so "uniform random"
+    * becomes a deterministic total order both engines share; rand()
+    * is irreproducible and a per-stratum sort is a fact-scale
+    * shuffle. The selection runs as the mergeable TopK Aggregator:
+    * at most K rows per partition per stratum reach the shuffle
+    * (bounded state — a billion-doc stratum never buffers), the
+    * bounded-heap equivalent of reservoir sampling with none of its
+    * sequential-scan order dependence. Oracle = the ROW_NUMBER
+    * formulation over the same hash, proving the heap and the sort
+    * agree exactly. */
+  private val q236 = {
+    val K = 20
+    Q(
+      "q236_stratified_sample",
+      (s, dir) => {
+        import s.implicits._
+        val ds = t(s, dir, "documents")
+          .select(col("lang"),
+            expr("cast(conv(substring(md5(concat('sample1|', " +
+              "cast(doc_id as string))),1,15),16,10) as bigint)").as("h"),
+            col("doc_id"))
+          .as[(String, Long, Long)]
+        ds.groupByKey(_._1)
+          // TopK ranks (v desc, t asc): v = -h gives smallest-hash
+          // first, doc_id ascending as the (astronomically unlikely)
+          // tie-break — mirroring ORDER BY h, doc_id
+          .mapValues(r => (-r._2, r._3))
+          .agg(new graft.functions.TopK(K).toColumn.name("top"))
+          .toDF("lang", "top")
+          .select(col("lang"), posexplode(col("top")).as(Seq("pos", "pair")))
+          .select(col("lang"), (col("pos") + 1).cast(LongType).as("rnk"),
+            col("pair._2").as("doc_id"))
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT lang, doc_id,
+                 CAST(('0x'||substr(md5('sample1|'||CAST(doc_id AS VARCHAR)),
+                   1,15)) AS BIGINT) AS h
+          FROM documents),
+        r AS (
+          SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY h, doc_id) AS rnk
+          FROM h)
+        SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id
+        FROM r WHERE rnk <= $K
+      """))
+  }
+
   val registry: Seq[Q] =
     Seq(q218, q219, q220, q221, q222, q223, q224, q225, q226, q227,
-      q230, q231, q233)
+      q230, q231, q233, q236)
 }

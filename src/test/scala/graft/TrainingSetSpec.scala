@@ -388,6 +388,32 @@ class TrainingSetSpec extends AnyFunSuite {
     assert(flagged.forall { case (t, e) => e < 0L && t >= 0L })
   }
 
+  test("q236 sample equals the brute-force hash-rank draw per stratum") {
+    import org.apache.spark.sql.functions.col
+    val langOf = Tables.load(Tables.tuned(spark), dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def h(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sample1|$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = langOf.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      ds.map(d => (h(d._1), d._1)).sorted.take(20).zipWithIndex
+        .map { case ((_, id), i) => (lang, (i + 1).toLong, id) }.toSeq
+    }.toSet
+    val got = rowsOf("q236_stratified_sample").map(r =>
+      (r.getAs[String]("lang"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"))).toSet
+    assert(got == expected, s"sample diverges (got ${got.size})")
+    // every stratum filled to min(K, stratum size)
+    val counts = got.groupBy(_._1).view.mapValues(_.size).toMap
+    langOf.groupBy(_._2).foreach { case (lang, ds) =>
+      assert(counts(lang) == math.min(20, ds.length), s"$lang count")
+    }
+  }
+
   test("q233 spans match a brute-force first-occurrence recount at sf0.001") {
     // mark every 8-gram start whose gram occurred EARLIER (smaller
     // (doc_id, pos)) anywhere in the corpus, merge consecutive marked
