@@ -918,48 +918,51 @@ object TrainingSetQueries {
     * AQE-skew-splittable). Island merging is a per-DOC window
     * (bounded by doc length). Cost Θ(corpus tokens); output mass =
     * number of maximal spans, data-linear. */
-  private val q233 = {
-    val K = 8        // gram width = minimum detectable duplicate run
-    val MinSpan = 10 // only spans covering >= this many tokens are cut
-    Q(
-      "q233_dup_span_removal",
-      (s, dir) => {
-        val grams = t(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            TextOps.words(col("text")).as("w"))
-          .select(col("doc_id"), col("source"),
-            posexplode(TextOps.shingles(col("w"), K)).as(Seq("pos", "g8")))
-          .select(col("doc_id"), col("source"), col("pos"),
-            md5(col("g8")).as("g"))
-        val canon = grams.groupBy(col("g"))
-          .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
-        val marked = grams.join(canon, "g")
-          .filter(col("doc_id") =!= col("c.doc_id") ||
-            col("pos") =!= col("c.pos"))
-          .select(col("doc_id"), col("source"), col("pos"))
-        val rn = row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("pos")))
-        marked
-          .withColumn("grp", col("pos") - rn)
-          .groupBy(col("doc_id"), col("source"), col("grp"))
-          .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
-          .filter(col("e") - col("s") + K >= MinSpan)
-          .select(col("doc_id"), col("source"),
-            (col("s") + 1).cast(LongType).as("span_start"),
-            (col("e") - col("s") + K).cast(LongType).as("span_tokens"))
-      },
-      Some(s"""
-        WITH toks AS (
+  private val SpanK = 8        // gram width = min detectable dup run
+  private val SpanMin = 10     // only spans covering >= this many cut
+
+  /** The q233/q237 shared kernel: per-doc words + MAXIMAL duplicated
+    * spans (0-based marked-start runs [s, e], already MinSpan-
+    * filtered; the run covers tokens s..e+K−1). See q233 for the
+    * semantics and scale argument. */
+  private def dupSpanKernel(docs0: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val d = docs0.select(col("doc_id"), col("source"),
+      TextOps.words(col("text")).as("w"))
+    val grams = d
+      .select(col("doc_id"), col("source"),
+        posexplode(TextOps.shingles(col("w"), SpanK)).as(Seq("pos", "g8")))
+      .select(col("doc_id"), col("source"), col("pos"),
+        md5(col("g8")).as("g"))
+    val canon = grams.groupBy(col("g"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+    val marked = grams.join(canon, "g")
+      .filter(col("doc_id") =!= col("c.doc_id") ||
+        col("pos") =!= col("c.pos"))
+      .select(col("doc_id"), col("source"), col("pos"))
+    val rn = row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(col("pos")))
+    val spans = marked
+      .withColumn("grp", col("pos") - rn)
+      .groupBy(col("doc_id"), col("source"), col("grp"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
+      .filter(col("e") - col("s") + SpanK >= SpanMin)
+    (d, spans)
+  }
+
+  /** The same span chain as DuckDB CTEs ending in `sp(doc_id, source,
+    * s, e)` (unfiltered; callers apply the MinSpan cut). */
+  private val dupSpanSql: String = s"""toks AS (
           SELECT doc_id, source,
                  string_split(regexp_replace(trim(lower(text)),'\\s+',' ','g'),
                    ' ') AS w
           FROM documents),
         grams AS (
           SELECT doc_id, source, i AS pos,
-                 md5(array_to_string(w[i+1:i+$K],' ')) AS g
-          FROM (SELECT doc_id, source, w, unnest(range(len(w)-${K - 1}))
+                 md5(array_to_string(w[i+1:i+$SpanK],' ')) AS g
+          FROM (SELECT doc_id, source, w, unnest(range(len(w)-${SpanK - 1}))
                   AS i
-                FROM toks WHERE len(w) >= $K)),
+                FROM toks WHERE len(w) >= $SpanK)),
         rk AS (
           SELECT doc_id, source, pos,
                  ROW_NUMBER() OVER (PARTITION BY g
@@ -973,13 +976,91 @@ object TrainingSetQueries {
           FROM marked),
         sp AS (
           SELECT doc_id, source, MIN(pos) AS s, MAX(pos) AS e
-          FROM isl GROUP BY doc_id, source, grp)
+          FROM isl GROUP BY doc_id, source, grp)"""
+
+  private val q233 = Q(
+    "q233_dup_span_removal",
+    (s, dir) => {
+      val (_, spans) = dupSpanKernel(t(s, dir, "documents"))
+      spans.select(col("doc_id"), col("source"),
+        (col("s") + 1).cast(LongType).as("span_start"),
+        (col("e") - col("s") + SpanK).cast(LongType).as("span_tokens"))
+    },
+    Some(s"""
+        WITH $dupSpanSql
         SELECT doc_id, source,
                CAST(s + 1 AS BIGINT) AS span_start,
-               CAST(e - s + $K AS BIGINT) AS span_tokens
-        FROM sp WHERE e - s + $K >= $MinSpan
+               CAST(e - s + $SpanK AS BIGINT) AS span_tokens
+        FROM sp WHERE e - s + $SpanK >= $SpanMin
       """))
-  }
+
+  /** The REMOVAL itself — q233's spans materialized as a cleaned
+    * corpus: every token covered by a qualifying duplicated span is
+    * cut, the survivors reassemble (normalized text, space-joined) and
+    * the per-doc removed/kept accounting is exact. Completes the Lee
+    * et al. family as a transform: q220 measures, q233 locates, q237
+    * removes. Overlapping coverage (two qualifying islands closer
+    * than K tokens) is unioned via DISTINCT before the cut, so no
+    * token is double-counted.
+    *
+    * Shape: covered positions come from a bounded explode of span
+    * ranges (output-mass linear), survivors via one (doc_id, pos)
+    * anti-join, reassembly via one per-doc sort agg (bounded by doc
+    * length) — corpus-token-scale rows flow through exactly two
+    * shuffles beyond the kernel's. Null text propagates NULL through
+    * every output column on both engines. */
+  private val q237 = Q(
+    "q237_dup_span_cleanse",
+    (s, dir) => {
+      val (d, spans) = dupSpanKernel(t(s, dir, "documents"))
+      val covered = spans
+        .select(col("doc_id"),
+          explode(sequence(col("s"), col("e") + SpanK - 1)).as("pos"))
+        .distinct()
+      val toks = d.select(col("doc_id"),
+        posexplode(col("w")).as(Seq("pos", "word")))
+      val agg = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("word")))),
+            p => p.getField("word")), " ").as("cleaned0"))
+      d.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          when(col("w").isNotNull, size(col("w")))
+            .cast(LongType).as("n_tokens"),
+          when(col("w").isNotNull,
+            size(col("w")) - coalesce(col("n_kept"), lit(0L)))
+            .cast(LongType).as("n_removed"),
+          when(col("w").isNotNull, coalesce(col("cleaned0"), lit("")))
+            .as("cleaned"))
+    },
+    Some(s"""
+        WITH $dupSpanSql,
+        cov AS (
+          SELECT DISTINCT doc_id, unnest(range(s, e + $SpanK)) AS pos
+          FROM sp WHERE e - s + $SpanK >= $SpanMin),
+        tk AS (
+          SELECT doc_id, i AS pos, w[i+1] AS word
+          FROM (SELECT doc_id, w, unnest(range(len(w))) AS i FROM toks)),
+        kept AS (
+          SELECT tk.doc_id, tk.pos, tk.word FROM tk
+          LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.pos = tk.pos
+          WHERE cov.doc_id IS NULL),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 array_to_string(list(word ORDER BY pos), ' ') AS cleaned0
+          FROM kept GROUP BY 1)
+        SELECT t.doc_id, t.source,
+               CASE WHEN t.w IS NULL THEN NULL
+                    ELSE CAST(len(t.w) AS BIGINT) END AS n_tokens,
+               CASE WHEN t.w IS NULL THEN NULL
+                    ELSE CAST(len(t.w) - COALESCE(n_kept, 0) AS BIGINT)
+               END AS n_removed,
+               CASE WHEN t.w IS NULL THEN NULL
+                    ELSE COALESCE(cleaned0, '') END AS cleaned
+        FROM toks t LEFT JOIN agg USING (doc_id)
+      """))
 
   /** Deterministic stratified RESERVOIR sample — the eval/calibration
     * draw a 100 TB pipeline needs: exactly K docs per language,
@@ -1037,5 +1118,5 @@ object TrainingSetQueries {
 
   val registry: Seq[Q] =
     Seq(q218, q219, q220, q221, q222, q223, q224, q225, q226, q227,
-      q230, q231, q233, q236)
+      q230, q231, q233, q236, q237)
 }

@@ -450,7 +450,7 @@ class TrainingSetSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture plants no duplicated spans?")
   }
 
-  test("q233 planted corpus: exact boundaries, self-repeat, sub-threshold runs") {
+  private lazy val spanCorpusDir: String = {
     import spark.implicits._
     def filler(tag: String, n: Int) =
       (1 to n).map(i => s"$tag$i").mkString(" ")
@@ -473,11 +473,55 @@ class TrainingSetSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val tmp = java.nio.file.Files.createTempDirectory("q233corpus").toString
     corpus.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("q233 planted corpus: exact boundaries, self-repeat, sub-threshold runs") {
     val got = Queries.registry.find(_.name == "q233_dup_span_removal").get
-      .build(spark, tmp).collect()
+      .build(spark, spanCorpusDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
         r.getAs[Long]("span_tokens"))).toSet
     assert(got == Set((2L, 8L, 12L), (4L, 17L, 11L)),
       s"unexpected spans: $got")
+  }
+
+  test("q237 cleanse removes exactly the q233 spans and conserves tokens") {
+    val rows = Queries.registry.find(_.name == "q237_dup_span_cleanse").get
+      .build(spark, spanCorpusDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("cleaned")))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // doc 2: exactly the 12-token copied run goes, filler survives
+    val (n2, rm2, c2) = rows(2L)
+    assert(n2 == 22L && rm2 == 12L)
+    assert(c2 == ((1 to 7).map(i => s"c$i") ++ (1 to 3).map(i => s"d$i"))
+      .mkString(" "))
+    // doc 4: second 11-token self-repeat goes
+    assert(rows(4L)._2 == 11L)
+    // docs 1/3/5 untouched (canonical, sub-threshold, unique)
+    Seq(1L, 3L, 5L).foreach(id => assert(rows(id)._2 == 0L, s"doc $id"))
+    // conservation on every doc: kept tokens re-split to n - removed
+    rows.foreach { case (id, (n, rm, cleaned)) =>
+      val kept = if (cleaned.isEmpty) 0 else cleaned.split(" ").length
+      assert(kept.toLong == n - rm, s"doc $id conservation")
+    }
+  }
+
+  test("q237 fixture conservation against q233 span mass at sf0.001") {
+    val spanMass = rowsOf("q233_dup_span_removal")
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("span_tokens")).sum).toMap
+    val rows = rowsOf("q237_dup_span_cleanse")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // removal never exceeds span mass, and equals it when spans
+      // don't overlap (overlap only when two islands sit closer than
+      // the gram width — admissible, so <=)
+      assert(r.getAs[Long]("n_removed") <= spanMass.getOrElse(id, 0L),
+        s"doc $id removed more than its span mass")
+      if (spanMass.contains(id))
+        assert(r.getAs[Long]("n_removed") > 0L, s"doc $id removed nothing")
+    }
   }
 }
