@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.{Q, Tables}
 import graft.functions.Exprs.{asLong, dec2, md5Int32}
+import graft.functions.TextOps
 
 /** Round-6 wave: corpus-quality / data-layout operators a 100 TB
   * training-data pipeline runs continuously — distribution-drift
@@ -270,5 +271,68 @@ object QualityQueries {
       """
     }))
 
-  val registry: Seq[Q] = Seq(q207, q208, q210)
+  /** Corpus-relative RANK surprisal — the ordinal, log-free axis of
+    * the perplexity-filter family (CCNet-style quality pruning):
+    * every word gets its global frequency RANK (1 = most frequent,
+    * ties broken by word), and a document scores the exact integer
+    * mean rank of its tokens in micro-units plus the fraction of
+    * tokens from the rare half of the vocabulary. Complements q129
+    * (unigram log-prob: real-valued, rounded, top-10 output) with a
+    * score that stays in 64-bit integer space end to end — no
+    * transcendentals, so the oracle hash is exact — and emits the
+    * WHOLE corpus (a filter consumes every doc's score, not a
+    * leaderboard).
+    *
+    * Scale: the vocabulary grows with the corpus, so the global rank
+    * is [[PrefixPass.withRowNumber]] over (freq desc, word) — the
+    * two-phase range-partitioned shape, never an unpartitioned
+    * window; the score join re-attaches ranks to the token stream by
+    * word (Zipf-skewed — AQE's skew split owns the hot words). The
+    * micro-mean is computed by quotient/remainder split,
+    * (s div n)·10⁶ + ((s mod n)·10⁶) div n, so the intermediate
+    * never exceeds max(Σrank, n·10⁶) — overflow-safe without decimal
+    * promotion on either engine. */
+  private val q238 = Q(
+    "q238_rank_surprisal",
+    (s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val (ranked, vocabN) = PrefixPass.withRowNumber(
+        vocab, Seq(col("cnt").desc, col("w").asc), "r")
+      val rareCut = vocabN / 2
+      tok.join(ranked.select(col("w"), col("r")), "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"),
+          sum(when(col("r") > rareCut, 1L).otherwise(0L)).as("nr"))
+        .select(col("doc_id"), asLong(col("n")).as("n_tok"),
+          expr("(sr div n) * 1000000 + ((sr % n) * 1000000) div n")
+            .cast(LongType).as("mean_rank_micro"),
+          expr("(nr * 1000000) div n")
+            .cast(LongType).as("rare_frac_micro"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(
+                 regexp_replace(trim(lower(text)),'\s+',' ','g'), ' ')) AS w
+        FROM documents),
+      vocab AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      ranked AS (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS r
+        FROM vocab),
+      v AS (SELECT COUNT(*) AS vn FROM vocab)
+      SELECT doc_id, COUNT(*) AS n_tok,
+             CAST((SUM(r) // COUNT(*)) * 1000000
+                  + ((SUM(r) % COUNT(*)) * 1000000) // COUNT(*)
+               AS BIGINT) AS mean_rank_micro,
+             CAST((SUM(CASE WHEN r > (SELECT vn FROM v) // 2
+                            THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+               AS BIGINT) AS rare_frac_micro
+      FROM tok JOIN ranked USING (w)
+      GROUP BY 1
+    """))
+
+  val registry: Seq[Q] = Seq(q207, q208, q210, q238)
 }

@@ -78,4 +78,31 @@ class QualitySpec extends AnyFunSuite {
     assert(zB <= lB)
   }
 
+  test("q238 rank surprisal matches a brute-force recount") {
+    val docs = graft.Tables.load(graft.Tables.tuned(spark), dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def words(t: String): Array[String] =
+      t.toLowerCase.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+        .replaceAll("[ \t\n\f\r]+", " ").split(" ", -1)
+    val freq = docs.flatMap(d => words(d._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rank = freq.toSeq.sortBy { case (w, c) => (-c, w) }
+      .zipWithIndex.map { case ((w, _), i) => w -> (i + 1).toLong }.toMap
+    val rareCut = rank.size.toLong / 2
+    val expected = docs.map { case (id, text) =>
+      val rs = words(text).map(rank)
+      val n = rs.length.toLong
+      val sr = rs.sum
+      id -> ((n, (sr / n) * 1000000L + ((sr % n) * 1000000L) / n,
+        rs.count(_ > rareCut).toLong * 1000000L / n))
+    }.toMap
+    val got = df("q238_rank_surprisal").collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("mean_rank_micro"),
+          r.getAs[Long]("rare_frac_micro")))).toMap
+    assert(got == expected,
+      s"surprisal diverges on ${ (got.keySet -- expected.keySet).take(3) }" +
+        s" / first diff: ${got.find(kv => expected.get(kv._1) != Some(kv._2)).take(1)}")
+  }
 }
