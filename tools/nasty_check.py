@@ -20,6 +20,7 @@ import pyarrow.parquet as pq
 QUERIES = [
     "q45_dedup_exact", "q46_fingerprint", "q47_token_stats",
     "q50_ngram_jaccard", "q52_simhash", "q233_dup_span_removal",
+    "q237_dup_span_cleanse", "q238_rank_surprisal",
 ]
 
 NASTY_TOKENS = [
