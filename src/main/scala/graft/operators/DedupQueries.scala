@@ -493,6 +493,27 @@ object DedupQueries {
       FROM ex GROUP BY 1
     """))
 
+  /** The q84/q235 shared blocking kernel: qualifying signature pairs
+    * (hamming ≤ 3) from a DISTINCT-signature frame `sigs(sh)` via the
+    * pigeonhole-complete 4 × 15-bit banding — factored so a band
+    * retune can never silently diverge between the exact query and
+    * its bounded telemetry (the drift lshDecontamParts exists to
+    * prevent for q232). */
+  private def simhashSigPairs(sigs: DataFrame): DataFrame = {
+    val bands = sigs.select(col("sh"),
+      posexplode(array((0 until 4).map(i =>
+        expr(s"(sh div ${1L << (15 * i)}) % 32768")): _*))
+        .as(Seq("band_i", "band")))
+    bands.alias("a").join(bands.alias("b"),
+        col("a.band_i") === col("b.band_i") &&
+          col("a.band") === col("b.band") &&
+          col("a.sh") < col("b.sh"))
+      .select(col("a.sh").as("s1"), col("b.sh").as("s2"))
+      .distinct()
+      .withColumn("dist", expr("bit_count(s1 ^ s2)").cast(LongType))
+      .filter(col("dist") <= 3)
+  }
+
   /** SimHash near-dup pairs by hamming distance: 60-bit signatures
     * (q52's 16-bit formula widened — small signatures collide heavily,
     * and the BAND width is what bounds bucket cardinality at scale),
@@ -527,19 +548,7 @@ object DedupQueries {
       // volume stays ~constant while the doc expansion below is
       // output-bound (every expanded row IS a result row).
       val sigs = sh.select(col("sh")).distinct().localCheckpoint()
-      val bands = sigs.select(col("sh"),
-        posexplode(array((0 until 4).map(i =>
-          expr(s"(sh div ${1L << (15 * i)}) % 32768")): _*))
-          .as(Seq("band_i", "band")))
-      val sigPairs = bands.alias("a").join(bands.alias("b"),
-          col("a.band_i") === col("b.band_i") &&
-            col("a.band") === col("b.band") &&
-            col("a.sh") < col("b.sh"))
-        .select(col("a.sh").as("s1"), col("b.sh").as("s2"))
-        .distinct()
-        .withColumn("dist", expr("bit_count(s1 ^ s2)").cast(LongType))
-        .filter(col("dist") <= 3)
-        .localCheckpoint()
+      val sigPairs = simhashSigPairs(sigs).localCheckpoint()
       // Expansion joins stream over sh's EVEN partitioning with both
       // small sides gated-broadcast: keyed by signature instead, the
       // hot signature's whole doc group lands in one shuffle
@@ -625,18 +634,7 @@ object DedupQueries {
           array_join(transform(col("top"),
             p => p.getField("_2").cast(StringType)), ",").as("sample"))
       val grp = counts.join(samples, "sh").localCheckpoint()
-      val bands = grp.select(col("sh"),
-        posexplode(array((0 until 4).map(i =>
-          expr(s"(sh div ${1L << (15 * i)}) % 32768")): _*))
-          .as(Seq("band_i", "band")))
-      val crossp = bands.alias("a").join(bands.alias("b"),
-          col("a.band_i") === col("b.band_i") &&
-            col("a.band") === col("b.band") &&
-            col("a.sh") < col("b.sh"))
-        .select(col("a.sh").as("s1"), col("b.sh").as("s2"))
-        .distinct()
-        .withColumn("dist", expr("bit_count(s1 ^ s2)").cast(LongType))
-        .filter(col("dist") <= 3)
+      val crossp = simhashSigPairs(grp.select(col("sh")))
         .join(grp.select(col("sh").as("s1"), col("n").as("n1"),
           col("sample").as("sample1")), "s1")
         .join(grp.select(col("sh").as("s2"), col("n").as("n2"),
@@ -1238,11 +1236,19 @@ object DedupQueries {
         .withColumn("sh", TextOps.shingleSet(TextOps.words(col("text")), 5))
         .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
         .localCheckpoint()
+      // concat, NOT concat_ws: a doc with < 5 words has an empty
+      // shingle set and NULL minhash components, and concat_ws would
+      // collapse those to md5('') — one shared constant bucket that
+      // cross-products every short train doc with every short eval
+      // doc AND diverges from the oracle's NULL-propagating list_min.
+      // concat propagates the NULL, the band hash stays NULL, and a
+      // null key never equi-joins: short docs generate no candidates
+      // on either engine.
       val b = c
         .withColumn("ms", graft.plans.MinHashSig.minhashSig(
           col("sh"), bands * rowsPerBand))
         .withColumn("bands", array((0 until bands).map(j =>
-          md5(concat_ws("", (0 until rowsPerBand).map(r =>
+          md5(concat((0 until rowsPerBand).map(r =>
             element_at(col("ms"), rowsPerBand * j + r + 1)): _*))): _*))
         .select(col("doc_id"),
           posexplode(col("bands")).as(Seq("band_idx", "bh")))

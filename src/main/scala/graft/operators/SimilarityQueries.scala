@@ -941,9 +941,14 @@ object SimilarityQueries {
   private val q234 = Q(
     "q234_cross_modal_dedup",
     (s, dir) => {
+      // caps feeds BOTH the canonical aggregate and the pairs join,
+      // and eb both sides of the verdict join — materialize each once
+      // (doc-level frames; without this the corpus fingerprint scan
+      // and the 8-plane bucket hashing run twice)
       val caps = t(s, dir, "documents")
         .select(col("doc_id"),
           graft.functions.TextOps.fingerprint(col("text")).as("fp"))
+        .localCheckpoint()
       val canon = caps.groupBy(col("fp"))
         .agg(min(col("doc_id")).as("canon_id"))
       val pairs = caps.join(canon, "fp")
@@ -956,6 +961,7 @@ object SimilarityQueries {
       val eb = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("bucket", bucketOf)
+        .localCheckpoint()
       pairs
         .join(eb.select(col("vec_id").as("canon_id"), col("v").as("cv"),
           col("bucket").as("cb")), "canon_id")

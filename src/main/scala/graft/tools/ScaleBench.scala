@@ -145,7 +145,10 @@ object ScaleBench {
       .select(col("doc_id"), col("w"))
       .localCheckpoint()
     val dists = Seq(0, 1, 2, 3, 4, 6, 8)
-    def strideOf(d: Int): Long = 1000000000000L * (d + 1)
+    // single source of truth for the planted-id encoding: doc_id +
+    // (d+1)*Stride; used by BOTH the planted frame and the hits join
+    val Stride = 1000000000000L
+    val plantedId = s"src + (d + 1) * ${Stride}L"
     def mutated(d: Int): org.apache.spark.sql.Column =
       if (d == 0) col("w")
       else {
@@ -170,7 +173,7 @@ object ScaleBench {
       .localCheckpoint()
     // stride encodes d so expected train ids are reconstructable
     val planted = pairs.select(
-      expr("src + (d + 1) * 1000000000000").as("doc_id"),
+      expr(plantedId).as("doc_id"),
       col("mtext").as("text"))
     val train = docs.select(col("doc_id"), col("text"))
       .unionByName(planted.select(col("doc_id"), col("text")))
@@ -184,7 +187,7 @@ object ScaleBench {
       val totalCand = candC.count() // corpus-wide candidate COST
       def hits(df: DataFrame): Map[Int, Long] = df
         .join(pairs.select(col("src"),
-          expr("src + (d + 1) * 1000000000000").as("tid"), col("d")),
+          expr(plantedId).as("tid"), col("d")),
           col("train_id") === col("tid") && col("eval_id") === col("src"))
         .groupBy(col("d")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
