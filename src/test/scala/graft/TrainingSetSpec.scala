@@ -388,6 +388,34 @@ class TrainingSetSpec extends AnyFunSuite {
     assert(flagged.forall { case (t, e) => e < 0L && t >= 0L })
   }
 
+  test("LSH decontam: sub-5-word docs generate no candidates (null band hashes)") {
+    import spark.implicits._
+    // "a b c" has an EMPTY 5-shingle set -> NULL minhash components ->
+    // NULL band hashes, which never equi-join: verbatim-identical
+    // short docs must produce ZERO candidates (the concat_ws
+    // formulation collapsed them into one shared md5('') bucket —
+    // a short-doc cross product the oracle's NULL list_min never
+    // generates)
+    val train = Seq(
+      (1L, "a b c"), (2L, "a b c"),
+      (3L, (1 to 40).map("w" + _).mkString(" "))).toDF("doc_id", "text")
+    val evalD = Seq(
+      (-1L, "a b c"),
+      (-2L, (1 to 39).map("w" + _).mkString(" "))).toDF("doc_id", "text")
+    val (cand, flagged) =
+      graft.operators.DedupQueries.lshDecontamParts(train, evalD)
+    val c = cand.collect()
+      .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id")))
+      .toSet
+    assert(!c.exists { case (t, e) => t <= 2L || e == -1L },
+      s"short docs produced candidates: $c")
+    assert(c.contains((3L, -2L)), "long near-pair must be banded")
+    val f = flagged.collect()
+      .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id")))
+      .toSet
+    assert(f == Set((3L, -2L)), s"unexpected flags: $f")
+  }
+
   test("q236 sample equals the brute-force hash-rank draw per stratum") {
     import org.apache.spark.sql.functions.col
     val langOf = Tables.load(Tables.tuned(spark), dir, "documents")
