@@ -1116,7 +1116,145 @@ object TrainingSetQueries {
       """))
   }
 
+  /** Split-leakage audit: pairwise 8-gram overlap between the
+    * train/val/test parts of the q89 hash split — the "did the split
+    * leak" check a pipeline runs AFTER splitting, complementing q223
+    * (train vs a held-out eval corpus) with the intra-split view.
+    * For each ordered part pair, the number of distinct 8-grams
+    * present in BOTH, and that mass as an exact micro-fraction of the
+    * second part's vocabulary (the fraction of b's n-grams already
+    * seen in a — the memorization-risk direction when a=train).
+    *
+    * Shape: ONE corpus-scale gram aggregation to per-gram presence
+    * flags (max of split indicators — map-side combinable,
+    * md5-compressed keys), then the pair algebra runs on ONE row of
+    * global counts; no self-join, no per-pair corpus pass. */
+  private val q239 = Q(
+    "q239_split_leakage",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("b",
+          graft.functions.Exprs.md5Int32(col("doc_id").cast(StringType)) % 10)
+        .withColumn("split",
+          when(col("b") <= 7, "train").when(col("b") === 8, "val")
+            .otherwise("test"))
+      val flags = d
+        .select(col("split"), explode(
+          TextOps.shingleSet(TextOps.words(col("text")), 8)).as("g8"))
+        .select(col("split"), md5(col("g8")).as("g"))
+        .groupBy(col("g"))
+        .agg(
+          max(when(col("split") === "train", 1L).otherwise(0L)).as("tr"),
+          max(when(col("split") === "val", 1L).otherwise(0L)).as("va"),
+          max(when(col("split") === "test", 1L).otherwise(0L)).as("te"))
+      val tot = flags.agg(
+        sum(col("tr")).as("n_tr"), sum(col("va")).as("n_va"),
+        sum(col("te")).as("n_te"),
+        sum(col("tr") * col("va")).as("tr_va"),
+        sum(col("tr") * col("te")).as("tr_te"),
+        sum(col("va") * col("te")).as("va_te"))
+      val pairs = Seq(
+        ("train", "val", "tr_va", "n_va"),
+        ("train", "test", "tr_te", "n_te"),
+        ("val", "test", "va_te", "n_te"))
+      pairs.map { case (a, b, sc, nc) =>
+        tot.select(lit(a).as("part_a"), lit(b).as("part_b"),
+          col(sc).cast(LongType).as("shared_grams"),
+          col(nc).cast(LongType).as("n_grams_b"),
+          expr(s"($sc * 1000000) div $nc")
+            .cast(LongType).as("leak_frac_micro"))
+      }.reduce(_ unionByName _)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, text,
+               CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))
+                      ::BIGINT % 10 <= 7 THEN 'train'
+                    WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))
+                      ::BIGINT % 10 = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents),
+      toks AS (
+        SELECT split,
+               string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),
+                 ' ') AS w
+        FROM d),
+      grams AS (
+        SELECT split,
+               md5(unnest(list_distinct([array_to_string(w[i+1:i+8],' ')
+                            FOR i IN range(len(w)-7)]))) AS g
+        FROM toks WHERE len(w) >= 8),
+      flags AS (
+        SELECT g,
+               MAX(CASE WHEN split='train' THEN 1 ELSE 0 END) AS tr,
+               MAX(CASE WHEN split='val' THEN 1 ELSE 0 END) AS va,
+               MAX(CASE WHEN split='test' THEN 1 ELSE 0 END) AS te
+        FROM grams GROUP BY 1),
+      tot AS (
+        SELECT SUM(tr) AS n_tr, SUM(va) AS n_va, SUM(te) AS n_te,
+               SUM(tr*va) AS tr_va, SUM(tr*te) AS tr_te,
+               SUM(va*te) AS va_te
+        FROM flags)
+      SELECT 'train' AS part_a, 'val' AS part_b,
+             CAST(tr_va AS BIGINT) AS shared_grams,
+             CAST(n_va AS BIGINT) AS n_grams_b,
+             CAST(tr_va * 1000000 // n_va AS BIGINT) AS leak_frac_micro
+      FROM tot
+      UNION ALL
+      SELECT 'train', 'test', CAST(tr_te AS BIGINT),
+             CAST(n_te AS BIGINT),
+             CAST(tr_te * 1000000 // n_te AS BIGINT) FROM tot
+      UNION ALL
+      SELECT 'val', 'test', CAST(va_te AS BIGINT),
+             CAST(n_te AS BIGINT),
+             CAST(va_te * 1000000 // n_te AS BIGINT) FROM tot
+    """))
+
+  /** Duplicate-aware loss weighting: every document in a q46
+    * vocabulary-fingerprint cluster of size m carries weight 1/m, so
+    * each duplicated content unit contributes exactly one document's
+    * worth of training signal (the "count each cluster once"
+    * reweighting that is the soft alternative to dropping
+    * duplicates). Per source: exact integer micro-weight mass,
+    * effective (dedup-weighted) doc count vs raw count. Weight sums
+    * are exact because every doc in a cluster gets the SAME
+    * floor(1e6/m) micro-weight — no remainder ambiguity across
+    * engines.
+    *
+    * Shape: one fingerprint aggregation (map-side combinable), one
+    * equi-join back, one per-source rollup — all corpus-linear. */
+  private val q240 = Q(
+    "q240_dedup_loss_weights",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.fingerprint(col("text")).as("fp"))
+      val sizes = d.groupBy(col("fp")).agg(count(lit(1)).as("m"))
+      d.join(sizes, "fp")
+        .withColumn("w_micro", expr("1000000 div m"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum(col("w_micro")).cast(LongType).as("weight_mass_micro"),
+          sum(when(col("m") === 1, 1L).otherwise(0L))
+            .cast(LongType).as("n_unique"))
+    },
+    Some("""
+      WITH fp AS (
+        SELECT doc_id, source,
+               md5(array_to_string(list_sort(list_distinct(
+                 string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),
+                   ' '))), ' ')) AS fp
+        FROM documents),
+      sz AS (SELECT fp, COUNT(*) AS m FROM fp GROUP BY 1)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(1000000 // m) AS BIGINT) AS weight_mass_micro,
+             CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique
+      FROM fp JOIN sz USING (fp)
+      GROUP BY 1
+    """))
+
   val registry: Seq[Q] =
     Seq(q218, q219, q220, q221, q222, q223, q224, q225, q226, q227,
-      q230, q231, q233, q236, q237)
+      q230, q231, q233, q236, q237, q239, q240)
 }

@@ -442,6 +442,64 @@ class TrainingSetSpec extends AnyFunSuite {
     }
   }
 
+  test("q239 split leakage matches a brute-force gram-set recount") {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def splitOf(id: Long): String =
+      (java.lang.Long.parseLong(md5Hex(id.toString).take(8), 16) % 10) match {
+        case b if b <= 7 => "train"
+        case 8 => "val"
+        case _ => "test"
+      }
+    val bySplit = docs().groupBy(d => splitOf(d._1)).map { case (sp, ds) =>
+      sp -> ds.flatMap { d =>
+        val w = normWords(d._2)
+        (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" "))
+      }.toSet
+    }
+    val expected = Seq(
+      ("train", "val"), ("train", "test"), ("val", "test")).map {
+      case (a, b) =>
+        val shared = (bySplit(a) & bySplit(b)).size.toLong
+        val nb = bySplit(b).size.toLong
+        (a, b) -> ((shared, nb, shared * 1000000L / nb))
+    }.toMap
+    val got = rowsOf("q239_split_leakage").map(r =>
+      (r.getAs[String]("part_a"), r.getAs[String]("part_b")) ->
+        ((r.getAs[Long]("shared_grams"), r.getAs[Long]("n_grams_b"),
+          r.getAs[Long]("leak_frac_micro")))).toMap
+    assert(got == expected, s"leakage diverges:\n got $got\n exp $expected")
+  }
+
+  test("q240 dedup weights: cluster mass identity and brute-force recount") {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val all = docs().map { case (id, text, src, _) =>
+      (id, src, md5Hex(normWords(text).distinct.sorted.mkString(" ")))
+    }
+    val m = all.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val expected = all.groupBy(_._2).map { case (src, ds) =>
+      src -> ((ds.length.toLong,
+        ds.map(d => 1000000L / m(d._3)).sum,
+        ds.count(d => m(d._3) == 1L).toLong))
+    }
+    val got = rowsOf("q240_dedup_loss_weights").map(r =>
+      r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("weight_mass_micro"),
+          r.getAs[Long]("n_unique")))).toMap
+    assert(got == expected)
+    // cluster-mass identity: total micro-weight is #clusters * 1e6
+    // minus at most one unit per doc (floor loss)
+    val totalMass = got.values.map(_._2).sum
+    val nClusters = m.size.toLong
+    val nDocs = all.length.toLong
+    assert(totalMass <= nClusters * 1000000L &&
+      totalMass >= nClusters * 1000000L - nDocs,
+      s"mass $totalMass outside [${nClusters}e6 - $nDocs, ${nClusters}e6]")
+  }
+
   test("q233 spans match a brute-force first-occurrence recount at sf0.001") {
     // mark every 8-gram start whose gram occurred EARLIER (smaller
     // (doc_id, pos)) anywhere in the corpus, merge consecutive marked
