@@ -279,9 +279,15 @@ object QualityQueries {
     * tokens from the rare half of the vocabulary. Complements q129
     * (unigram log-prob: real-valued, rounded, top-10 output) with a
     * score that stays in 64-bit integer space end to end — no
-    * transcendentals, so the oracle hash is exact — and emits the
-    * WHOLE corpus (a filter consumes every doc's score, not a
-    * leaderboard).
+    * transcendentals, so the oracle hash is exact — and emits every
+    * SCORABLE document, not a leaderboard. Docs with NULL text are
+    * excluded BY CONTRACT on both engines (the token explode of a
+    * null word array drops the doc, exactly as unnest of NULL does in
+    * the oracle): a null doc has no tokens, so no mean rank exists
+    * for it — a caller filtering on the score treats no-row as
+    * "unscorable", the same contract as q129. (q237/q47 instead
+    * null-guard because their outputs are corpus REWRITES, where
+    * dropping a doc would silently change the corpus.)
     *
     * Scale: the vocabulary grows with the corpus, so the global rank
     * is [[PrefixPass.withRowNumber]] over (freq desc, word) — the

@@ -1157,11 +1157,15 @@ object TrainingSetQueries {
         ("train", "val", "tr_va", "n_va"),
         ("train", "test", "tr_te", "n_te"),
         ("val", "test", "va_te", "n_te"))
+      // Zero guard: a degenerate corpus where a split holds no
+      // >=8-token docs makes nc = 0 — both engines must agree on NULL
+      // there (DuckDB's bare `// 0` would raise instead; its oracle
+      // uses NULLIF).
       pairs.map { case (a, b, sc, nc) =>
         tot.select(lit(a).as("part_a"), lit(b).as("part_b"),
           col(sc).cast(LongType).as("shared_grams"),
           col(nc).cast(LongType).as("n_grams_b"),
-          expr(s"($sc * 1000000) div $nc")
+          when(col(nc) > 0, expr(s"($sc * 1000000) div $nc"))
             .cast(LongType).as("leak_frac_micro"))
       }.reduce(_ unionByName _)
     },
@@ -1198,16 +1202,17 @@ object TrainingSetQueries {
       SELECT 'train' AS part_a, 'val' AS part_b,
              CAST(tr_va AS BIGINT) AS shared_grams,
              CAST(n_va AS BIGINT) AS n_grams_b,
-             CAST(tr_va * 1000000 // n_va AS BIGINT) AS leak_frac_micro
+             CAST(tr_va * 1000000 // NULLIF(n_va, 0) AS BIGINT)
+               AS leak_frac_micro
       FROM tot
       UNION ALL
       SELECT 'train', 'test', CAST(tr_te AS BIGINT),
              CAST(n_te AS BIGINT),
-             CAST(tr_te * 1000000 // n_te AS BIGINT) FROM tot
+             CAST(tr_te * 1000000 // NULLIF(n_te, 0) AS BIGINT) FROM tot
       UNION ALL
       SELECT 'val', 'test', CAST(va_te AS BIGINT),
              CAST(n_te AS BIGINT),
-             CAST(va_te * 1000000 // n_te AS BIGINT) FROM tot
+             CAST(va_te * 1000000 // NULLIF(n_te, 0) AS BIGINT) FROM tot
     """))
 
   /** Duplicate-aware loss weighting: every document in a q46

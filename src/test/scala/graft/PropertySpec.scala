@@ -264,13 +264,9 @@ class PropertySpec extends AnyFunSuite {
   // the same plane END-TO-END against DuckDB. -----------------------
 
   /** The contract mirror of TextOps.norm (NOT Java's `\s`, NOT
-    * String.trim — Spark's trim strips ' ' only). */
-  private def normRef(s: String): String =
-    s.map { case 'İ' => 'i'; case 'Σ' => 'σ'; case c => c }
-      .mkString
-      .toLowerCase(java.util.Locale.ROOT)
-      .dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
-      .replaceAll("[ \t\n\f\r]+", " ")
+    * String.trim — Spark's trim strips ' ' only). Shared with the
+    * other brute-force specs via [[TestTextRef]]. */
+  private def normRef(s: String): String = TestTextRef.norm(s)
 
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -280,8 +276,8 @@ class PropertySpec extends AnyFunSuite {
     "plain", "漢字テキスト", "étude", "e\u0301tude" /* combining */,
     "😀😀", "👩‍👩‍👧" /* ZWJ family */, "a‍b",
     "İstanbul", "ΦΩΣ" /* final sigma */, "ΣΑΣ", "ς", "ß", "ı",
-    "a b" /* NBSP glues into ONE token */, "a　b",
-    "a b", "ab", "ab" /* vtab: NOT whitespace */,
+    "a\u00a0b" /* NBSP glues into ONE token */, "a\u3000b",
+    "a\u2028b", "a\u0085b", "a\u000bb" /* vtab: NOT whitespace */,
     "x" * 100000 /* 10^5-char single token */)
 
   private val nastyDoc: Gen[String] = for {

@@ -33,8 +33,10 @@ class TrainingSetSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
   }
 
+  // the CONTRACT tokenizer mirror (TestTextRef), not Java's
+  // trim/`\s`/bare-split semantics — see TestTextRef's scaladoc
   private def normWords(text: String): Array[String] =
-    text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+    TestTextRef.words(text)
 
   test("q218 largest-remainder allocations are whole and sum EXACTLY to the budget") {
     val rows = rowsOf("q218_temperature_mixing")

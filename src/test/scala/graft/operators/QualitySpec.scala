@@ -82,9 +82,7 @@ class QualitySpec extends AnyFunSuite {
     val docs = graft.Tables.load(graft.Tables.tuned(spark), dir, "documents")
       .select(col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
-    def words(t: String): Array[String] =
-      t.toLowerCase.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
-        .replaceAll("[ \t\n\f\r]+", " ").split(" ", -1)
+    def words(t: String): Array[String] = graft.TestTextRef.words(t)
     val freq = docs.flatMap(d => words(d._2))
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
     val rank = freq.toSeq.sortBy { case (w, c) => (-c, w) }
