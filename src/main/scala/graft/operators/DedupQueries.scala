@@ -330,6 +330,25 @@ object DedupQueries {
     * (candidate pairs, full shingle-set table) — exposed to the
     * SCALE.md candidate-growth probes for the same no-drift reason as
     * [[prunedCandParts]]. */
+  /** The q51/q241 shared banding kernel: 8 MinHash components over a
+    * `(idCol, sh)` frame, 4 bands of 2, exploded to narrow
+    * (idCol, band_idx, bh) rows. Factored exactly like
+    * [[simhashSigPairs]] (the q84/q235 discipline): the exact query
+    * and its bounded telemetry share the banding CODE, so a scheme
+    * retune can never silently diverge between them. All 8 signature
+    * components come from one native pass over the shingles
+    * (graft.plans.MinHashSig) instead of 8 interpreted HOF columns. */
+  private def minhashBandTable(withSh: DataFrame, idCol: String): DataFrame = {
+    val withMin = withSh.withColumn("ms",
+      graft.plans.MinHashSig.minhashSig(col("sh"), 8))
+    val withBands = withMin.withColumn("bands",
+      array((0 until 4).map(j =>
+        md5(concat(element_at(col("ms"), 2 * j + 1),
+          element_at(col("ms"), 2 * j + 2)))): _*))
+    withBands.select(col(idCol),
+      posexplode(col("bands")).as(Seq("band_idx", "bh")))
+  }
+
   private[graft] def lshBandParts(docs: DataFrame): (DataFrame, DataFrame) = {
     // materialize the shingle-set table, then the band signature
     // table: every downstream branch (band self-join sides, the two
@@ -339,16 +358,7 @@ object DedupQueries {
       .withColumn("sh",
         TextOps.shingleSet(TextOps.words(col("text")), 5))
       .localCheckpoint()
-    // all 8 signature components in one native pass over the shingles
-    // (graft.plans.MinHashSig) instead of 8 interpreted HOF columns
-    val withMin = c.withColumn("ms",
-      graft.plans.MinHashSig.minhashSig(col("sh"), 8))
-    val withBands = withMin.withColumn("bands",
-      array((0 until 4).map(j =>
-        md5(concat(element_at(col("ms"), 2 * j + 1),
-          element_at(col("ms"), 2 * j + 2)))): _*))
-    val ex = withBands.select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band_idx", "bh")))
+    val ex = minhashBandTable(c, "doc_id")
       .localCheckpoint()
     val cand = ex.alias("a")
       .join(ex.alias("b"),
@@ -679,6 +689,141 @@ object DedupQueries {
              n AS n1, n AS n2, CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs,
              sample AS sample1, sample AS sample2
       FROM grp WHERE n > 1
+      """
+    })
+
+  /** Bounded-output variant of q51 — MinHash/LSH near-dup TELEMETRY,
+    * the q235 contract transplanted to the MinHash family. q51's
+    * answer is inherently quadratic under verbatim replication (27.3M
+    * verified pairs / 186s at the ×100 fixture — every doc pair of an
+    * F-fold-replicated cluster is a result row; correct, but
+    * telemetry-hostile). This variant reports at CONTENT-GROUP grain:
+    * docs are grouped by md5(normalized text) — the q45/q46/q99 exact
+    * fingerprint, which fully determines the shingle set, so a doc
+    * pair's q51 verdict is a pure function of its two groups. For
+    * each verified group pair (same 8-component/4×2 banding via the
+    * SHARED [[minhashBandTable]] kernel, same exact-Jaccard ≥ 0.5
+    * verify — over distinct groups instead of docs) it emits the
+    * exact Jaccard, per-group doc counts, the EXACT doc-pair mass
+    * n1·n2 (so Σ n_pairs over the result equals q51's row count
+    * exactly — DupClustersSpec pins the identity), and ≤5-doc
+    * ascending samples per side; duplicated groups appear as
+    * (g,g,jac=1.0) rows with n·(n−1)/2 mass. Individual doc pairs
+    * beyond the samples are the only information surrendered; output
+    * mass = verified group pairs + duplicated groups — INVARIANT
+    * under replication, safe to collect/alert on at any corpus size.
+    *
+    * Contract notes: null-text docs are excluded up front on both
+    * engines (no shingles, no bands, no q51 pair — documented, not
+    * incidental); groups of sub-5-word docs have empty shingle sets,
+    * whose NULL minhash keeps them out of every band bucket (q232's
+    * concat-null discipline) and whose undefined Jaccard keeps their
+    * intra-group pairs out of q51 — the `nsh > 0` intra guard
+    * mirrors that exactly.
+    *
+    * Shape: samples via the mergeable TopK Aggregator (≤5 rows per
+    * partition per group reach the shuffle); counts map-side combine;
+    * shingling runs ONCE per distinct content (vocabulary-scale work,
+    * not corpus-scale) on the min(norm-text) representative. */
+  private val q241 = Q(
+    "q241_minhash_dup_telemetry",
+    (s, dir) => {
+      import s.implicits._
+      val docs = corpus(t(s, dir, "documents"))
+      val c = docs
+        .withColumn("nt", TextOps.norm(col("text")))
+        .filter(col("nt").isNotNull)
+        .select(col("doc_id"), md5(col("nt")).as("g"), col("nt"))
+        .localCheckpoint()
+      val counts = c.groupBy(col("g"))
+        .agg(count(lit(1)).as("nd"), min(col("nt")).as("nt"))
+      // smallest-5 doc ids, ascending: TopK ranks (v desc, t asc), so
+      // feed (v, t) = (-doc_id, doc_id) — the q235 sample discipline
+      val samples = c.select(col("g"), col("doc_id")).as[(String, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (-r._2, r._2))
+        .agg(new graft.functions.TopK(5).toColumn.name("top"))
+        .toDF("g", "top")
+        .select(col("g"),
+          array_join(transform(col("top"),
+            p => p.getField("_2").cast(StringType)), ",").as("sample"))
+      val grp = counts.join(samples, "g")
+        .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
+        .withColumn("nsh", size(col("sh")))
+        .drop("nt")
+        .localCheckpoint()
+      val bands = minhashBandTable(grp.select(col("g"), col("sh")), "g")
+      val cand = bands.alias("a")
+        .join(bands.alias("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.bh") === col("b.bh") && col("a.g") < col("b.g"))
+        .select(col("a.g").as("g1"), col("b.g").as("g2"))
+        .distinct()
+      val cross = cand
+        .join(grp.select(col("g").as("g1"), col("sh").as("sh1"),
+          col("nsh").as("m1"), col("nd").as("n1"),
+          col("sample").as("sample1")), "g1")
+        .join(grp.select(col("g").as("g2"), col("sh").as("sh2"),
+          col("nsh").as("m2"), col("nd").as("n2"),
+          col("sample").as("sample2")), "g2")
+        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+        .withColumn("jaccard",
+          col("inter").cast(DoubleType) /
+            (col("m1") + col("m2") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("g1"), col("g2"), round(col("jaccard"), 6).as("jac"),
+          col("n1"), col("n2"), (col("n1") * col("n2")).as("n_pairs"),
+          col("sample1"), col("sample2"))
+      val intra = grp.filter(col("nd") > 1 && col("nsh") > 0)
+        .select(col("g").as("g1"), col("g").as("g2"), lit(1.0).as("jac"),
+          col("nd").as("n1"), col("nd").as("n2"),
+          expr("nd * (nd - 1) div 2").as("n_pairs"),
+          col("sample").as("sample1"), col("sample").as("sample2"))
+      cross.unionByName(intra)
+    },
+    Some {
+      val nrm = """regexp_replace(trim(lower(text)),'\s+',' ','g')"""
+      val mins = (0 until 8).map(i =>
+        s"list_min([md5('$i|'||s) FOR s IN sh]) AS m$i").mkString(", ")
+      val bandSelects = (0 until 4).map(j =>
+        s"SELECT g, $j AS band_idx, md5(m${2 * j}||m${2 * j + 1}) AS bh FROM mh")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH $corpusSql,
+      nt AS (SELECT doc_id, $nrm AS nt FROM corpus WHERE text IS NOT NULL),
+      grp AS (
+        SELECT md5(nt) AS g, MIN(nt) AS nt, COUNT(*) AS nd,
+               array_to_string(list_sort(list(doc_id))[1:5], ',') AS sample
+        FROM nt GROUP BY 1),
+      gsh AS (
+        SELECT g, nd, sample,
+               list_distinct([array_to_string(w[i+1:i+5],' ')
+                              FOR i IN range(len(w)-4)]) AS sh
+        FROM (SELECT g, nd, sample, string_split(nt, ' ') AS w FROM grp)),
+      mh AS (SELECT g, sh, $mins FROM gsh),
+      bands AS ($bandSelects),
+      cand AS (SELECT DISTINCT a.g AS g1, b.g AS g2
+               FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.g < b.g),
+      v AS (SELECT g1, g2,
+                   len(list_intersect(x.sh, y.sh)) AS inter,
+                   len(x.sh) AS m1, len(y.sh) AS m2,
+                   x.nd AS n1, y.nd AS n2,
+                   x.sample AS sample1, y.sample AS sample2
+            FROM cand
+            JOIN gsh x ON x.g = g1
+            JOIN gsh y ON y.g = g2)
+      SELECT g1, g2,
+             round(CAST(inter AS DOUBLE) / (m1 + m2 - inter), 6) AS jac,
+             n1, n2, CAST(n1 * n2 AS BIGINT) AS n_pairs,
+             sample1, sample2
+      FROM v WHERE CAST(inter AS DOUBLE) / (m1 + m2 - inter) >= 0.5
+      UNION ALL
+      SELECT g AS g1, g AS g2, CAST(1.0 AS DOUBLE) AS jac,
+             nd AS n1, nd AS n2,
+             CAST(nd * (nd - 1) // 2 AS BIGINT) AS n_pairs,
+             sample AS sample1, sample AS sample2
+      FROM gsh WHERE nd > 1 AND len(sh) > 0
       """
     })
 
@@ -1344,5 +1489,6 @@ object DedupQueries {
     })
 
   val registry: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52,
-    q82, q84, q85, q99, q112, q124, q130, q133, q136, q196, q232, q235)
+    q82, q84, q85, q99, q112, q124, q130, q133, q136, q196, q232, q235,
+    q241)
 }

@@ -68,4 +68,34 @@ class DupClustersSpec extends AnyFunSuite {
       else assert(r.getAs[Long]("s1") < r.getAs[Long]("s2"))
     }
   }
+
+  test("q241 telemetry pair mass equals q51's exact pair count; samples bounded") {
+    val dir = "/root/testdata/sf0.001"
+    def q(n: String) = Queries.registry.find(_.name == n).get
+    val q51Rows = q("q51_minhash_lsh").build(spark, dir).count()
+    val rows = q("q241_minhash_dup_telemetry").build(spark, dir).collect()
+    // the bounded-recall contract: the telemetry surrenders individual
+    // doc pairs beyond the sample, NEVER pair mass — every doc pair
+    // q51 verifies is counted in exactly one content-group-pair row
+    val mass = rows.map(_.getAs[Long]("n_pairs")).sum
+    assert(mass == q51Rows,
+      s"telemetry pair mass $mass != q51 pair count $q51Rows")
+    assert(rows.nonEmpty, "planted dup corpus must produce telemetry")
+    rows.foreach { r =>
+      val ids1 = r.getAs[String]("sample1").split(",").map(_.toLong)
+      assert(ids1.length <= 5 && ids1.length.toLong <= r.getAs[Long]("n1"))
+      assert(ids1.sorted.sameElements(ids1), "sample not ascending")
+      val ids2 = r.getAs[String]("sample2").split(",").map(_.toLong)
+      assert(ids2.length <= 5 && ids2.length.toLong <= r.getAs[Long]("n2"))
+      val (g1, g2) = (r.getAs[String]("g1"), r.getAs[String]("g2"))
+      if (g1 == g2) assert(r.getAs[Double]("jac") == 1.0,
+        "intra-group row must be an exact-dup group")
+      else assert(g1 < g2 && r.getAs[Double]("jac") >= 0.5)
+    }
+    // the planted families are visible at group grain: every doc_id<20
+    // original has an exact-copy group of size >= 2 (its +200000 copy)
+    val intra = rows.filter(r => r.getAs[String]("g1") == r.getAs[String]("g2"))
+    assert(intra.nonEmpty, "exact-copy plants must appear as intra rows")
+    assert(intra.forall(_.getAs[Long]("n1") >= 2L))
+  }
 }
