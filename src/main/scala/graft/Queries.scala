@@ -601,7 +601,8 @@ object Queries {
     graft.operators.SketchQueries.registry ++
     graft.operators.Spark4Queries.registry ++
     graft.operators.QualityQueries.registry ++
-    graft.operators.TrainingSetQueries.registry
+    graft.operators.TrainingSetQueries.registry ++
+    graft.operators.BpeQueries.registry
 
   // NO stripMargin here: its margin char is '|', so an oracle line that
   // begins with a '||' concatenation would silently lose a pipe

@@ -1,0 +1,326 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+import graft.functions.TextOps
+
+/** Round-12 wave: the BPE tokenizer TRAINING loop and its application
+  * — the closed-loop text-analysis operator q176 (one pair-frequency
+  * pass) previews. q242 trains a byte-pair-encoding tokenizer over
+  * the documents corpus: N merge rounds, each a VOCABULARY-scale
+  * aggregation (the corpus is scanned exactly once, to build the
+  * word-frequency table; every subsequent round works on the distinct
+  * vocabulary, which is bounded by language — at 100 TB the per-round
+  * cost is a ~1e6–1e8-row vocab pass, not a corpus pass). q243
+  * applies the learned merges to emit per-document BPE token counts —
+  * the accounting production token budgets are denominated in, where
+  * q216/q219/q231 count whitespace/regex tokens. q244 re-runs q216's
+  * sequence packing on BPE token counts.
+  *
+  * Representation: a word's symbol sequence is ONE string with every
+  * symbol wrapped in single spaces (" a  b  </w> "). Words are
+  * whitespace-split, so symbols can never contain a space, which
+  * makes the encoding unambiguous, and a merge of pair (l, r) is then
+  * EXACTLY `replace(seq, " l  r ", " lr ")`: plain non-overlapping
+  * left-to-right substring replacement — the same greedy semantics as
+  * the reference BPE merge scan (BpeSpec proves the equivalence
+  * against a symbol-by-symbol JVM mirror), available as a codegen'd
+  * built-in on BOTH engines, no UDF, no per-symbol explode in the
+  * hot loop. Initial symbols are CODE POINTS via
+  * `regexp_extract_all(word, '(?s).')` — with (?s), Java and RE2
+  * both match exactly one code point, including the line terminators
+  * Java's bare `.` skips — plus a terminal "</w>" marker, so merges
+  * never cross word boundaries and a merged token ending in "</w>"
+  * is a full-word token.
+  *
+  * Determinism: each round's winning pair is argmax by
+  * (count DESC, left ASC, right ASC) — count ties break
+  * lexicographically on the pair, and both engines compare strings in
+  * UTF-8 byte order (= code-point order), so the learned merge tables
+  * are identical. All frequencies are 64-bit integers end to end.
+  *
+  * Scale shape: the driver loop collects ONE row per round (the
+  * argmax — a TakeOrderedAndProject, per-partition top-1 then merge;
+  * the q99/q135 iterative-scalar discipline). The vocab table is
+  * localCheckpoint'd per round so the replace chain never deepens,
+  * and AQE coalesces the small shuffle. Nothing corpus-scale happens
+  * after round 0.
+  */
+object BpeQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) =
+    Tables.load(Tables.tuned(s), dir, n)
+
+  /** Merge rounds trained. Vocab-scale work per round; 20 is enough
+    * to exercise multi-character tokens and full-word merges on the
+    * fixture while keeping the unrolled oracle tractable. */
+  private[graft] val NumMerges = 20
+
+  /** The word-frequency table with initial wrapped symbol sequences:
+    * (word, wc, seq). One corpus scan, map-side-combined count. */
+  private def vocab0(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(TextOps.words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .withColumn("seq",
+        concat(lit(" "),
+          array_join(
+            concat(regexp_extract_all(col("word"), lit("(?s)."), lit(0)),
+              array(lit("</w>"))),
+            "  "),
+          lit(" ")))
+
+  /** The training loop. Returns (merges in rank order — (left, right,
+    * pair count at selection time) — and the final vocab frame
+    * (word, wc, seq)). Exposed to q243/q244 so apply can never drift
+    * from training (the q84/q235 shared-kernel discipline). */
+  private[graft] def bpeTrain(docs: DataFrame, nMerges: Int)
+      : (Seq[(String, String, Long)], DataFrame) = {
+    var v = vocab0(docs).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (merges.length < nMerges && !done) {
+      val pairs = v
+        .withColumn("s", split(trim(col("seq")), "  "))
+        .filter(size(col("s")) >= 2)
+        .select(col("wc"),
+          explode(sequence(lit(0), size(col("s")) - 2)).as("i"), col("s"))
+        .select(col("wc"), col("s")(col("i")).as("l"),
+          col("s")(col("i") + 1).as("r"))
+        .groupBy(col("l"), col("r"))
+        .agg(sum(col("wc")).as("cnt"))
+      val win = pairs
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (win.isEmpty) done = true
+      else {
+        val (l, r, cnt) =
+          (win(0).getAs[String]("l"), win(0).getAs[String]("r"),
+            win(0).getAs[Long]("cnt"))
+        merges += ((l, r, cnt))
+        v = v.withColumn("seq",
+          replace(col("seq"), lit(s" $l  $r "), lit(s" $l$r ")))
+          .localCheckpoint()
+      }
+    }
+    (merges.toSeq, v)
+  }
+
+  /** The same words CTE both oracles start from. */
+  private val wordsSql =
+    """words AS (
+      SELECT w AS word, COUNT(*) AS wc
+      FROM (SELECT unnest(string_split(
+              regexp_replace(trim(lower(text)),'\s+',' ','g'), ' ')) AS w
+            FROM documents)
+      WHERE length(w) >= 1 GROUP BY 1)"""
+
+  /** The unrolled DuckDB training rounds v0..vN (+ p/w CTEs per
+    * round), shared by all three oracles. Every CTE is MATERIALIZED:
+    * DuckDB inlines plain CTEs, and since each round references the
+    * previous one twice (directly and through its pair table), the
+    * inlined plan doubles per round — 2^N scans of the corpus by
+    * round N (measured: "too many open files" at N = 20).
+    * Materialization makes the oracle evaluate each round once,
+    * mirroring the Spark side's per-round localCheckpoint. */
+  private def trainSql(n: Int): String = {
+    val v0 =
+      """v0 AS MATERIALIZED (
+        SELECT word, wc,
+               ' ' || array_to_string(
+                 regexp_extract_all(word, '(?s).') || ['</w>'], '  ')
+                   || ' ' AS seq
+        FROM words)"""
+    val rounds = (1 to n).map { k =>
+      s"""w$k AS MATERIALIZED (
+        SELECT l, r, CAST(cnt AS BIGINT) AS cnt
+        FROM (SELECT s[i+1] AS l, s[i+2] AS r, SUM(wc) AS cnt
+              FROM (SELECT wc, s, unnest(range(len(s)-1)) AS i
+                    FROM (SELECT wc, string_split(trim(seq), '  ') AS s
+                          FROM v${k - 1}))
+              GROUP BY 1, 2)
+        ORDER BY cnt DESC, l, r LIMIT 1),
+      v$k AS MATERIALIZED (
+        SELECT word, wc,
+               CASE WHEN w.l IS NULL THEN seq
+                    ELSE replace(seq, ' '||w.l||'  '||w.r||' ',
+                                 ' '||w.l||w.r||' ') END AS seq
+        FROM v${k - 1} LEFT JOIN w$k w ON TRUE)"""
+    }
+    (v0 +: rounds).mkString(",\n      ")
+  }
+
+  /** BPE tokenizer training: the learned merge table (rank order,
+    * with each pair's frequency at selection time) plus the final
+    * symbol vocabulary with its corpus frequency under the final
+    * segmentation. A tokenizer consumer needs exactly these two
+    * artifacts: the ranked merges to segment new text, the symbol
+    * frequencies to size/prune the vocab. */
+  private val q242 = Q(
+    "q242_bpe_train",
+    (s, dir) => {
+      import s.implicits._
+      val (merges, vf) = bpeTrain(t(s, dir, "documents"), NumMerges)
+      val mergeDf = merges.zipWithIndex.map { case ((l, r, c), i) =>
+        ("merge", i + 1L, l, r, l + r, c)
+      }.toDF("kind", "rank", "left", "right", "token", "freq")
+        // the merge table is driver-resident BY CONSTRUCTION (one
+        // collected argmax row per round); re-parallelizing 20 rows
+        // is not a driver-side loop over data
+      val symDf = vf
+        .select(col("wc"),
+          explode(split(trim(col("seq")), "  ")).as("token"))
+        .groupBy(col("token"))
+        .agg(sum(col("wc")).cast(LongType).as("freq"))
+        .select(lit("symbol").as("kind"),
+          lit(null).cast(LongType).as("rank"),
+          lit(null).cast(StringType).as("left"),
+          lit(null).cast(StringType).as("right"),
+          col("token"), col("freq"))
+      mergeDf.unionByName(symDf)
+    },
+    Some {
+      val mergeRows = (1 to NumMerges).map { k =>
+        s"""SELECT 'merge' AS kind, CAST($k AS BIGINT) AS rank,
+               l AS "left", r AS "right", l||r AS token, cnt AS freq
+           FROM w$k"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH $wordsSql,
+      ${trainSql(NumMerges)},
+      symfreq AS (
+        SELECT s AS token, CAST(SUM(wc) AS BIGINT) AS freq
+        FROM (SELECT wc, unnest(string_split(trim(seq), '  ')) AS s
+              FROM v$NumMerges)
+        GROUP BY 1)
+      $mergeRows
+      UNION ALL
+      SELECT 'symbol', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), token, freq
+      FROM symfreq
+      """
+    })
+
+  /** Tokenizer APPLY + real token accounting: per-document BPE token
+    * counts under the q242-trained tokenizer. Segmenting a word =
+    * replaying the learned merges in rank order over its initial
+    * symbol sequence — exactly the training rewrite, so apply reuses
+    * [[bpeTrain]]'s final vocab frame verbatim: the token count per
+    * word is already encoded in its final `seq` (each wrapped symbol
+    * contributes exactly 2 spaces, so n = spaces(seq) / 2), and the
+    * corpus pass is ONE explode + vocab join (Zipf-skewed — AQE's
+    * skew split owns the hot words; the vocab side is
+    * broadcast-sized here and AQE picks that too) + per-doc sum.
+    * Docs with no tokenizable words (NULL or empty text) are kept
+    * with NULL counts via the left join-back — the q237 corpus-
+    * rewrite discipline: token accounting must cover the corpus. */
+  private val q243 = Q(
+    "q243_bpe_token_counts",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (_, vf) = bpeTrain(docs, NumMerges)
+      val perWord = vf.select(col("word"),
+        expr("(length(seq) - length(replace(seq, ' ', ''))) div 2")
+          .cast(LongType).as("n_bpe"))
+      val agg = docs
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+        .filter(length(col("word")) >= 1)
+        .join(perWord, "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_bpe")).cast(LongType).as("n_bpe_tokens"))
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+    },
+    Some(s"""
+      WITH $wordsSql,
+      ${trainSql(NumMerges)},
+      perword AS (
+        SELECT word,
+               (length(seq) - length(replace(seq, ' ', ''))) // 2 AS n_bpe
+        FROM v$NumMerges),
+      tok AS (
+        SELECT doc_id, unnest(string_split(
+                 regexp_replace(trim(lower(text)),'\\s+',' ','g'), ' ')) AS w
+        FROM documents),
+      agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens
+        FROM tok JOIN perword ON w = word
+        WHERE length(w) >= 1
+        GROUP BY 1)
+      SELECT d.doc_id, a.n_words, a.n_bpe_tokens
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """))
+
+  /** q216's sequence packing re-denominated in BPE tokens: identical
+    * packing semantics (2048-token windows, pack = prefix-arithmetic
+    * over the exclusive running total via [[PrefixPass]], docs may
+    * span boundaries), but n_tok is the q243 BPE count — the number a
+    * production context-window budget is actually written in.
+    * BpeSpec extends the q216 conservation check: pack token masses
+    * sum exactly to q243's total. */
+  private val q244 = {
+    val PackTokens = 2048
+    Q(
+      "q244_bpe_packing",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val (_, vf) = bpeTrain(docs, NumMerges)
+        val perWord = vf.select(col("word"),
+          expr("(length(seq) - length(replace(seq, ' ', ''))) div 2")
+            .cast(LongType).as("n_bpe"))
+        val toks = docs
+          .select(col("doc_id"),
+            explode(TextOps.words(col("text"))).as("word"))
+          .filter(length(col("word")) >= 1)
+          .join(perWord, "word")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("n_bpe")).cast(DecimalType(18, 0)).as("n_tok"))
+        val (cum, _) = PrefixPass.cumSumDecimal(toks,
+          Seq(col("doc_id").asc), "n_tok", "cum_tok")
+        cum
+          .filter(col("n_tok") > 0)
+          .withColumn("pack_id",
+            expr(s"CAST(cum_tok - n_tok AS BIGINT) div $PackTokens"))
+          .groupBy(col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast(LongType).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+      },
+      Some(s"""
+        WITH $wordsSql,
+        ${trainSql(NumMerges)},
+        perword AS (
+          SELECT word,
+                 (length(seq) - length(replace(seq, ' ', ''))) // 2 AS n_bpe
+          FROM v$NumMerges),
+        tok AS (
+          SELECT doc_id, unnest(string_split(
+                   regexp_replace(trim(lower(text)),'\\s+',' ','g'), ' ')) AS w
+          FROM documents),
+        toks AS (
+          SELECT doc_id, SUM(n_bpe) AS n_tok
+          FROM tok JOIN perword ON w = word
+          WHERE length(w) >= 1
+          GROUP BY 1),
+        cum AS (
+          SELECT doc_id, n_tok,
+                 SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tok
+          FROM toks)
+        SELECT CAST((cum_tok - n_tok) // $PackTokens AS BIGINT) AS pack_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM cum WHERE n_tok > 0 GROUP BY 1
+      """))
+  }
+
+  val registry: Seq[Q] = Seq(q242, q243, q244)
+}
