@@ -827,6 +827,125 @@ object DedupQueries {
       """
     })
 
+  /** The q245 machinery, exposed for ScaleBench's embedded-leak probe
+    * (the lshDecontamParts discipline — the probe measures the exact
+    * scheme the query ships): capped-posting candidates AND
+    * containment-verified flags from arbitrary train/eval frames
+    * (each `(doc_id, text)`). A candidate is any (train, eval) pair
+    * sharing a shingle with both docs inside that shingle's
+    * [[MaxShingleDf]]-lowest posting cap — ANY shared shingle, so a
+    * verbatim extract reaches its source through every one of its
+    * shingles, where q232's MinHash banding needs a whole-set
+    * signature coincidence. Verify is ASYMMETRIC containment
+    * |sh_train ∩ sh_eval| / |sh_eval| >= tau. */
+  private[graft] def containmentDecontamParts(
+      train: DataFrame, evalDocs: DataFrame, tau: Double = 0.8)
+      : (DataFrame, DataFrame) = {
+    def index(side: DataFrame): (DataFrame, DataFrame) = {
+      val c = side
+        .withColumn("sh", TextOps.shingleSet(TextOps.words(col("text")), 5))
+        .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+        .localCheckpoint()
+      val ex = c.select(col("doc_id"), explode(col("sh")).as("s"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("s")).orderBy(col("doc_id"))))
+        .filter(col("rk") <= MaxShingleDf)
+        .drop("rk")
+      (c, ex)
+    }
+    val (shT, exT) = index(train.select(col("doc_id"), col("text")))
+    val (shE, exE) = index(evalDocs.select(col("doc_id"), col("text")))
+    val cand = exT.alias("t")
+      .join(exE.alias("e"), col("t.s") === col("e.s"))
+      .select(col("t.doc_id").as("train_id"), col("e.doc_id").as("eval_id"))
+      .distinct()
+    val flagged = cand
+      .join(shT.select(col("doc_id").as("train_id"), col("sh").as("sh1")),
+        "train_id")
+      .join(shE.select(col("doc_id").as("eval_id"), col("sh").as("sh2"),
+        col("nsh").as("n2")), "eval_id")
+      .withColumn("containment",
+        size(array_intersect(col("sh1"), col("sh2"))).cast(DoubleType) /
+          col("n2"))
+      .filter(col("containment") >= tau)
+      .select(col("train_id"), col("eval_id"),
+        round(col("containment"), 6).as("containment"))
+    (cand, flagged)
+  }
+
+  /** Containment-verified cross-corpus decontamination: the
+    * EMBEDDED-leak shape q232 structurally misses. q232's verdict is
+    * symmetric Jaccard ≥ 0.5; a short eval item pasted verbatim into
+    * a much longer train doc has jac ≈ |eval|/|train| ≪ 0.5 even at
+    * edit distance 0, and its MinHash bands rarely collide (each
+    * band's min must fall inside the embedded span — P ≈ |e|/|t| per
+    * component). This query runs the q112 asymmetric machinery
+    * cross-corpus instead: candidates from capped shingle postings
+    * (ANY shared shingle within the cap — recall for verbatim
+    * embedding comes from every extract shingle, not one signature
+    * coincidence), verdict containment-of-eval-in-train ≥ 0.8. The
+    * eval probes are planted as exactly that miss case: every 50th
+    * doc's MIDDLE THIRD (id negated — disjoint id space at any
+    * scale), so jac ≈ 1/3 for the true source pair while containment
+    * = 1.0; ScaleBench probe:decontam measures both schemes on these
+    * plants side by side.
+    *
+    * Scale: posting lists are capped at [[MaxShingleDf]] per shingle
+    * per side (q50/q112's bound — cap² candidate rows per shingle,
+    * never df²); the verify joins re-attach each side's own
+    * materialized shingle table. Recall contract inherited from
+    * q112: a pair is found iff SOME shared shingle holds both docs
+    * within its cap — for an embedded extract that is ~every one of
+    * its shingles, so only a doc whose every shingle is boilerplate
+    * shared with 32+ lower-id train docs can hide. */
+  private val q245 = Q(
+    "q245_containment_decontamination",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalDocs = docs.filter(col("doc_id") % 50 === 0)
+        .withColumn("w", TextOps.words(col("text")))
+        .select((-col("doc_id") - 1).as("doc_id"),
+          expr("array_join(slice(w, size(w) div 3 + 1, size(w) div 3), ' ')")
+            .as("text"))
+      containmentDecontamParts(docs, evalDocs)._2
+    },
+    Some {
+      val w = """string_split(regexp_replace(trim(lower(text)),'\s+',' ',
+        'g'),' ')"""
+      val shingle =
+        """list_distinct([array_to_string(w[i+1:i+5],' ') FOR i IN range(len(w)-4)])"""
+      s"""
+      WITH evd AS (
+        SELECT -doc_id - 1 AS doc_id,
+               array_to_string(w[(len(w)//3)+1 : 2*(len(w)//3)], ' ') AS text
+        FROM (SELECT doc_id, $w AS w FROM documents)
+        WHERE doc_id % 50 = 0),
+      shT AS (SELECT doc_id, $shingle AS sh
+              FROM (SELECT doc_id, $w AS w FROM documents)),
+      shE AS (SELECT doc_id, $shingle AS sh
+              FROM (SELECT doc_id, $w AS w FROM evd)),
+      exT AS (SELECT doc_id, s FROM (
+                SELECT doc_id, unnest(sh) AS s FROM shT) x
+              QUALIFY row_number() OVER (PARTITION BY s ORDER BY doc_id)
+                <= $MaxShingleDf),
+      exE AS (SELECT doc_id, s FROM (
+                SELECT doc_id, unnest(sh) AS s FROM shE) x
+              QUALIFY row_number() OVER (PARTITION BY s ORDER BY doc_id)
+                <= $MaxShingleDf),
+      cand AS (SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+               FROM exT t JOIN exE e ON t.s = e.s),
+      v AS (SELECT train_id, eval_id,
+                   len(list_intersect(s1.sh, s2.sh)) AS inter,
+                   len(s2.sh) AS n2
+            FROM cand
+            JOIN shT s1 ON s1.doc_id = train_id
+            JOIN shE s2 ON s2.doc_id = eval_id)
+      SELECT train_id, eval_id,
+             round(CAST(inter AS DOUBLE) / n2, 6) AS containment
+      FROM v WHERE CAST(inter AS DOUBLE) / n2 >= 0.8
+      """
+    })
+
   /** ANALYZE-style column profiler: per-column null/distinct counts and
     * min/max (stringified through exact decimal for numerics) — the
     * table-stats surface an optimizer and a data-quality gate both
@@ -1490,5 +1609,5 @@ object DedupQueries {
 
   val registry: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52,
     q82, q84, q85, q99, q112, q124, q130, q133, q136, q196, q232, q235,
-    q241)
+    q241, q245)
 }

@@ -216,6 +216,53 @@ object ScaleBench {
         s""""cand_4x2":$c42,"flag_4x2":$f42,""" +
         s""""cand_8x1":$c81,"flag_8x1":$f81}""")
     }
+    // ---- embedded-leak plants (round-11 advice #4): each eval doc
+    // pasted VERBATIM into an ~11x longer train doc (5n unique pad
+    // words each side). True Jaccard ~ 1/11 << 0.5 at edit distance
+    // 0, so the q232 scheme misses these BY CONTRACT; the q245
+    // containment machinery must flag them (containment = 1.0 — every
+    // extract shingle is a host shingle). Both schemes measured on
+    // the exact shipped code paths.
+    val EmbStride = Stride * 100
+    val emb = base
+      .select(col("doc_id").as("src"), col("w"))
+      .withColumn("npad", size(col("w")) * 5)
+      .withColumn("pre", transform(sequence(lit(0), col("npad") - 1),
+        i => concat(lit("pada"), col("src").cast("string"), lit("x"),
+          i.cast("string"))))
+      .withColumn("post", transform(sequence(lit(0), col("npad") - 1),
+        i => concat(lit("padb"), col("src").cast("string"), lit("x"),
+          i.cast("string"))))
+      .select(col("src"),
+        array_join(concat(col("pre"), col("w"), col("post")), " ")
+          .as("mtext"))
+      .localCheckpoint()
+    val embJac = emb
+      .join(base.select(col("doc_id").as("src"),
+        array_join(col("w"), " ").as("otext")), "src")
+      .withColumn("sh1", TextOps.shingleSet(TextOps.words(col("mtext")), 5))
+      .withColumn("sh2", TextOps.shingleSet(TextOps.words(col("otext")), 5))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .agg(avg(col("inter").cast(DoubleType) /
+        (size(col("sh1")) + size(col("sh2")) - col("inter"))))
+      .head().getDouble(0)
+    val trainEmb = docs.select(col("doc_id"), col("text"))
+      .unionByName(emb.select(
+        expr(s"src + ${EmbStride}L").as("doc_id"), col("mtext").as("text")))
+    def embHits(df: DataFrame): Long = df
+      .join(emb.select(col("src"), expr(s"src + ${EmbStride}L").as("tid")),
+        col("train_id") === col("tid") && col("eval_id") === col("src"))
+      .count()
+    val (candL, flagL) = graft.operators.DedupQueries
+      .lshDecontamParts(trainEmb, evalDocs, bands = 8, rowsPerBand = 1)
+    val (candCo, flagCo) = graft.operators.DedupQueries
+      .containmentDecontamParts(trainEmb, evalDocs)
+    val nEmb = emb.count()
+    println(s"""{"probe":"decontam_embedded","sf":"$sfDir","n":$nEmb,""" +
+      s""""mean_jac":${f"$embJac%.3f"},""" +
+      s""""cand_8x1":${embHits(candL)},"flag_8x1":${embHits(flagL)},""" +
+      s""""cand_containment":${embHits(candCo)},""" +
+      s""""flag_containment":${embHits(flagCo)}}""")
   }
 
   /** SCALE.md ANN recall probe (round-9 advice #5): recall@10 of the

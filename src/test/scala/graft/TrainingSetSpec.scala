@@ -390,6 +390,50 @@ class TrainingSetSpec extends AnyFunSuite {
     assert(flagged.forall { case (t, e) => e < 0L && t >= 0L })
   }
 
+  test("q245 flags every planted middle-third extract with containment 1.0") {
+    val rows = rowsOf("q245_containment_decontamination")
+    val byPair = rows.map(r => (r.getAs[Long]("train_id"),
+      r.getAs[Long]("eval_id")) -> r.getAs[Double]("containment")).toMap
+    val allDocs = docs()
+    val textOf = allDocs.map(d => d._1 -> d._2).toMap
+    val evalSources = allDocs.map(_._1).filter(_ % 50 == 0)
+      // >= 15 words so the middle third carries >= 1 shingle
+      .filter(id => normWords(textOf(id)).length >= 15)
+    assert(evalSources.nonEmpty)
+    evalSources.foreach { id =>
+      assert(byPair.get((id, -id - 1L)).contains(1.0),
+        s"middle-third extract of doc $id not flagged at containment 1.0")
+    }
+    assert(rows.forall { r =>
+      r.getAs[Long]("eval_id") < 0L && r.getAs[Long]("train_id") >= 0L &&
+        r.getAs[Double]("containment") >= 0.8
+    })
+  }
+
+  test("embedded verbatim leak: containment machinery flags what Jaccard-LSH misses") {
+    import spark.implicits._
+    val host = ((1 to 100).map("pre" + _) ++ (1 to 20).map("s" + _) ++
+      (1 to 100).map("post" + _)).mkString(" ")
+    val train = Seq(
+      (1L, host),
+      (2L, (1 to 50).map("x" + _).mkString(" "))).toDF("doc_id", "text")
+    val evalD = Seq((-1L, (1 to 20).map("s" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    // the eval item is embedded VERBATIM in train doc 1 (jac ~ 16/216
+    // << 0.5): the shipped q232 scheme must NOT flag it (tau does the
+    // work), the q245 containment machinery must, at exactly 1.0
+    val lsh = graft.operators.DedupQueries
+      .lshDecontamParts(train, evalD, bands = 8, rowsPerBand = 1)._2
+      .collect()
+    assert(lsh.isEmpty, "Jaccard verify cannot pass an embedded leak")
+    val cont = graft.operators.DedupQueries
+      .containmentDecontamParts(train, evalD)._2.collect()
+    assert(cont.length == 1)
+    assert(cont.head.getAs[Long]("train_id") == 1L &&
+      cont.head.getAs[Long]("eval_id") == -1L &&
+      cont.head.getAs[Double]("containment") == 1.0)
+  }
+
   test("LSH decontam: sub-5-word docs generate no candidates (null band hashes)") {
     import spark.implicits._
     // "a b c" has an EMPTY 5-shingle set -> NULL minhash components ->
