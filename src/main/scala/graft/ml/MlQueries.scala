@@ -201,9 +201,14 @@ object MlQueries {
 
   /** Frame-sampling plumbing over binary payloads (Multimodal
     * .sampleFrames): 4 evenly spaced offsets + 8-byte slices per
-    * payload. Offsets and slices are pure arithmetic on the bytes, so
-    * — the corpus being ASCII — the oracle reproduces them with
-    * integer division and substring. */
+    * payload. Offsets and slices are pure arithmetic on the BYTES;
+    * the frame heads surface as HEX so the output is well-formed on
+    * ANY payload — a byte slice of a multi-byte corpus lands
+    * mid-codepoint, and re-interpreting it as a string produced
+    * invalid UTF-8 the harness could not even read back (caught by
+    * the round-12 mechanical nasty sweep). The oracle slices the hex
+    * rendering directly (2 hex chars per byte — DuckDB 1.0 has no
+    * BLOB substring). */
   private val q108 = Q(
     "q108_frame_sampling",
     (s, dir) => {
@@ -211,11 +216,15 @@ object MlQueries {
         .select(col("doc_id").as("media_id"),
           col("text").cast(BinaryType).as("payload"))
       Multimodal.sampleFrames(media, "payload", n = 4)
+        // NULL payload -> NULL offsets/heads on both engines (Spark's
+        // array_join would silently skip the 4 NULL slices into '')
         .select(col("media_id"),
-          array_join(transform(col("frame_offsets"),
-            _.cast(StringType)), ",").as("offsets"),
-          array_join(transform(col("frames"),
-            _.cast(StringType)), "|").as("frame_heads"))
+          when(col("payload").isNotNull,
+            array_join(transform(col("frame_offsets"),
+              _.cast(StringType)), ",")).as("offsets"),
+          when(col("payload").isNotNull,
+            array_join(transform(col("frames"), f => hex(f)), "|"))
+            .as("frame_heads"))
     },
     Some("""
       WITH f AS (
@@ -224,7 +233,8 @@ object MlQueries {
       SELECT media_id,
              array_to_string([CAST((i * len) // 4 AS VARCHAR)
                               FOR i IN range(4)], ',') AS offsets,
-             array_to_string([substring(text, CAST((i * len) // 4 AS INT) + 1, 8)
+             array_to_string([substring(hex(encode(text)),
+                              2 * CAST((i * len) // 4 AS INT) + 1, 16)
                               FOR i IN range(4)], '|') AS frame_heads
       FROM f
     """))

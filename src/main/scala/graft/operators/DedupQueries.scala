@@ -151,16 +151,23 @@ object DedupQueries {
     """))
 
   /** Quality scoring: type-token ratio, stopword ratio, length prior —
-    * the standard pretraining-corpus quality heuristics. */
+    * the standard pretraining-corpus quality heuristics. Every size()
+    * over the word array is null-guarded (the q47 discipline): a NULL
+    * text must yield NULL counts/ratios on both engines, not Spark's
+    * legacy size(NULL) = -1 (which made ttr = -1/-1 = 1.0 — caught by
+    * the round-12 mechanical nasty sweep). */
   private val q48 = Q(
     "q48_quality_score",
     (s, dir) => {
       val stop = Seq("the", "a", "of", "and", "to", "in")
       val d = t(s, dir, "documents")
         .withColumn("w", TextOps.words(col("text")))
-      val nW = size(col("w"))
-      val ttr = size(array_distinct(col("w"))).cast(DoubleType) / nW
-      val stopRatio = TextOps.vocabHits(col("w"), stop).cast(DoubleType) / nW
+      val ok = col("w").isNotNull
+      val nW = when(ok, size(col("w")))
+      val ttr = when(ok,
+        size(array_distinct(col("w"))).cast(DoubleType) / nW)
+      val stopRatio = when(ok,
+        TextOps.vocabHits(col("w"), stop).cast(DoubleType) / nW)
       val lenPrior = least(lit(1.0), nW.cast(DoubleType) / 100.0)
       d.select(
         col("doc_id"),
@@ -625,6 +632,41 @@ object DedupQueries {
     * partition per signature reach the shuffle — the hot signature's
     * 160k-doc group at ×100 never buffers); counts map-side combine;
     * banding runs over distinct signatures exactly as q84. */
+  /** q235's sample stage: smallest-5 doc ids per signature, ascending,
+    * via the mergeable TopK Aggregator — TopK ranks (v desc, t asc),
+    * so feed (v, t) = (-doc_id, doc_id). Package-private so
+    * RegistrySmokeSpec can pin the pre-checkpoint physical plan
+    * (ObjectHashAggregate, never a sort-based fallback): the query
+    * itself localCheckpoints right after this stage, which hides the
+    * aggregate from the registry-built plan. */
+  private[graft] def sigSamples(sh: DataFrame): DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
+    sh.select(col("sh"), col("doc_id")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (-r._2, r._2))
+      .agg(new graft.functions.TopK(5).toColumn.name("top"))
+      .toDF("sh", "top")
+      .select(col("sh"),
+        array_join(transform(col("top"),
+          p => p.getField("_2").cast(StringType)), ",").as("sample"))
+  }
+
+  /** q241's sample stage — [[sigSamples]] with a string content-group
+    * key. Package-private for the same plan-gate reason. */
+  private[graft] def groupSamples(c: DataFrame): DataFrame = {
+    val s = c.sparkSession
+    import s.implicits._
+    c.select(col("g"), col("doc_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (-r._2, r._2))
+      .agg(new graft.functions.TopK(5).toColumn.name("top"))
+      .toDF("g", "top")
+      .select(col("g"),
+        array_join(transform(col("top"),
+          p => p.getField("_2").cast(StringType)), ",").as("sample"))
+  }
+
   private val q235 = Q(
     "q235_simhash_dup_telemetry",
     (s, dir) => {
@@ -633,16 +675,7 @@ object DedupQueries {
         hexDigits = 15, bits = 60)
         .localCheckpoint()
       val counts = sh.groupBy(col("sh")).agg(count(lit(1)).as("n"))
-      // smallest-5 doc ids, ascending: TopK ranks (v desc, t asc), so
-      // feed (v, t) = (-doc_id, doc_id)
-      val samples = sh.select(col("sh"), col("doc_id")).as[(Long, Long)]
-        .groupByKey(_._1)
-        .mapValues(r => (-r._2, r._2))
-        .agg(new graft.functions.TopK(5).toColumn.name("top"))
-        .toDF("sh", "top")
-        .select(col("sh"),
-          array_join(transform(col("top"),
-            p => p.getField("_2").cast(StringType)), ",").as("sample"))
+      val samples = sigSamples(sh)
       val grp = counts.join(samples, "sh").localCheckpoint()
       val crossp = simhashSigPairs(grp.select(col("sh")))
         .join(grp.select(col("sh").as("s1"), col("n").as("n1"),
@@ -737,16 +770,7 @@ object DedupQueries {
         .localCheckpoint()
       val counts = c.groupBy(col("g"))
         .agg(count(lit(1)).as("nd"), min(col("nt")).as("nt"))
-      // smallest-5 doc ids, ascending: TopK ranks (v desc, t asc), so
-      // feed (v, t) = (-doc_id, doc_id) — the q235 sample discipline
-      val samples = c.select(col("g"), col("doc_id")).as[(String, Long)]
-        .groupByKey(_._1)
-        .mapValues(r => (-r._2, r._2))
-        .agg(new graft.functions.TopK(5).toColumn.name("top"))
-        .toDF("g", "top")
-        .select(col("g"),
-          array_join(transform(col("top"),
-            p => p.getField("_2").cast(StringType)), ",").as("sample"))
+      val samples = groupSamples(c) // the q235 sample discipline
       val grp = counts.join(samples, "g")
         .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
         .withColumn("nsh", size(col("sh")))

@@ -341,7 +341,10 @@ object PipelineQueries {
       t(s, dir, "documents")
         .withColumn("w", TextOps.words(col("text")))
         .select(col("doc_id"),
-          asLong(size(TextOps.shingles(col("w"), 3))).as("n_grams"),
+          // null-guarded (q47 discipline): NULL text -> NULL n_grams
+          // on both engines, not Spark's legacy size(NULL) = -1
+          asLong(when(col("w").isNotNull,
+            size(TextOps.shingles(col("w"), 3)))).as("n_grams"),
           asLong(size(TextOps.shingles(col("w"), 3)) -
             size(TextOps.shingleSet(col("w"), 3))).as("n_repeats"))
         .withColumn("rep_frac",
@@ -385,7 +388,12 @@ object PipelineQueries {
     Q(
       "q109_bm25_ranking",
       (s, dir) => {
+        // NULL-text docs are excluded up front on both engines: they
+        // have no terms to score and their legacy size(NULL) = -1
+        // "document length" would poison avgdl AND give them a
+        // positive BM25 (round-12 nasty sweep)
         val tok = t(s, dir, "documents")
+          .filter(col("text").isNotNull)
           .select(col("doc_id"), TextOps.words(col("text")).as("w"))
           .withColumn("dl", size(col("w")).cast(DoubleType))
         // materialize once: tf feeds BOTH the stats aggregate and the
@@ -426,7 +434,8 @@ object PipelineQueries {
             s"(tf$i + $k1 * (${1.0 - b} + $b * dl / avgdl))")
           .mkString(" + ")
         s"""
-        WITH tok AS (SELECT doc_id, $w AS w FROM documents),
+        WITH tok AS (SELECT doc_id, $w AS w FROM documents
+                     WHERE text IS NOT NULL),
         tf AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, $tfCols FROM tok),
         stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
                          $dfCols FROM tf)
@@ -454,7 +463,10 @@ object PipelineQueries {
         .withColumn("chunk", slice(col("w"), col("off") + 1, lit(64)))
         .select(col("doc_id"), asLong(col("chunk_id")).as("chunk_id"),
           asLong(col("off")).as("off"),
-          asLong(size(col("chunk"))).as("n_tokens"),
+          // null-guarded (q47 discipline): NULL text -> one chunk row
+          // with NULL n_tokens on both engines, never size(NULL) = -1
+          asLong(when(col("chunk").isNotNull, size(col("chunk"))))
+            .as("n_tokens"),
           array_join(slice(col("chunk"), 1, 5), " ").as("chunk_head")),
     Some("""
       WITH tok AS (
@@ -703,8 +715,13 @@ object PipelineQueries {
     "q120_length_buckets",
     (s, dir) =>
       t(s, dir, "documents")
+        // null-guarded (q47 discipline): NULL text -> NULL n_tokens.
+        // Both engines' least() then SKIPS the null, so an
+        // unmeasurable doc lands in the top (capped) bucket with a
+        // NULL token contribution — engine-identical by construction
         .select(col("doc_id"),
-          size(TextOps.words(col("text"))).cast(LongType).as("n_tokens"))
+          when(col("text").isNotNull,
+            size(TextOps.words(col("text")))).cast(LongType).as("n_tokens"))
         .withColumn("bucket", least(expr("n_tokens div 16"), lit(8L)))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
@@ -1318,8 +1335,13 @@ object PipelineQueries {
     "q144_weighted_sample",
     (s, dir) => {
       val docs = t(s, dir, "documents")
+        // null-guarded (q47 discipline): NULL text -> NULL weight ->
+        // NULL key, which sorts LAST under DESC on both engines; the
+        // unguarded size(NULL) = -1 gave u^(-1) > 1 and put null docs
+        // at the TOP of the sample (round-12 nasty sweep)
         .select(col("doc_id"),
-          asLong(size(TextOps.words(col("text")))).as("w"))
+          asLong(when(col("text").isNotNull,
+            size(TextOps.words(col("text"))))).as("w"))
       docs
         .withColumn("u",
           (md5Int32(concat(lit("ws|"), col("doc_id").cast(StringType)))

@@ -255,6 +255,70 @@ class RegistrySmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("golden plans: telemetry/span queries keep their scale shapes") {
+    // q233/q237: canonical gram ownership must stay ONE map-side-
+    // combinable min(struct) aggregate — a Window PARTITIONED ON THE
+    // GRAM would pin a 10^8-occurrence boilerplate gram's rows to a
+    // single partition (the shape the q233 design note forbids).
+    // Windows keyed on doc_id are fine: a partition is one document,
+    // bounded by doc length, however often its grams repeat corpus-
+    // wide (the island-merge step uses exactly such a window).
+    for (n <- Seq("q233_dup_span_removal", "q237_dup_span_cleanse")) {
+      val wins = Queries.registry.find(_.name == n).get.build(spark, dir)
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }
+      wins.foreach { w =>
+        val keys = w.partitionSpec.flatMap(_.references.map(_.name))
+        assert(keys.exists(_.startsWith("doc_id")) &&
+            !keys.exists(_.startsWith("g")),
+          s"$n plans a Window keyed on the gram stream: $keys")
+      }
+    }
+    // q235/q236/q241: the TopK samples must route through the
+    // mergeable ObjectHashAggregate (<= K rows per partition per key
+    // reach the shuffle); a SortAggregate fallback buffers and sorts
+    // whole groups — the hot 160k-doc signature group at x100.
+    // q235/q241 localCheckpoint right after their sample stage, which
+    // hides the aggregate from the registry-built plan — inspect the
+    // package-private stage builders directly on the real table.
+    import org.apache.spark.sql.functions.{col, md5, xxhash64}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val stagePlans = Seq(
+      "q235.sigSamples" -> operators.DedupQueries.sigSamples(
+        docs.select(xxhash64(col("text")).as("sh"), col("doc_id"))),
+      "q241.groupSamples" -> operators.DedupQueries.groupSamples(
+        docs.select(md5(col("text").cast("binary")).as("g"),
+          col("doc_id"))))
+      .map { case (n, df) =>
+        n -> df.queryExecution.executedPlan.toString }
+    (stagePlans :+ ("q236_stratified_sample" ->
+        planOf("q236_stratified_sample"))).foreach { case (n, p) =>
+      assert(p.contains("ObjectHashAggregate"),
+        s"$n's TopK aggregation lost ObjectHashAggregate")
+      assert(!p.contains("SortAggregate"),
+        s"$n fell back to a sort-based aggregate")
+    }
+    // q238: corpus-scale ranks come from the two-phase PrefixPass;
+    // the only admissible SinglePartition work is one-row scalars.
+    // Its per-doc output aggregate is doc_id-keyed, so the plan must
+    // have NO single-partition exchange at all; q239 reduces to ONE
+    // global-counts row, whose final aggregate legitimately gathers
+    // one pre-aggregated row per partition — assert the partial
+    // aggregate runs BEFORE the exchange (map-side combine), which is
+    // what makes that gather constant-size.
+    assert(!planOf("q238_rank_surprisal").contains("SinglePartition"),
+      "q238 plans a single-partition exchange")
+    val q239Plan = planOf("q239_split_leakage")
+    if (q239Plan.contains("SinglePartition")) {
+      val firstExchange = q239Plan.indexOf("Exchange SinglePartition")
+      val firstPartial = q239Plan.indexOf("HashAggregate")
+      assert(firstPartial >= 0 && q239Plan.lastIndexOf(
+          "HashAggregate") > firstExchange,
+        "q239's global aggregate lost its map-side partial")
+    }
+  }
+
   test("q217 packing manifest: every pack except the last holds exactly 2048 tokens") {
     val rows = rowsOf("q217_pack_boundary_manifest")
       .map(r => (r.getAs[Long]("pack_id"), r.getAs[Long]("n_tokens")))

@@ -104,7 +104,7 @@ def main():
         r = subprocess.run(
             ["sbt", "-batch",
              f"runMain graft.Verify {sf_dir} {out_dir}{names}"],
-            cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+            cwd="/root/repo", capture_output=True, text=True, timeout=5400)
         if r.returncode != 0:
             print(r.stdout[-4000:])
             print(r.stderr[-4000:])

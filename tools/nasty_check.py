@@ -8,8 +8,18 @@ Isolated surrogates are deliberately absent: parquet strings are
 UTF-8, which cannot encode them — they cannot reach either engine
 through this pipeline.
 
+The query list is derived MECHANICALLY (round-11 advice #5): every
+registry query whose oracle SQL reads the documents table and no
+other table runs against the nasty fixture — a curated list would
+rot as queries are added. The derivation needs oracle_sql.json, so a
+one-query bootstrap run produces it first (graft.Verify dumps ALL
+oracles on every run). Queries without an oracle have no differential
+to run and are naturally absent from the dump's scope here.
+
 Usage: python3 tools/nasty_check.py [outDir]
 """
+import json
+import re
 import subprocess
 import sys
 from pathlib import Path
@@ -17,11 +27,25 @@ from pathlib import Path
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-QUERIES = [
-    "q45_dedup_exact", "q46_fingerprint", "q47_token_stats",
-    "q50_ngram_jaccard", "q52_simhash", "q233_dup_span_removal",
-    "q237_dup_span_cleanse", "q238_rank_surprisal",
-]
+# tables registered by check.py; a documents-only oracle is one that
+# names no OTHER table (the nasty fixture ships only documents)
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+BOOTSTRAP_QUERY = "q45_dedup_exact"
+
+
+def derive_queries(oracle_json: Path) -> list:
+    sqls = json.load(open(oracle_json))
+    sel = []
+    for name, sql in sorted(sqls.items()):
+        if not re.search(r"\bdocuments\b", sql):
+            continue
+        if any(re.search(rf"\b{t}\b", sql)
+               for t in TABLES if t != "documents"):
+            continue
+        sel.append(name)
+    return sel
 
 NASTY_TOKENS = [
     "plain", "漢字テキスト", "étude",
@@ -83,9 +107,19 @@ def main():
     })
     pq.write_table(table, out / "documents.parquet")
     print(f"nasty fixture: {len(rows)} docs -> {out}")
+    check = str(Path(__file__).parent / "check.py")
+    results = out / "results"
+    # bootstrap: one cheap query run dumps oracle_sql.json for ALL
+    # queries, from which the documents-only set is derived
     rc = subprocess.call(
-        [sys.executable, str(Path(__file__).parent / "check.py"),
-         str(out), str(out / "results"), *QUERIES, "--run"])
+        [sys.executable, check, str(out), str(results),
+         BOOTSTRAP_QUERY, "--run"])
+    if rc != 0:
+        sys.exit(rc)
+    queries = derive_queries(results / "oracle_sql.json")
+    print(f"derived {len(queries)} documents-only text queries")
+    rc = subprocess.call(
+        [sys.executable, check, str(out), str(results), *queries, "--run"])
     sys.exit(rc)
 
 
