@@ -322,5 +322,73 @@ object BpeQueries {
       """))
   }
 
-  val registry: Seq[Q] = Seq(q242, q243, q244)
+  /** Tokenizer ECONOMICS per source — the two numbers a tokenizer
+    * team tracks when deciding whether a vocab serves a corpus slice:
+    * compression (code-point chars per BPE token) and fertility (BPE
+    * tokens per whitespace word), per `source`, under the q242-trained
+    * tokenizer. A slice whose fertility is high relative to the rest
+    * of the corpus is under-served by the learned merges (its words
+    * shatter into characters) — the standard signal for re-weighting
+    * tokenizer training data. Ratios are exact integer micro-units
+    * (the q238 discipline: (a div b)·10⁶ + ((a mod b)·10⁶) div b —
+    * no doubles, so the oracle hash is exact and the intermediate
+    * never exceeds max(a, b·10⁶)). Char counts are code points on
+    * both engines (Spark `length` on strings vs DuckDB `length`).
+    * Scale shape: q243's corpus pass with `source` carried through —
+    * one explode + broadcast-sized vocab join + a per-source
+    * map-side-combined aggregate; nothing new is corpus-scale. */
+  private val q246 = Q(
+    "q246_bpe_compression",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (_, vf) = bpeTrain(docs, NumMerges)
+      val perWord = vf.select(col("word"),
+        expr("(length(seq) - length(replace(seq, ' ', ''))) div 2")
+          .cast(LongType).as("n_bpe"))
+      docs
+        .select(col("source"),
+          explode(TextOps.words(col("text"))).as("word"))
+        .filter(length(col("word")) >= 1)
+        .join(perWord, "word")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("word"))).cast(LongType).as("n_chars"),
+          sum(col("n_bpe")).cast(LongType).as("n_bpe_tokens"))
+        .selectExpr("source", "n_words", "n_chars", "n_bpe_tokens",
+          """CAST((n_chars div n_bpe_tokens) * 1000000L
+             + ((n_chars % n_bpe_tokens) * 1000000L) div n_bpe_tokens
+             AS LONG) AS chars_per_tok_micro""",
+          """CAST((n_bpe_tokens div n_words) * 1000000L
+             + ((n_bpe_tokens % n_words) * 1000000L) div n_words
+             AS LONG) AS toks_per_word_micro""")
+    },
+    Some(s"""
+      WITH $wordsSql,
+      ${trainSql(NumMerges)},
+      perword AS (
+        SELECT word,
+               (length(seq) - length(replace(seq, ' ', ''))) // 2 AS n_bpe
+        FROM v$NumMerges),
+      tok AS (
+        SELECT source, unnest(string_split(
+                 regexp_replace(trim(lower(text)),'\\s+',' ','g'), ' ')) AS w
+        FROM documents),
+      agg AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+               CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens
+        FROM tok JOIN perword ON w = word
+        WHERE length(w) >= 1
+        GROUP BY 1)
+      SELECT source, n_words, n_chars, n_bpe_tokens,
+             CAST((n_chars // n_bpe_tokens) * 1000000
+                  + ((n_chars % n_bpe_tokens) * 1000000) // n_bpe_tokens
+                  AS BIGINT) AS chars_per_tok_micro,
+             CAST((n_bpe_tokens // n_words) * 1000000
+                  + ((n_bpe_tokens % n_words) * 1000000) // n_words
+                  AS BIGINT) AS toks_per_word_micro
+      FROM agg
+    """))
+
+  val registry: Seq[Q] = Seq(q242, q243, q244, q246)
 }

@@ -165,6 +165,41 @@ class BpeSpec extends AnyFunSuite {
     assert(ids.sameElements(ids.indices.map(_.toLong)), "pack ids not contiguous")
   }
 
+  test("q246 per-source compression/fertility matches the mirror in exact micro-units") {
+    val wc = fixtureWc()
+    val (_, refSeqs) = refTrain(wc, 20)
+    val nTok: Map[String, Long] =
+      refSeqs.map { case (w, s) => w -> s.length.toLong }
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(Tables.tuned(spark), dir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+    val agg = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    docs.foreach { case (src, textOpt) =>
+      val ws = textOpt.map(TestTextRef.words(_).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      if (ws.nonEmpty) {
+        val (a, b, c) = agg.getOrElse(src, (0L, 0L, 0L))
+        agg(src) = (a + ws.length,
+          b + ws.map(w => w.codePointCount(0, w.length).toLong).sum,
+          c + ws.map(nTok).sum)
+      }
+    }
+    def micro(a: Long, b: Long): Long =
+      (a / b) * 1000000L + ((a % b) * 1000000L) / b
+    val rows = q("q246_bpe_compression").build(spark, dir).collect()
+    assert(rows.length == agg.size, "one row per source with tokenizable words")
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      val (nw, nc, nt) = agg(s)
+      assert(r.getAs[Long]("n_words") == nw, s"$s n_words")
+      assert(r.getAs[Long]("n_chars") == nc, s"$s n_chars")
+      assert(r.getAs[Long]("n_bpe_tokens") == nt, s"$s n_bpe_tokens")
+      assert(r.getAs[Long]("chars_per_tok_micro") == micro(nc, nt), s"$s compression")
+      assert(r.getAs[Long]("toks_per_word_micro") == micro(nt, nw), s"$s fertility")
+    }
+  }
+
   test("bpe replace-encoding equals greedy scan on adversarial overlap corpus") {
     import spark.implicits._
     val docs = Seq(
