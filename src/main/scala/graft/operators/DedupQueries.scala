@@ -257,8 +257,31 @@ object DedupQueries {
     * SCALE.md candidate-growth probes (tools/ScaleBench `dedup` mode)
     * so the measurement counts EXACTLY the frames the queries join,
     * not a re-derivation that could drift. */
+  /** The [[MaxShingleDf]]-lowest posting cap as a mergeable TopK
+    * aggregate instead of a per-shingle row_number window. Output is
+    * IDENTICAL (the MaxShingleDf lowest doc_ids of every shingle —
+    * deterministic, doc_ids are unique within a shingle), but the
+    * shape is the one the plan gates demand of every other per-key
+    * bound in the repo: partial heaps cap what reaches the shuffle at
+    * MaxShingleDf rows per partition per shingle, where the window
+    * formulation shuffles EVERY posting of a hot shingle to one
+    * partition before ranking — a 10⁸-occurrence boilerplate shingle
+    * pins an unsplittable partition at corpus scale. The SQL oracles
+    * keep the row_number formulation (semantically identical; DuckDB
+    * has no such skew hazard at oracle scale). */
+  private[graft] def cappedPostings(ex: DataFrame): DataFrame = {
+    val s = ex.sparkSession
+    import s.implicits._
+    ex.select(col("s"), col("doc_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (-r._2, r._2))
+      .agg(new graft.functions.TopK(MaxShingleDf).toColumn.name("top"))
+      .toDF("s", "top")
+      .select(col("s"), explode(col("top")).as("p"))
+      .select(col("p").getField("_2").as("doc_id"), col("s"))
+  }
+
   private[graft] def prunedCandParts(docs: DataFrame): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val c = corpus(docs)
       .withColumn("sh",
         TextOps.shingleSet(TextOps.words(col("text")), 5))
@@ -266,12 +289,17 @@ object DedupQueries {
     val ex = c.select(col("doc_id"), explode(col("sh")).as("s"))
     // cap each shingle's posting list at the MaxShingleDf lowest
     // doc_ids: bounded candidates (cap^2 per shingle) without erasing
-    // replicated clusters the way dropping the whole shingle would
-    val exKept = ex
-      .withColumn("rk",
-        row_number().over(Window.partitionBy(col("s")).orderBy(col("doc_id"))))
-      .filter(col("rk") <= MaxShingleDf)
-      .drop("rk")
+    // replicated clusters the way dropping the whole shingle would.
+    // The explicit repartition keeps the capped index at full
+    // parallelism: the TopK aggregate's output is small enough that
+    // AQE coalesces it to a handful of partitions, and everything
+    // q99 checkpoints downstream of the pair fan-out then lands in a
+    // few multi-GB cache blocks (measured: heap OOM at the ×100
+    // fixture in BlockManager.doPut; a partition must fit in a
+    // task's memory — same discipline as the bench's
+    // maxPartitionBytes note)
+    val exKept = cappedPostings(ex)
+      .repartition(col("s"))
       .localCheckpoint()
     val cand = exKept.alias("a")
       .join(exKept.alias("b"),
@@ -870,11 +898,8 @@ object DedupQueries {
         .withColumn("sh", TextOps.shingleSet(TextOps.words(col("text")), 5))
         .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
         .localCheckpoint()
-      val ex = c.select(col("doc_id"), explode(col("sh")).as("s"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("s")).orderBy(col("doc_id"))))
-        .filter(col("rk") <= MaxShingleDf)
-        .drop("rk")
+      val ex = cappedPostings(
+        c.select(col("doc_id"), explode(col("sh")).as("s")))
       (c, ex)
     }
     val (shT, exT) = index(train.select(col("doc_id"), col("text")))

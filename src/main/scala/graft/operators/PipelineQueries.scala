@@ -491,8 +491,19 @@ object PipelineQueries {
   private val q111 = Q(
     "q111_pii_redaction",
     (s, dir) => {
-      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phoneRe = "\\+?[0-9][0-9 -]{6,}[0-9]"
+      // Quantifiers are BOUNDED (RFC 5321 caps the local part at 64
+      // octets, domains at 255; phone numbers top out far below 30
+      // chars). This is not just fidelity: Java's backtracking regex
+      // is O(n²) on an unbounded greedy class over a long non-matching
+      // run (each failed start re-consumes the rest of the run — the
+      // adversarial fixture's 100k-char token turned this query from
+      // seconds into 25+ STUCK minutes, while DuckDB's RE2 scanned it
+      // linearly). Bounding the repetition caps the per-start work at
+      // a constant, restoring the linear scan on any input. Both
+      // engines run the identical bounded pattern.
+      val emailRe =
+        "[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\\.[A-Za-z]{2,16}"
+      val phoneRe = "\\+?[0-9][0-9 -]{6,28}[0-9]"
       t(s, dir, "documents")
         .withColumn("aug",
           concat(col("text"), lit(" contact user"), col("doc_id"),
@@ -517,19 +528,19 @@ object PipelineQueries {
         FROM documents),
       re AS (
         SELECT doc_id, aug,
-               regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               regexp_replace(aug, '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,16}',
                               '<EMAIL>', 'g') AS no_email
         FROM aug)
       SELECT doc_id,
              CAST(len(regexp_extract_all(aug,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+               '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,16}')) AS BIGINT)
                AS n_emails,
              CAST(len(regexp_extract_all(no_email,
-               '\+?[0-9][0-9 -]{6,}[0-9]')) AS BIGINT) AS n_phones,
-             substring(regexp_replace(no_email, '\+?[0-9][0-9 -]{6,}[0-9]',
+               '\+?[0-9][0-9 -]{6,28}[0-9]')) AS BIGINT) AS n_phones,
+             substring(regexp_replace(no_email, '\+?[0-9][0-9 -]{6,28}[0-9]',
                                       '<PHONE>', 'g'),
                        greatest(length(regexp_replace(no_email,
-                         '\+?[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g')) - 59, 1),
+                         '\+?[0-9][0-9 -]{6,28}[0-9]', '<PHONE>', 'g')) - 59, 1),
                        60) AS redacted_tail
       FROM re
     """))

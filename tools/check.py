@@ -101,15 +101,26 @@ def main():
     only = set(args[2:])
     if "--run" in sys.argv:
         names = (" " + " ".join(sorted(only))) if only else ""
-        r = subprocess.run(
+        # own process group + killpg on timeout: subprocess.run's
+        # timeout kills only the sbt launcher, orphaning the forked
+        # Verify JVM at 100% CPU (seen twice with a stuck query)
+        p = subprocess.Popen(
             ["sbt", "-batch",
              f"runMain graft.Verify {sf_dir} {out_dir}{names}"],
-            cwd="/root/repo", capture_output=True, text=True, timeout=5400)
-        if r.returncode != 0:
-            print(r.stdout[-4000:])
-            print(r.stderr[-4000:])
+            cwd="/root/repo", stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True, start_new_session=True)
+        try:
+            stdout, stderr = p.communicate(timeout=5400)
+        except subprocess.TimeoutExpired:
+            import os as _os, signal as _signal
+            _os.killpg(p.pid, _signal.SIGKILL)
+            p.wait()
+            raise
+        if p.returncode != 0:
+            print(stdout[-4000:])
+            print(stderr[-4000:])
             sys.exit(1)
-        for line in r.stdout.splitlines():
+        for line in stdout.splitlines():
             if "[verify]" in line:
                 print(line)
 
