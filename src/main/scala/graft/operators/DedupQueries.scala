@@ -1656,7 +1656,123 @@ object DedupQueries {
       """
     })
 
+  /** Unified decontamination VERDICT — the report a pipeline actually
+    * ships after running its leak detectors: both shipped cross-corpus
+    * paths (q232's symmetric MinHash-LSH + Jaccard ≥ 0.5, q245's
+    * capped-posting containment ≥ 0.8) over ONE eval corpus that
+    * plants both leak shapes — a NEAR-COPY of every 50th doc (its
+    * text minus the last word; odd-negative ids −2·id−1) and an
+    * EMBEDDED EXTRACT (its middle third; even-negative ids −2·id−2) —
+    * with per-pair provenance: method = 'both' | 'lsh' |
+    * 'containment'. The two shapes are the two detectors' blind
+    * spots made visible in one table: near-copies flag on both
+    * detectors, embedded extracts only on containment (jac ≈ 1/3 ≪
+    * 0.5 — the q245 design note), so a 'containment'-only row IS the
+    * embedded-leak signature. Eval id spaces are disjoint from train
+    * ids (negative) and from each other (odd/even) at any GenScale
+    * stride.
+    *
+    * Scale: both kernels are the shipped ones (shared-code
+    * discipline — the verdict can never drift from the detectors);
+    * cost ≈ q232 + q245 on a 2×-size eval side, all bounded by the
+    * same banding/capped-posting shapes. */
+  private val q247 = Q(
+    "q247_decontam_verdict",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("doc_id") % 50 === 0)
+        .withColumn("w", TextOps.words(col("text")))
+      val nearCopy = base.select((col("doc_id") * -2 - 1).as("doc_id"),
+        array_join(slice(col("w"), lit(1), size(col("w")) - 1), " ")
+          .as("text"))
+      val embedded = base.select((col("doc_id") * -2 - 2).as("doc_id"),
+        expr("array_join(slice(w, size(w) div 3 + 1, size(w) div 3), ' ')")
+          .as("text"))
+      val evalDocs = nearCopy.unionByName(embedded)
+      val lsh = lshDecontamParts(docs, evalDocs,
+        bands = 8, rowsPerBand = 1)._2
+      val con = containmentDecontamParts(docs, evalDocs)._2
+      lsh.join(con, Seq("train_id", "eval_id"), "full_outer")
+        .select(col("train_id"), col("eval_id"),
+          col("jac"), col("containment"),
+          when(col("jac").isNotNull && col("containment").isNotNull,
+            "both")
+            .when(col("jac").isNotNull, "lsh")
+            .otherwise("containment").as("method"))
+    },
+    Some {
+      val w = """string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ')"""
+      val mins = (0 until 8).map(i =>
+        s"list_min([md5('$i|'||s) FOR s IN sh]) AS m$i").mkString(", ")
+      def bandSelects(mh: String) = (0 until 8).map(j =>
+        s"SELECT doc_id, $j AS band_idx, md5(m$j) AS bh FROM $mh")
+        .mkString(" UNION ALL ")
+      val shingle =
+        """list_distinct([array_to_string(w[i+1:i+5],' ') FOR i IN range(len(w)-4)])"""
+      s"""
+      WITH evd AS (
+        SELECT -2*doc_id - 1 AS doc_id,
+               array_to_string(w[1:len(w)-1], ' ') AS text
+        FROM (SELECT doc_id, $w AS w FROM documents)
+        WHERE doc_id % 50 = 0
+        UNION ALL
+        SELECT -2*doc_id - 2 AS doc_id,
+               array_to_string(w[(len(w)//3)+1 : 2*(len(w)//3)], ' ') AS text
+        FROM (SELECT doc_id, $w AS w FROM documents)
+        WHERE doc_id % 50 = 0),
+      shT AS (SELECT doc_id, $shingle AS sh
+              FROM (SELECT doc_id, $w AS w FROM documents)),
+      shE AS (SELECT doc_id, $shingle AS sh
+              FROM (SELECT doc_id, $w AS w FROM evd)),
+      mhT AS (SELECT doc_id, sh, $mins FROM shT),
+      mhE AS (SELECT doc_id, sh, $mins FROM shE),
+      bT AS (${bandSelects("mhT")}),
+      bE AS (${bandSelects("mhE")}),
+      candL AS (SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+                FROM bT t JOIN bE e
+                ON t.band_idx = e.band_idx AND t.bh = e.bh),
+      vL AS (SELECT train_id, eval_id,
+                    len(list_intersect(s1.sh, s2.sh)) AS inter,
+                    len(s1.sh) AS n1, len(s2.sh) AS n2
+             FROM candL
+             JOIN shT s1 ON s1.doc_id = train_id
+             JOIN shE s2 ON s2.doc_id = eval_id),
+      fL AS (SELECT train_id, eval_id,
+                    round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jac
+             FROM vL
+             WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.5),
+      exT AS (SELECT doc_id, s FROM (
+                SELECT doc_id, unnest(sh) AS s FROM shT) x
+              QUALIFY row_number() OVER (PARTITION BY s ORDER BY doc_id)
+                <= $MaxShingleDf),
+      exE AS (SELECT doc_id, s FROM (
+                SELECT doc_id, unnest(sh) AS s FROM shE) x
+              QUALIFY row_number() OVER (PARTITION BY s ORDER BY doc_id)
+                <= $MaxShingleDf),
+      candC AS (SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+                FROM exT t JOIN exE e ON t.s = e.s),
+      vC AS (SELECT train_id, eval_id,
+                    len(list_intersect(s1.sh, s2.sh)) AS inter,
+                    len(s2.sh) AS n2
+             FROM candC
+             JOIN shT s1 ON s1.doc_id = train_id
+             JOIN shE s2 ON s2.doc_id = eval_id),
+      fC AS (SELECT train_id, eval_id,
+                    round(CAST(inter AS DOUBLE) / n2, 6) AS containment
+             FROM vC WHERE CAST(inter AS DOUBLE) / n2 >= 0.8)
+      SELECT COALESCE(l.train_id, c.train_id) AS train_id,
+             COALESCE(l.eval_id, c.eval_id) AS eval_id,
+             l.jac, c.containment,
+             CASE WHEN l.jac IS NOT NULL AND c.containment IS NOT NULL
+                    THEN 'both'
+                  WHEN l.jac IS NOT NULL THEN 'lsh'
+                  ELSE 'containment' END AS method
+      FROM fL l FULL OUTER JOIN fC c
+        ON l.train_id = c.train_id AND l.eval_id = c.eval_id
+      """
+    })
+
   val registry: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52,
     q82, q84, q85, q99, q112, q124, q130, q133, q136, q196, q232, q235,
-    q241, q245)
+    q241, q245, q247)
 }

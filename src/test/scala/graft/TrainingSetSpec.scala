@@ -410,6 +410,43 @@ class TrainingSetSpec extends AnyFunSuite {
     })
   }
 
+  test("q247 verdict: near-copies flag on both detectors, embedded extracts as containment-only") {
+    val rows = rowsOf("q247_decontam_verdict")
+    assert(rows.nonEmpty)
+    val byPair = rows.map(r => (r.getAs[Long]("train_id"),
+      r.getAs[Long]("eval_id")) -> r.getAs[String]("method")).toMap
+    val allDocs = docs()
+    val textOf = allDocs.map(d => d._1 -> d._2).toMap
+    val sources = allDocs.map(_._1).filter(_ % 50 == 0)
+    // near-copy plants (odd-negative ids): flagged against their
+    // source by BOTH detectors wherever the doc has enough words for
+    // the minus-one-word copy to stay >= 0.5-similar and contained
+    sources.filter(id => normWords(textOf(id)).length >= 15)
+      .foreach { id =>
+        assert(byPair.get((id, -2L * id - 1L)).contains("both"),
+          s"near-copy of doc $id not flagged by both detectors")
+      }
+    // embedded plants (even-negative ids): the middle third is the
+    // q245 miss-shape — containment must flag it; the jac column of a
+    // containment-only row is NULL by construction
+    sources.filter(id => normWords(textOf(id)).length >= 15)
+      .foreach { id =>
+        val m = byPair.get((id, -2L * id - 2L))
+        assert(m.contains("containment") || m.contains("both"),
+          s"embedded extract of doc $id not flagged (got $m)")
+      }
+    rows.foreach { r =>
+      val (jac, con) = (Option(r.getAs[Any]("jac")),
+        Option(r.getAs[Any]("containment")))
+      r.getAs[String]("method") match {
+        case "both"        => assert(jac.nonEmpty && con.nonEmpty)
+        case "lsh"         => assert(jac.nonEmpty && con.isEmpty)
+        case "containment" => assert(jac.isEmpty && con.nonEmpty)
+        case other         => fail(s"unknown method $other")
+      }
+    }
+  }
+
   test("embedded verbatim leak: containment machinery flags what Jaccard-LSH misses") {
     import spark.implicits._
     val host = ((1 to 100).map("pre" + _) ++ (1 to 20).map("s" + _) ++
