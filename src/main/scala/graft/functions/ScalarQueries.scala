@@ -136,8 +136,12 @@ object ScalarQueries {
         .withColumn("words", split(col("text"), " "))
         .select(
           col("doc_id"),
-          size(col("words")).cast(LongType).as("n_words"),
-          size(array_distinct(col("words"))).cast(LongType).as("n_distinct"),
+          // null-guarded (q47 discipline): NULL text -> NULL counts on
+          // both engines, not Spark's legacy size(NULL) = -1
+          when(col("text").isNotNull, size(col("words")))
+            .cast(LongType).as("n_words"),
+          when(col("text").isNotNull, size(array_distinct(col("words"))))
+            .cast(LongType).as("n_distinct"),
           array_join(slice(array_sort(array_distinct(col("words"))), 1, 3), " ")
             .as("first3_sorted"),
           array_contains(col("words"), "spark").as("has_spark")),

@@ -182,21 +182,35 @@ object MlQueries {
           round(element_at(col("features"), 3), 6).as("f2"),
           round(element_at(col("features"), 4), 6).as("f3"))
     },
-    // The stub decoder is a 4-bin byte histogram; the corpus is pure
-    // ASCII (verified), so bins == regexp char-class counts and the
-    // whole mapPartitions pipeline is oracle-checkable end-to-end.
+    // The stub decoder is a 4-bin BYTE histogram; the oracle bins the
+    // hex rendering's high nibble (2 hex chars per byte, bin =
+    // byte >> 6 = first nibble div 4), so the comparison is
+    // byte-faithful on ANY corpus — the previous char-class regexp
+    // formulation silently assumed ASCII (chars == bytes) and
+    // diverged on the round-12 adversarial fixture's multi-byte text.
+    // NULL text -> NULL n_bytes/features; EMPTY text -> n_bytes 0,
+    // NULL features (a ratio over zero bytes is undefined) — the
+    // Multimodal.MediaFeatures contract.
     Some("""
-      SELECT doc_id AS media_id,
-             octet_length(encode(text)) AS n_bytes,
-             round(len(regexp_extract_all(text, '[\x00-\x3f]'))
-                   / CAST(length(text) AS DOUBLE), 6) AS f0,
-             round(len(regexp_extract_all(text, '[\x40-\x7f]'))
-                   / CAST(length(text) AS DOUBLE), 6) AS f1,
-             round(len(regexp_extract_all(text, '[\x80-\xbf]'))
-                   / CAST(length(text) AS DOUBLE), 6) AS f2,
-             round(len(regexp_extract_all(text, '[\xc0-\xff]'))
-                   / CAST(length(text) AS DOUBLE), 6) AS f3
-      FROM documents
+      WITH h AS (
+        SELECT doc_id AS media_id,
+               octet_length(encode(text)) AS nb,
+               hex(encode(text)) AS hx
+        FROM documents),
+      c AS (
+        SELECT media_id, nb,
+               [substr(hx, 2*i + 1, 1) FOR i IN range(nb)] AS nib
+        FROM h)
+      SELECT media_id, CAST(nb AS BIGINT) AS n_bytes,
+             round(len([x FOR x IN nib IF x BETWEEN '0' AND '3'])
+                   / CAST(NULLIF(nb, 0) AS DOUBLE), 6) AS f0,
+             round(len([x FOR x IN nib IF x BETWEEN '4' AND '7'])
+                   / CAST(NULLIF(nb, 0) AS DOUBLE), 6) AS f1,
+             round(len([x FOR x IN nib IF x BETWEEN '8' AND 'B'])
+                   / CAST(NULLIF(nb, 0) AS DOUBLE), 6) AS f2,
+             round(len([x FOR x IN nib IF x BETWEEN 'C' AND 'F'])
+                   / CAST(NULLIF(nb, 0) AS DOUBLE), 6) AS f3
+      FROM c
     """))
 
   /** Frame-sampling plumbing over binary payloads (Multimodal
@@ -264,8 +278,19 @@ object MlQueries {
           col("new_w"), col("new_h"),
           least(col("new_w") * col("new_h"), col("n_bytes"))
             .as("resized_bytes"),
-          sha2(col("resized"), 256).as("content_id"))
+          // the content id hashes the HEX rendering of the resized
+          // bytes: equally a deterministic byte-content id, and the
+          // only blob digest DuckDB 1.0 can reproduce (sha256 is
+          // VARCHAR-only there; hashing the raw blob re-read as a
+          // string is undefined on non-UTF-8 slices — round-12
+          // adversarial fixture)
+          sha2(hex(col("resized")).cast(BinaryType), 256)
+            .as("content_id"))
     },
+    // content_id's oracle slices the first new_w*new_h BYTES via the
+    // hex rendering (2 hex chars per byte; DuckDB has no BLOB
+    // substring) — the previous per-CHAR substring silently agreed
+    // only on ASCII (round-12 adversarial fixture)
     Some("""
       WITH d AS (SELECT doc_id,
                         CAST(octet_length(encode(text)) AS BIGINT)
@@ -284,8 +309,8 @@ object MlQueries {
              CAST(new_h AS BIGINT) AS new_h,
              CAST(LEAST(new_w * new_h, r.n_bytes) AS BIGINT)
                AS resized_bytes,
-             sha256(substring(d.text, 1,
-               CAST(new_w * new_h AS INT))) AS content_id
+             sha256(substr(hex(encode(d.text)), 1,
+               2 * CAST(new_w * new_h AS INT))) AS content_id
       FROM r JOIN d USING (doc_id)
     """))
 

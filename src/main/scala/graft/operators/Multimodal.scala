@@ -24,9 +24,14 @@ object Multimodal {
   val FeatureDim = 4
 
   case class MediaRecord(media_id: Long, payload: Array[Byte])
+  /** n_bytes is None (NULL) for a NULL payload; features is null for
+    * a NULL or EMPTY payload — a histogram RATIO over zero bytes is
+    * undefined, and the engines would otherwise disagree on how to
+    * spell that (0.0 vs NaN vs NULL). Contract pinned by the
+    * adversarial fixture's empty/null rows. */
   case class MediaFeatures(
       media_id: Long,
-      n_bytes: Long,
+      n_bytes: Option[Long],
       features: Array[Double])
 
   /** STUB decoder: a real implementation would hand `bytes` to an image
@@ -54,7 +59,10 @@ object Multimodal {
     media.mapPartitions { records =>
       // real impl: initialize the codec once here, per partition
       records.map { r =>
-        MediaFeatures(r.media_id, r.payload.length.toLong,
+        if (r.payload == null) MediaFeatures(r.media_id, None, null)
+        else if (r.payload.isEmpty)
+          MediaFeatures(r.media_id, Some(0L), null)
+        else MediaFeatures(r.media_id, Some(r.payload.length.toLong),
           decodeStub(r.payload))
       }
     }

@@ -309,13 +309,23 @@ object PipelineQueries {
   /** Text (line-oriented) source/sink round-trip — the raw-corpus
     * interchange format. Content equality is order-independent: line
     * count plus a sum of per-line 32-bit md5 fingerprints (and total
-    * length), reproducible from the parquet original by the oracle. */
+    * length), reproducible from the parquet original by the oracle.
+    *
+    * The writer sanitizes to the FORMAT'S ALPHABET first: a line
+    * file cannot carry line terminators (Hadoop's reader splits on
+    * \n, \r, and \r\n) or NULL rows, so embedded [\r\n] become
+    * spaces and null docs are excluded, on both engines — without
+    * this the round-trip silently multiplies rows on any corpus with
+    * multi-line documents (caught by the round-12 adversarial
+    * fixture; the ASCII fixtures have single-line docs only). */
   private val q100 = Q(
     "q100_text_roundtrip",
     (s, dir) => {
       val out = java.nio.file.Files
         .createTempDirectory("graft_text_").toString
-      t(s, dir, "documents").select(col("text"))
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(regexp_replace(col("text"), "[\\r\\n]", " ").as("text"))
         .write.mode("overwrite").text(out)
       s.read.text(out)
         .agg(count(lit(1)).as("n_lines"),
@@ -323,11 +333,14 @@ object PipelineQueries {
           asLong(sum(length(col("value")))).as("sum_len"))
     },
     Some("""
+      WITH sane AS (
+        SELECT regexp_replace(text, '[\r\n]', ' ', 'g') AS text
+        FROM documents WHERE text IS NOT NULL)
       SELECT COUNT(*) AS n_lines,
              CAST(SUM(('0x'||substr(md5(text),1,8))::BIGINT) AS BIGINT)
                AS content_sum,
              CAST(SUM(length(text)) AS BIGINT) AS sum_len
-      FROM documents
+      FROM sane
     """))
 
   /** Intra-document repetition filter (the Gopher/C4-style quality
@@ -965,7 +978,10 @@ object PipelineQueries {
       val budget = 256
       val docs = t(s, dir, "documents")
         .select(col("doc_id"),
-          asLong(size(TextOps.words(col("text")))).as("n_tok"),
+          // null-guarded (q47 discipline): a NULL doc contributes NULL
+          // to the shard's token mass on both engines, never -1
+          asLong(when(col("text").isNotNull,
+            size(TextOps.words(col("text"))))).as("n_tok"),
           (md5Int32(col("doc_id").cast(StringType)) % 16).as("shard"))
       val w = Window.partitionBy(col("shard"))
         .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
@@ -1069,7 +1085,11 @@ object PipelineQueries {
     (s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
-          asLong(size(TextOps.words(col("text")))).as("n_tok"))
+          // null-guarded (q47 discipline): a NULL doc must not poison
+          // the language's 25th percentile with a -1 (both engines'
+          // percentile skips NULL)
+          asLong(when(col("text").isNotNull,
+            size(TextOps.words(col("text"))))).as("n_tok"))
       val thr = docs.groupBy(col("lang"))
         .agg(percentile(col("n_tok"), lit(0.25)).as("thr"),
           asLong(count(lit(1))).as("n_before"))

@@ -449,6 +449,10 @@ object TrainingSetQueries {
     "q224_tile_dedup",
     (s, dir) => {
       val tiles = t(s, dir, "documents")
+        // null docs have no tiles on either engine: unguarded, Spark's
+        // size(NULL) = -1 made sequence(0, 0) emit one phantom
+        // md5('') tile per null doc (round-12 nasty sweep)
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), col("source"),
           TextOps.words(col("text")).as("w"))
         .withColumn("tile_id",
@@ -473,7 +477,7 @@ object TrainingSetQueries {
         SELECT doc_id, source,
                string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),
                  ' ') AS w
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       tiles AS (
         SELECT doc_id, source, i AS tile_id,
                md5(array_to_string(w[i*16+1 : i*16+16], ' ')) AS h
@@ -528,6 +532,9 @@ object TrainingSetQueries {
     "q225_cdc_chunk_dedup",
     (s, dir) => {
       val base = t(s, dir, "documents")
+        // null docs have no chunks on either engine (q224's phantom-
+        // md5('') hazard, round-12 nasty sweep)
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), col("source"),
           TextOps.words(col("text")).as("w"))
       // boundary positions j (1-based, j in [4, n-1]): shingle i
@@ -571,7 +578,7 @@ object TrainingSetQueries {
         SELECT doc_id, source,
                string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),
                  ' ') AS w
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       b AS (
         SELECT doc_id, source, w,
                [j FOR j IN range(4, len(w))

@@ -31,10 +31,14 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.extractFeatures(media).collect()
       .map(m => m.media_id -> m).toMap
     assert(out.size == 3)
-    assert(out(1L).n_bytes == 11)
+    assert(out(1L).n_bytes.contains(11L))
     // byte 42 -> bucket 42/64 = 0, so the whole mass is in bin 0
     assert(out(3L).features.toSeq == Seq(1.0, 0.0, 0.0, 0.0))
-    assert(out.values.forall(_.features.length == Multimodal.FeatureDim))
+    // empty payload: byte count 0, features NULL (a ratio over zero
+    // bytes is undefined — the round-12 contract)
+    assert(out(2L).n_bytes.contains(0L) && out(2L).features == null)
+    assert(out.values.filter(_.features != null)
+      .forall(_.features.length == Multimodal.FeatureDim))
   }
 
   test("sampleFrames: n evenly spaced offsets within payload") {
