@@ -200,6 +200,41 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenizer artifact round-trips: one training pass, memo + load paths identical") {
+    import spark.implicits._
+    val tmpDir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_corpus_").toString
+    Seq((1L, "alpha beta alpha beta gamma", "en", "s1", 27L),
+      (2L, "beta gamma beta alpha", "en", "s2", 21L),
+      (3L, null.asInstanceOf[String], "en", "s2", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmpDir/documents.parquet")
+    val before = BpeQueries.trainCount.get()
+    val (m1, v1) = BpeQueries.trainedTokenizer(spark, tmpDir)
+    assert(BpeQueries.trainCount.get() == before + 1,
+      "first call must train exactly once")
+    // the artifact was published (merges + vocab + OK marker)
+    val base = new org.apache.hadoop.fs.Path(
+      BpeQueries.artifactPath(spark, tmpDir))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(base, "_GRAFT_OK")),
+      s"artifact not published at $base")
+    // second call in the same JVM: memo hit, no retrain
+    BpeQueries.trainedTokenizer(spark, tmpDir)
+    assert(BpeQueries.trainCount.get() == before + 1, "memo must not retrain")
+    // fresh-JVM simulation: memo dropped -> artifact LOAD, no retrain
+    BpeQueries.resetMemoForTest()
+    val (m2, v2) = BpeQueries.trainedTokenizer(spark, tmpDir)
+    assert(BpeQueries.trainCount.get() == before + 1,
+      "artifact load path must not retrain")
+    assert(m2 == m1, "loaded merge table diverges from trained one")
+    def vocabSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("word", "wc", "seq").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(vocabSet(v2) == vocabSet(v1),
+      "loaded vocab frame diverges from trained one")
+  }
+
   test("bpe replace-encoding equals greedy scan on adversarial overlap corpus") {
     import spark.implicits._
     val docs = Seq(
