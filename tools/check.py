@@ -111,10 +111,17 @@ def main():
             stderr=subprocess.PIPE, text=True, start_new_session=True)
         try:
             stdout, stderr = p.communicate(timeout=5400)
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
             import os as _os, signal as _signal
             _os.killpg(p.pid, _signal.SIGKILL)
             p.wait()
+            # surface the partial [verify] output so the stuck query is
+            # identifiable from the failure alone
+            for cap, label in ((e.output, "stdout"), (e.stderr, "stderr")):
+                if cap:
+                    txt = cap.decode(errors="replace") if isinstance(cap, bytes) else cap
+                    print(f"--- timeout: captured {label} tail ---")
+                    print(txt[-4000:])
             raise
         if p.returncode != 0:
             print(stdout[-4000:])

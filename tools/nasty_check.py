@@ -35,17 +35,25 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 BOOTSTRAP_QUERY = "q45_dedup_exact"
 
 
+def _tables_in(sql: str) -> set:
+    """Fixture tables an oracle actually references: lowercased, with
+    string literals and comments stripped first (a table word inside
+    either is not a reference), and CTE names excluded (a CTE named
+    e.g. 'orders' shadows the table for the rest of the query)."""
+    s = sql.lower()
+    s = re.sub(r"'(?:[^']|'')*'", "''", s)        # string literals
+    s = re.sub(r"--[^\n]*", " ", s)               # line comments
+    s = re.sub(r"/\*.*?\*/", " ", s, flags=re.S)  # block comments
+    ctes = set(re.findall(
+        r"\b([a-z_][a-z0-9_]*)\s+as\s+(?:materialized\s+)?\(", s))
+    return {t for t in TABLES
+            if t not in ctes and re.search(rf"\b{t}\b", s)}
+
+
 def derive_queries(oracle_json: Path) -> list:
     sqls = json.load(open(oracle_json))
-    sel = []
-    for name, sql in sorted(sqls.items()):
-        if not re.search(r"\bdocuments\b", sql):
-            continue
-        if any(re.search(rf"\b{t}\b", sql)
-               for t in TABLES if t != "documents"):
-            continue
-        sel.append(name)
-    return sel
+    return [name for name, sql in sorted(sqls.items())
+            if _tables_in(sql) == {"documents"}]
 
 NASTY_TOKENS = [
     "plain", "漢字テキスト", "étude",
