@@ -1664,18 +1664,25 @@ object DedupQueries {
     * text minus the last word; odd-negative ids −2·id−1) and an
     * EMBEDDED EXTRACT (its middle third; even-negative ids −2·id−2) —
     * with per-pair provenance: method = 'both' | 'lsh' |
-    * 'containment'. The two shapes are the two detectors' blind
-    * spots made visible in one table: near-copies flag on both
-    * detectors, embedded extracts only on containment (jac ≈ 1/3 ≪
-    * 0.5 — the q245 design note), so a 'containment'-only row IS the
-    * embedded-leak signature. Eval id spaces are disjoint from train
-    * ids (negative) and from each other (odd/even) at any GenScale
-    * stride.
+    * 'containment' | 'semantic'. Round 13 adds the THIRD leak shape
+    * and detector: a PARAPHRASED leak (every 2nd word substituted —
+    * no 5-gram shingle survives, so both lexical detectors see
+    * nothing — while the doc's EMBEDDING, perturbed +0.01 on every
+    * 7th component, stays ~0.9995-collinear with its source's; ids
+    * −2·id−3) caught only by q248's embedding-grain detector
+    * ([[SimilarityQueries.semanticDecontamParts]]: hyperplane-LSH
+    * buckets + 1-bit multiprobe, exact cosine ≥ 0.99). The three
+    * shapes are the three detectors' blind spots made visible in one
+    * table: near-copies flag on both lexical detectors, embedded
+    * extracts only on containment (jac ≈ 1/3 ≪ 0.5 — the q245 design
+    * note), paraphrases only on semantic. Eval id spaces are disjoint
+    * from train ids (negative) and from each other (−2k−1 / −2k−2 /
+    * −2k−3 with k ≡ 0 mod 50) at any GenScale stride.
     *
-    * Scale: both kernels are the shipped ones (shared-code
+    * Scale: all three kernels are the shipped ones (shared-code
     * discipline — the verdict can never drift from the detectors);
-    * cost ≈ q232 + q245 on a 2×-size eval side, all bounded by the
-    * same banding/capped-posting shapes. */
+    * cost ≈ q232 + q245 + q248 on the widened eval side, all bounded
+    * by the same banding/capped-posting/bucket-probe shapes. */
   private val q247 = Q(
     "q247_decontam_verdict",
     (s, dir) => {
@@ -1688,17 +1695,40 @@ object DedupQueries {
       val embedded = base.select((col("doc_id") * -2 - 2).as("doc_id"),
         expr("array_join(slice(w, size(w) div 3 + 1, size(w) div 3), ' ')")
           .as("text"))
+      // paraphrase plant: substituted text (kills every 5-gram) tied
+      // to a perturbed copy of the doc's embedding via doc_id==vec_id
+      val para = base
+        .select(col("doc_id"), (col("doc_id") * -2 - 3).as("eval_id"),
+          array_join(transform(col("w"), (x, i) =>
+            when(i % 2 === 1, lit("xq")).otherwise(x)), " ").as("text"))
+        .join(t(s, dir, "embeddings").select(col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("v0")),
+          col("doc_id") === col("vec_id"))
+        .select(col("eval_id"), col("text"),
+          transform(col("v0"), (x, i) =>
+            when(i % 7 === 0, x + lit(0.01)).otherwise(x)).as("v"))
+        .localCheckpoint()
       val evalDocs = nearCopy.unionByName(embedded)
+        .unionByName(para.select(col("eval_id").as("doc_id"), col("text")))
       val lsh = lshDecontamParts(docs, evalDocs,
         bands = 8, rowsPerBand = 1)._2
       val con = containmentDecontamParts(docs, evalDocs)._2
+      val sem = SimilarityQueries.semanticDecontamParts(
+        t(s, dir, "embeddings").select(col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("v")),
+        para.select(col("eval_id"), col("v")))._2
       lsh.join(con, Seq("train_id", "eval_id"), "full_outer")
         .select(col("train_id"), col("eval_id"),
           col("jac"), col("containment"),
+          lit(null).cast(DoubleType).as("sim"),
           when(col("jac").isNotNull && col("containment").isNotNull,
             "both")
             .when(col("jac").isNotNull, "lsh")
             .otherwise("containment").as("method"))
+        .unionByName(sem.select(col("train_id"), col("eval_id"),
+          lit(null).cast(DoubleType).as("jac"),
+          lit(null).cast(DoubleType).as("containment"),
+          col("sim"), lit("semantic").as("method")))
     },
     Some {
       val w = """string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ')"""
@@ -1719,7 +1749,14 @@ object DedupQueries {
         SELECT -2*doc_id - 2 AS doc_id,
                array_to_string(w[(len(w)//3)+1 : 2*(len(w)//3)], ' ') AS text
         FROM (SELECT doc_id, $w AS w FROM documents)
-        WHERE doc_id % 50 = 0),
+        WHERE doc_id % 50 = 0
+        UNION ALL
+        SELECT -2*d.doc_id - 3 AS doc_id,
+               array_to_string([CASE WHEN i % 2 = 1 THEN 'xq' ELSE w[i+1] END
+                 FOR i IN range(len(w))], ' ') AS text
+        FROM (SELECT doc_id, $w AS w FROM documents) d
+        JOIN embeddings em ON em.vec_id = d.doc_id
+        WHERE d.doc_id % 50 = 0),
       shT AS (SELECT doc_id, $shingle AS sh
               FROM (SELECT doc_id, $w AS w FROM documents)),
       shE AS (SELECT doc_id, $shingle AS sh
@@ -1759,16 +1796,48 @@ object DedupQueries {
              JOIN shE s2 ON s2.doc_id = eval_id),
       fC AS (SELECT train_id, eval_id,
                     round(CAST(inter AS DOUBLE) / n2, 6) AS containment
-             FROM vC WHERE CAST(inter AS DOUBLE) / n2 >= 0.8)
+             FROM vC WHERE CAST(inter AS DOUBLE) / n2 >= 0.8),
+      emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      evv AS (SELECT -2*vec_id - 3 AS eval_id,
+                     [CASE WHEN i % 7 = 0 THEN v[i+1] + 0.01 ELSE v[i+1] END
+                      FOR i IN range(${SimilarityQueries.DIM})] AS v
+              FROM emb JOIN documents d ON d.doc_id = emb.vec_id
+              WHERE vec_id % 50 = 0),
+      tbS AS (SELECT vec_id, v,
+                     ${SimilarityQueries.duckBucketBits("v")} AS bucket
+              FROM emb),
+      ebS AS (SELECT eval_id, v,
+                     ${SimilarityQueries.duckBucketBits("v")} AS bucket
+              FROM evv),
+      prS AS (SELECT eval_id, xor(bucket, CAST(m AS BIGINT)) AS bucket
+              FROM ebS,
+                   (SELECT unnest([${SimilarityQueries.ProbeMasks
+                     .mkString(", ")}]) AS m) mm),
+      caS AS (SELECT t.vec_id AS train_id, e.eval_id
+              FROM tbS t JOIN prS e USING (bucket)),
+      vS AS (SELECT caS.train_id, caS.eval_id,
+                    list_dot_product(t.v, e.v) /
+                      (sqrt(list_dot_product(t.v, t.v)) *
+                       sqrt(list_dot_product(e.v, e.v))) AS sim
+             FROM caS
+             JOIN tbS t ON t.vec_id = caS.train_id
+             JOIN ebS e ON e.eval_id = caS.eval_id),
+      fS AS (SELECT train_id, eval_id, round(sim, 6) AS sim
+             FROM vS WHERE sim >= 0.99)
       SELECT COALESCE(l.train_id, c.train_id) AS train_id,
              COALESCE(l.eval_id, c.eval_id) AS eval_id,
-             l.jac, c.containment,
+             l.jac, c.containment, CAST(NULL AS DOUBLE) AS sim,
              CASE WHEN l.jac IS NOT NULL AND c.containment IS NOT NULL
                     THEN 'both'
                   WHEN l.jac IS NOT NULL THEN 'lsh'
                   ELSE 'containment' END AS method
       FROM fL l FULL OUTER JOIN fC c
         ON l.train_id = c.train_id AND l.eval_id = c.eval_id
+      UNION ALL
+      SELECT train_id, eval_id, CAST(NULL AS DOUBLE) AS jac,
+             CAST(NULL AS DOUBLE) AS containment, sim,
+             'semantic' AS method
+      FROM fS
       """
     })
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -28,7 +28,7 @@ object SimilarityQueries {
   private def t(s: SparkSession, dir: String, n: String) =
     Tables.load(Tables.tuned(s), dir, n)
 
-  private val DIM = 64
+  private[graft] val DIM = 64
 
   /** float[] -> double[] (exact widening). */
   private def asDouble(c: Column): Column =
@@ -1011,6 +1011,120 @@ object SimilarityQueries {
       """
     })
 
+  // ---------------------------------------------------------------------
+  // Semantic (embedding-grain) decontamination — round 13
+  // ---------------------------------------------------------------------
+
+  /** DuckDB fragment for the 8-hyperplane bucket id of `vExpr` — the
+    * oracle twin of the Spark-side bucket expression in
+    * [[semanticDecontamParts]] (the same plane bank as q55/q145/q234). */
+  private[graft] def duckBucketBits(vExpr: String): String =
+    (0 until 8).map { p =>
+      s"(CASE WHEN list_dot_product($vExpr, ${planeDuck(p)}) > 0.0 " +
+        s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
+  /** Eval-side multiprobe masks: the self bucket plus all 8 one-bit
+    * flips. A near-collinear perturbed vector can cross at most a few
+    * hyperplanes; probing every 1-flip bucket recovers the single-cross
+    * case deterministically (identical on both engines, so candidate
+    * sets — not just verdicts — agree exactly). */
+  private[graft] val ProbeMasks: Seq[Long] = 0L +: (0 until 8).map(1L << _)
+
+  /** The q248 machinery, exposed for q247's unified verdict and
+    * ScaleBench's paraphrase probe (the lshDecontamParts /
+    * containmentDecontamParts discipline — the verdict and the probe
+    * run the exact scheme the query ships). `train` is `(vec_id, v)`,
+    * `evalVecs` is `(eval_id, v)`, both double[64]. Returns
+    * (candidates, flagged): candidates from 8-hyperplane LSH bucket
+    * equality with 1-bit eval-side multiprobe, flagged = the subset
+    * with exact cosine >= `tau`. Candidates are per-bucket, never
+    * all-pairs — the property that keeps semantic decontamination
+    * runnable cross-corpus at 100 TB; a bigger corpus widens the plane
+    * bank (more buckets), not the shape. */
+  private[graft] def semanticDecontamParts(
+      train: DataFrame, evalVecs: DataFrame, tau: Double = 0.99)
+      : (DataFrame, DataFrame) = {
+    val bucketOf = (0 until 8).map { p =>
+      when(dot(col("v"), planeSpark(p)) > 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val tb = train.select(col("vec_id"), col("v"))
+      .withColumn("bucket", bucketOf).localCheckpoint()
+    val eb = evalVecs.select(col("eval_id"), col("v"))
+      .withColumn("bucket", bucketOf).localCheckpoint()
+    val probes = eb
+      .select(col("eval_id"), col("bucket"),
+        explode(typedlit(ProbeMasks)).as("mask"))
+      .select(col("eval_id"),
+        col("bucket").bitwiseXOR(col("mask")).as("bucket"))
+    // masks are distinct, so an eval's 9 probe buckets are distinct and
+    // each (train, eval) pair joins at most once — no distinct needed
+    val cand = tb.select(col("vec_id").as("train_id"), col("bucket"))
+      .join(probes, "bucket")
+      .select(col("train_id"), col("eval_id"))
+    val flagged = cand
+      .join(tb.select(col("vec_id").as("train_id"), col("v").as("tv")),
+        "train_id")
+      .join(eb.select(col("eval_id"), col("v").as("ev")), "eval_id")
+      .withColumn("sim", cosine(col("tv"), col("ev")))
+      .filter(col("sim") >= tau)
+      .select(col("train_id"), col("eval_id"), round(col("sim"), 6).as("sim"))
+    (cand, flagged)
+  }
+
+  /** Semantic (embedding-grain) cross-corpus decontamination — the
+    * PARAPHRASED-leak shape both lexical detectors structurally miss:
+    * a word-substituted rewrite shares no 5-gram shingles with its
+    * source (q245's containment sees 0/n) and offers no MinHash
+    * signature coincidence (q232's bands never collide), but its
+    * EMBEDDING stays nearly collinear with the source's. Detector =
+    * [[semanticDecontamParts]]: q55/q145's 8-hyperplane LSH buckets
+    * for candidates (eval side multiprobes its 8 one-bit-flip buckets
+    * — a perturbed vector can cross one hyperplane), exact cosine
+    * >= 0.99 (the q145 SemDeDup threshold) to verify. The planted
+    * eval corpus is every 50th embedding (the q232 cadence)
+    * deterministically perturbed — +0.01 on every 7th component,
+    * cosine ~0.9995 to its source vs <= 0.52 background at sf0.01 —
+    * with negated ids (disjoint from vec ids at any GenScale stride).
+    */
+  private val q248 = Q(
+    "q248_semantic_decontamination",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val evalVecs = e.filter(col("vec_id") % 50 === 0)
+        .select((-col("vec_id") - 1).as("eval_id"),
+          transform(col("v"), (x, i) =>
+            when(i % 7 === 0, x + lit(0.01)).otherwise(x)).as("v"))
+      semanticDecontamParts(e, evalVecs)._2
+    },
+    Some {
+      val masks = ProbeMasks.mkString(", ")
+      s"""
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      evd AS (
+        SELECT -vec_id - 1 AS eval_id,
+               [CASE WHEN i % 7 = 0 THEN v[i+1] + 0.01 ELSE v[i+1] END
+                FOR i IN range($DIM)] AS v
+        FROM base WHERE vec_id % 50 = 0),
+      tb AS (SELECT vec_id, v, ${duckBucketBits("v")} AS bucket FROM base),
+      eb AS (SELECT eval_id, v, ${duckBucketBits("v")} AS bucket FROM evd),
+      probes AS (SELECT eval_id, xor(bucket, CAST(m AS BIGINT)) AS bucket
+                 FROM eb, (SELECT unnest([$masks]) AS m) t),
+      cand AS (SELECT t.vec_id AS train_id, e.eval_id
+               FROM tb t JOIN probes e USING (bucket)),
+      v2 AS (SELECT cand.train_id, cand.eval_id,
+                    list_dot_product(t.v, e.v) /
+                      (sqrt(list_dot_product(t.v, t.v)) *
+                       sqrt(list_dot_product(e.v, e.v))) AS sim
+             FROM cand
+             JOIN tb t ON t.vec_id = cand.train_id
+             JOIN eb e ON e.eval_id = cand.eval_id)
+      SELECT train_id, eval_id, round(sim, 6) AS sim
+      FROM v2 WHERE sim >= 0.99
+      """
+    })
+
   val registry: Seq[Q] = Seq(q53, q54, q55, q56, q57, q58, q59, q101,
-    q134, q138, q141, q145, q146, q147, q192, q234)
+    q134, q138, q141, q145, q146, q147, q192, q234, q248)
 }

@@ -64,6 +64,8 @@ object ScaleBench {
       else if (name == "probe:recall") { recallProbe(spark, sfDir); cleanup() }
       else if (name == "probe:decontam") {
         decontamProbe(spark, sfDir); cleanup()
+      } else if (name == "probe:semantic") {
+        semanticProbe(spark, sfDir); cleanup()
       } else runShapes(spark, sfDir, name, time)
     }
     spark.stop()
@@ -263,6 +265,69 @@ object ScaleBench {
       s""""cand_8x1":${embHits(candL)},"flag_8x1":${embHits(flagL)},""" +
       s""""cand_containment":${embHits(candCo)},""" +
       s""""flag_containment":${embHits(flagCo)}}""")
+  }
+
+  /** SCALE.md semantic-decontamination probe (round-13 advice #2):
+    * plants the PARAPHRASED leak shape q247/q248 encode — every-2nd-
+    * word substitution (destroys every 5-gram shingle) tied to a
+    * +0.01-perturbed copy of the doc's embedding — and runs all three
+    * SHIPPED detector kernels on the same plants: the two lexical
+    * paths must miss them (no shingle survives the rewrite, so
+    * neither a MinHash signature coincidence nor a capped-posting
+    * shared shingle exists), the q248 embedding-grain path must flag
+    * them. Also reports the semantic candidate-join cost (bucket
+    * fan-out), the planted pairs' mean true cosine, and the
+    * multiprobe's candidate recall (did the 1-bit probe set reach the
+    * true bucket) separately from flag recall. */
+  private def semanticProbe(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    import graft.functions.TextOps
+    val docs = graft.Tables.load(graft.Tables.tuned(spark), sfDir,
+      "documents")
+    val emb = graft.Tables.load(graft.Tables.tuned(spark), sfDir,
+      "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    // the exact q247 paraphrase-plant construction (ids -2k-3)
+    val para = docs.filter(col("doc_id") % 50 === 0)
+      .withColumn("w", TextOps.words(col("text")))
+      .select(col("doc_id"), (col("doc_id") * -2 - 3).as("eval_id"),
+        array_join(transform(col("w"), (x, i) =>
+          when(i % 2 === 1, lit("xq")).otherwise(x)), " ").as("text"))
+      .join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id").as("src"), col("eval_id"), col("text"),
+        transform(col("v"), (x, i) =>
+          when(i % 7 === 0, x + lit(0.01)).otherwise(x)).as("v"))
+      .localCheckpoint()
+    val n = para.count()
+    val evalText = para.select(col("eval_id").as("doc_id"), col("text"))
+    def hits(df: DataFrame): Long = df
+      .join(para.select(col("src"), col("eval_id").as("eid")),
+        col("train_id") === col("src") && col("eval_id") === col("eid"))
+      .count()
+    val flagL = graft.operators.DedupQueries
+      .lshDecontamParts(docs, evalText, bands = 8, rowsPerBand = 1)._2
+    val flagC = graft.operators.DedupQueries
+      .containmentDecontamParts(docs, evalText)._2
+    val (candS, flagS) = graft.operators.SimilarityQueries
+      .semanticDecontamParts(emb, para.select(col("eval_id"), col("v")))
+    val candSC = candS.localCheckpoint()
+    val meanSim = para.alias("p")
+      .join(emb.alias("t"), col("p.src") === col("t.vec_id"))
+      .select((graft.plans.VectorFunctions.dot(col("p.v"), col("t.v")) /
+        (sqrt(graft.plans.VectorFunctions.dot(col("p.v"), col("p.v"))) *
+          sqrt(graft.plans.VectorFunctions.dot(col("t.v"), col("t.v")))))
+        .as("sim"))
+      .agg(avg(col("sim"))).head().getDouble(0)
+    println(s"""{"probe":"semantic_decontam","sf":"$sfDir","n":$n,""" +
+      f""""mean_true_sim":$meanSim%.5f,""" +
+      s""""flag_lsh":${hits(flagL)},""" +
+      s""""flag_containment":${hits(flagC)},""" +
+      s""""cand_semantic_total":${candSC.count()},""" +
+      s""""cand_semantic_planted":${hits(candSC)},""" +
+      s""""flag_semantic":${hits(flagS)}}""")
   }
 
   /** SCALE.md ANN recall probe (round-9 advice #5): recall@10 of the

@@ -36,6 +36,72 @@ class SemanticOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q248 semantic decontamination equals the brute-force cosine scan") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def perturb(v: Array[Double]): Array[Double] =
+      v.zipWithIndex.map { case (x, i) => if (i % 7 == 0) x + 0.01 else x }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val evals = e.keys.filter(_ % 50 == 0)
+      .map(k => (-k - 1) -> perturb(e(k))).toMap
+    val truth = (for {
+      (t, tv) <- e.toSeq; (eid, ev) <- evals if cos(tv, ev) >= 0.99
+    } yield (t, eid)).toSet
+    val rows = run("q248_semantic_decontamination")
+    val got = rows
+      .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id"))).toSet
+    // equality (not just subset) is the measured recall contract on the
+    // fixture: every planted perturbation stays within one hyperplane
+    // flip, so the 1-bit multiprobe reaches every true bucket
+    assert(got == truth,
+      s"flag sets diverge: missed ${truth -- got}, spurious ${got -- truth}")
+    rows.foreach { r =>
+      val sim = r.getAs[Double]("sim")
+      val want = cos(e(r.getAs[Long]("train_id")),
+        evals(r.getAs[Long]("eval_id")))
+      assert(math.abs(sim - math.rint(want * 1e6) / 1e6) < 1e-9,
+        s"sim mismatch for $r: $sim vs $want")
+    }
+  }
+
+  test("q247 verdict: paraphrase plants are semantic-only with full recall") {
+    val rows = run("q247_decontam_verdict")
+    // eval-id encoding: −2k−1 near-copy, −2k−2 embedded extract,
+    // −2k−3 paraphrase, k ≡ 0 mod 50 ⇒ (−eval_id) % 100 ∈ {1, 2, 3}
+    rows.foreach { r =>
+      val shape = (-r.getAs[Long]("eval_id")) % 100
+      r.getAs[String]("method") match {
+        case "semantic" =>
+          assert(shape == 3, s"semantic flag on non-paraphrase eval: $r")
+          assert(r.getAs[Double]("sim") >= 0.99)
+          assert(r.isNullAt(r.fieldIndex("jac")) &&
+            r.isNullAt(r.fieldIndex("containment")), s"lexical cols on $r")
+        case _ =>
+          assert(shape == 1 || shape == 2,
+            s"lexical flag on paraphrase eval — the rewrite leaked: $r")
+          assert(r.isNullAt(r.fieldIndex("sim")), s"sim on lexical row $r")
+      }
+    }
+    val semPairs = rows.filter(_.getAs[String]("method") == "semantic")
+      .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id"))).toSet
+    val embIds = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id").collect().map(_.getLong(0)).toSet
+    val docIds = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id").collect().map(_.getLong(0)).toSet
+    val plants = (docIds & embIds).filter(_ % 50 == 0)
+    assert(plants.nonEmpty)
+    plants.foreach(k => assert(semPairs.contains((k, -2 * k - 3)),
+      s"paraphrase plant $k not flagged by the semantic path"))
+  }
+
   test("q146_hard_negatives returns 3 per probe, never the probe's label") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "label").collect()
