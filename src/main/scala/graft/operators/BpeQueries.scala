@@ -503,5 +503,119 @@ object BpeQueries {
       FROM agg
     """))
 
-  val registry: Seq[Q] = Seq(q242, q243, q244, q246)
+  /** Fertility-driven mixture REWEIGHTING — the decision q246's
+    * numbers drive (VERDICT r12 #6): compose q218's temperature
+    * weights with q246's per-source fertility so the per-epoch budget
+    * equalizes BPE-TOKEN cost across sources instead of document
+    * cost. A source whose words shatter into many BPE tokens
+    * (fertility ≫ 1) burns more of a token-denominated budget per
+    * sampled document, so its sampling weight is divided by its
+    * fertility: adj_w = (w · 10⁶) div fert_micro with w = q218's
+    * floor(sqrt(n_docs·10¹²)), then the 1 000 000-sample budget is
+    * re-apportioned by largest remainder (whole allocations summing
+    * EXACTLY to the budget — the q218/q165 proration discipline,
+    * conservation pinned in TrainingSetSpec).
+    *
+    * Exactness: pure integer algebra over two green queries' numbers
+    * (the q238 micro-unit discipline). Overflow bounds: fert_micro ≥
+    * 10⁶ (every word is ≥ 1 BPE token), so adj_w ≤ w ≤ 10¹² at
+    * n_docs ≤ 10¹², and Budget·adj_w ≤ 10¹⁸ < 2⁶³. Sources with no
+    * tokenizable words have no fertility and are excluded (q246
+    * absence semantics). Scale shape: q243's corpus pass + one
+    * group-count, then |sources|-row algebra (the whitelisted
+    * dimension-bounded global window — same proof as q218). */
+  private val q249 = {
+    val Budget = 1000000L
+    Q(
+      "q249_fertility_reweighting",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val (_, vf) = trainedTokenizer(s, dir)
+        val perWord = vf.select(col("word"),
+          expr("(length(seq) - length(replace(seq, ' ', ''))) div 2")
+            .cast(LongType).as("n_bpe"))
+        val perSource = docs
+          .select(col("source"),
+            explode(TextOps.words(col("text"))).as("word"))
+          .filter(length(col("word")) >= 1)
+          .join(perWord, "word")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_bpe")).cast(LongType).as("n_bpe_tokens"))
+        val counts = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w",
+            floor(sqrt(col("n_docs").cast(DoubleType) * lit(1e12)))
+              .cast(LongType))
+        val all = Window.partitionBy()
+        val rk = Window.partitionBy()
+          .orderBy(col("rem").desc, col("source").asc)
+        counts.join(perSource, "source")
+          .withColumn("fert_micro",
+            expr("""(n_bpe_tokens div n_words) * 1000000L
+                 + ((n_bpe_tokens % n_words) * 1000000L) div n_words"""))
+          .withColumn("adj_w", expr("(w * 1000000L) div fert_micro"))
+          .withColumn("tot_w", sum(col("adj_w")).over(all))
+          .withColumn("floor_alloc", expr(s"($Budget * adj_w) div tot_w"))
+          .withColumn("rem", expr(s"($Budget * adj_w) % tot_w"))
+          .withColumn("deficit",
+            lit(Budget) - sum(col("floor_alloc")).over(all))
+          .withColumn("rk", row_number().over(rk).cast(LongType))
+          .select(col("source"), col("n_docs"), col("fert_micro"),
+            col("adj_w"),
+            (col("floor_alloc") +
+              when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+              .as("alloc"))
+      },
+      Some(s"""
+        WITH $wordsSql,
+        ${trainSql(NumMerges)},
+        perword AS (
+          SELECT word,
+                 (length(seq) - length(replace(seq, ' ', ''))) // 2 AS n_bpe
+          FROM v$NumMerges),
+        tok AS (
+          SELECT source, unnest(string_split(
+                   regexp_replace(trim(lower(text)),'\\s+',' ','g'), ' ')) AS w
+          FROM documents),
+        agg AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+                 CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens
+          FROM tok JOIN perword ON w = word
+          WHERE length(w) >= 1
+          GROUP BY 1),
+        c AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE) * 1e12)) AS BIGINT)
+                   AS tw
+          FROM documents GROUP BY 1),
+        a AS (
+          SELECT c.source, n_docs,
+                 CAST((n_bpe_tokens // n_words) * 1000000
+                      + ((n_bpe_tokens % n_words) * 1000000) // n_words
+                      AS BIGINT) AS fert_micro,
+                 tw
+          FROM c JOIN agg ON agg.source = c.source),
+        aw AS (
+          SELECT source, n_docs, fert_micro,
+                 CAST((tw * 1000000) // fert_micro AS BIGINT) AS adj_w
+          FROM a),
+        g AS (
+          SELECT *, SUM(adj_w) OVER () AS tot_w,
+                 ($Budget * adj_w) // SUM(adj_w) OVER () AS floor_alloc,
+                 ($Budget * adj_w) % SUM(adj_w) OVER () AS rem
+          FROM aw),
+        r AS (
+          SELECT *, $Budget - SUM(floor_alloc) OVER () AS deficit,
+                 ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk
+          FROM g)
+        SELECT source, n_docs, fert_micro, adj_w,
+               CAST(floor_alloc + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc
+        FROM r
+      """))
+  }
+
+  val registry: Seq[Q] = Seq(q242, q243, q244, q246, q249)
 }

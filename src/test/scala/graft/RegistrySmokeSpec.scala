@@ -31,9 +31,12 @@ class RegistrySmokeSpec extends AnyFunSuite {
   // two-phase PrefixPass shape (q178/q182/q159).
   private val constantBoundedGlobalWindow = Set(
     "q179_chisq_contingency", // |event_type| x |day-of-month| cells (~155)
-    "q218_temperature_mixing" // |sources| rows (~20; a production
+    "q218_temperature_mixing", // |sources| rows (~20; a production
     // source registry is thousands at most — dimension-bounded, the
     // corpus-scale work is the one group-count feeding it)
+    "q249_fertility_reweighting" // same |sources| bound as q218: the
+    // corpus-scale work is the q243 token pass + one group-count;
+    // everything windowed is per-source algebra
   )
 
   Queries.registry.filterNot(q => slow(q.name)).foreach { q =>

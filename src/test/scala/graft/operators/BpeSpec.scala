@@ -200,6 +200,28 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("q249 allocations are whole, conserve the budget, and divide q218 weight by q246 fertility") {
+    val rows = q("q249_fertility_reweighting").build(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("alloc")).sum == 1000000L,
+      "largest-remainder allocations must sum exactly to the budget")
+    val fert = q("q246_bpe_compression").build(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("toks_per_word_micro")).toMap
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert(r.getAs[Long]("fert_micro") == fert(s),
+        s"$s: fertility drifts from q246's")
+      assert(r.getAs[Long]("fert_micro") >= 1000000L,
+        s"$s: a word is at least one BPE token")
+      val w = math.floor(
+        math.sqrt(r.getAs[Long]("n_docs").toDouble * 1e12)).toLong
+      assert(r.getAs[Long]("adj_w") ==
+        (w * 1000000L) / r.getAs[Long]("fert_micro"),
+        s"$s: adj_w is not the exact integer division")
+    }
+  }
+
   test("tokenizer artifact round-trips: one training pass, memo + load paths identical") {
     import spark.implicits._
     val tmpDir = java.nio.file.Files
