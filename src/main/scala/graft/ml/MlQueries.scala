@@ -314,5 +314,142 @@ object MlQueries {
       FROM r JOIN d USING (doc_id)
     """))
 
-  val registry: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q108, q143)
+  // ---------------------------------------------------------------------
+  // ML quality scoring wired into selection (round 13)
+  // ---------------------------------------------------------------------
+
+  /** Rule-label threshold: the corpus qs median (~0.645 at every SF),
+    * so classes are balanced. Labels compare the 6-dp ROUNDED score —
+    * the rounding both engines provably agree on (q48's hash
+    * contract) — so the rule count is oracle-exact. */
+  private[graft] val QualityRuleThreshold = 0.645
+
+  /** Clear-margin band edges: docs with qs >= 0.67 (top ~quintile) or
+    * <= 0.62 (bottom ~quintile) are unambiguous under the rule; the
+    * model must agree with the rule on >= 90% of them. */
+  private[graft] val QualityClearGood = 0.67
+  private[graft] val QualityClearBad = 0.62
+
+  /** Per-doc quality features — q48's heuristics (type-token ratio,
+    * stopword ratio, length) joined with q132's Gopher signals (mean
+    * word length, max-token repetition share) — plus the rule score
+    * `qs` (q48's exact formula) and the derived binary label. Docs
+    * with no tokenizable words carry no features and are excluded
+    * (the q246 absence semantics). One corpus pass + the per-doc
+    * repetition aggregate (q132's shape). */
+  private[graft] def qualityLabeled(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextOps
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val d = t(s, dir, "documents")
+      .withColumn("w", TextOps.words(col("text")))
+      .filter(col("w").isNotNull && size(col("w")) >= 1)
+      .select(col("doc_id"), col("source"), col("w"),
+        size(col("w")).as("n"),
+        size(array_distinct(col("w"))).as("nd"),
+        TextOps.vocabHits(col("w"), stop).as("stop_hits"),
+        length(array_join(col("w"), "")).as("tc"))
+    val rep = d.select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_tok"))
+    d.join(rep, "doc_id")
+      .withColumn("ttr", col("nd").cast(DoubleType) / col("n"))
+      .withColumn("stop_ratio", col("stop_hits").cast(DoubleType) / col("n"))
+      .withColumn("mean_wl", col("tc").cast(DoubleType) / col("n"))
+      .withColumn("rep_ratio", col("max_tok").cast(DoubleType) / col("n"))
+      .withColumn("n_words", col("n").cast(DoubleType))
+      .withColumn("qs", round(col("ttr") * 0.4
+        + (lit(1.0) - col("stop_ratio")) * 0.3
+        + least(lit(1.0), col("n").cast(DoubleType) / 100.0) * 0.3, 6))
+      .withColumn("label",
+        when(col("qs") >= QualityRuleThreshold, 1.0).otherwise(0.0))
+      .select("doc_id", "source", "n_words", "ttr", "stop_ratio",
+        "mean_wl", "rep_ratio", "qs", "label")
+  }
+
+  private[graft] def qualityPipeline(): Pipeline =
+    new Pipeline().setStages(Array(
+      new VectorAssembler()
+        .setInputCols(Array("n_words", "ttr", "stop_ratio", "mean_wl",
+          "rep_ratio"))
+        .setOutputCol("f"),
+      new GBTClassifier().setLabelCol("label").setFeaturesCol("f")
+        .setMaxIter(5).setSeed(42L)))
+
+  /** Train the seeded quality classifier and score the corpus:
+    * (fitted model, labeled frame + `prediction`). The input is
+    * materialized once so fit and transform read the same rows. */
+  private[graft] def qualityModelAndScored(s: SparkSession, dir: String)
+      : (org.apache.spark.ml.PipelineModel, org.apache.spark.sql.DataFrame) = {
+    val labeled = qualityLabeled(s, dir).localCheckpoint()
+    val m = qualityPipeline().fit(labeled)
+    (m, m.transform(labeled))
+  }
+
+  /** The threshold-selected training set the scorer feeds — docs the
+    * model classes good, in the (doc_id, source, qs) shape q226's
+    * pipeline composes with. Deterministic: seeded fit over a
+    * deterministic frame. */
+  private[graft] def qualitySelectedDocs(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    qualityModelAndScored(s, dir)._2
+      .filter(col("prediction") === 1.0)
+      .select("doc_id", "source", "qs")
+
+  /** ML-based quality scoring wired into SELECTION — the
+    * FineWeb-Edu-shaped closing of the quality loop: distill the rule
+    * signals (q48 heuristics + q132 Gopher rules) into a seeded
+    * GBTClassifier, score the corpus, select by model verdict. The
+    * fit itself is not SQL-expressible, so the entry is the q60-q63
+    * CONTRACT pattern: oracle-exact corpus/rule-label counts plus
+    * seeded-deterministic quality invariants pinned TRUE — both
+    * classes predicted, training accuracy beats the majority class,
+    * >= 90% agreement with the rule on clear-margin docs, selected
+    * fraction sane (20-80%). Model values and the selection set
+    * itself are pinned in MlQualitySpec (determinism, artifact
+    * round-trip, rule agreement). */
+  private val q250 = Q(
+    "q250_ml_quality_selection",
+    (s, dir) => {
+      val scored = qualityModelAndScored(s, dir)._2
+      val clear = col("qs") >= QualityClearGood ||
+        col("qs") <= QualityClearBad
+      val agree = when(col("label") === col("prediction"), 1).otherwise(0)
+      scored.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("label")).cast(LongType).as("n_rule_good"),
+        count_distinct(col("prediction")).as("n_pred_classes"),
+        (avg(when(col("label") === col("prediction"), 1.0).otherwise(0.0)) >
+          greatest(avg(col("label")), lit(1.0) - avg(col("label"))))
+          .as("beats_majority"),
+        (sum(when(clear, agree).otherwise(0)).cast(DoubleType) /
+          sum(when(clear, 1).otherwise(0)) >= 0.9)
+          .as("clear_margin_agreement"),
+        (sum(col("prediction")).cast(DoubleType) / count(lit(1)))
+          .between(0.2, 0.8).as("sel_frac_sane"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT string_split(regexp_replace(trim(lower(text)),'\\s+',' ','g'),
+                 ' ') AS w
+        FROM documents),
+      q AS (
+        SELECT round((CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
+               + (1.0 - CAST(len(list_filter(w,
+                   x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                   / len(w)) * 0.3
+               + LEAST(1.0, CAST(len(w) AS DOUBLE) / 100.0) * 0.3, 6) AS qs
+        FROM d WHERE w IS NOT NULL AND len(w) >= 1)
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN qs >= $QualityRuleThreshold THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rule_good,
+             CAST(2 AS BIGINT) AS n_pred_classes,
+             TRUE AS beats_majority,
+             TRUE AS clear_margin_agreement,
+             TRUE AS sel_frac_sane
+      FROM q
+    """))
+
+  val registry: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q108, q143,
+    q250)
 }
