@@ -373,7 +373,8 @@ object DedupQueries {
     * retune can never silently diverge between them. All 8 signature
     * components come from one native pass over the shingles
     * (graft.plans.MinHashSig) instead of 8 interpreted HOF columns. */
-  private def minhashBandTable(withSh: DataFrame, idCol: String): DataFrame = {
+  private[graft] def minhashBandTable(
+      withSh: DataFrame, idCol: String): DataFrame = {
     val withMin = withSh.withColumn("ms",
       graft.plans.MinHashSig.minhashSig(col("sh"), 8))
     val withBands = withMin.withColumn("bands",
@@ -1841,7 +1842,73 @@ object DedupQueries {
       """
     })
 
+  /** Streaming near-dup GATE, batch-replay formulation — the dedup
+    * family's ingest-time member (VERDICT r12 #4). Semantics: the
+    * corpus arrives in deterministic micro-batches (batch_id =
+    * doc_id div 100); a document is FLAGGED iff some band of its
+    * MinHash signature (the q51/q241 shared [[minhashBandTable]]
+    * kernel — 8 components, 4 bands of 2) was already seen in an
+    * EARLIER batch, with the flag carrying how many bands hit and the
+    * lowest-id prior owner. Same-batch peers do not flag each other —
+    * state updates at batch boundaries, which is exactly what the
+    * streaming form ([[graft.streaming.DedupGateProcessor]]:
+    * transformWithState, ValueState[min doc_id] keyed by band hash)
+    * computes per micro-batch; StreamDedupGateSpec pins the two
+    * formulations equal on a planted corpus and across a checkpointed
+    * restart. State/shuffle ∝ DISTINCT band signatures, never
+    * documents — the property that lets the gate run at ingest over
+    * an unbounded stream. Short docs (< 5 words) have NULL band
+    * hashes and pass the gate unexamined on both engines (null never
+    * equi-joins; the processor filters null keys). */
+  private val q251 = {
+    val BatchSize = 100L
+    Q(
+      "q251_streaming_dedup_gate",
+      (s, dir) => {
+        val c = corpus(t(s, dir, "documents"))
+          .withColumn("sh",
+            TextOps.shingleSet(TextOps.words(col("text")), 5))
+          .localCheckpoint()
+        val bands = minhashBandTable(c, "doc_id")
+          .withColumn("batch_id", expr(s"doc_id div $BatchSize"))
+          .localCheckpoint()
+        bands.alias("e")
+          .join(bands.alias("t"),
+            col("t.band_idx") === col("e.band_idx") &&
+              col("t.bh") === col("e.bh") &&
+              col("t.batch_id") < col("e.batch_id"))
+          .groupBy(col("e.doc_id").as("doc_id"),
+            col("e.batch_id").as("batch_id"))
+          .agg(count_distinct(col("e.band_idx")).as("n_hit_bands"),
+            min(col("t.doc_id")).as("first_seen"))
+      },
+      Some {
+        val mins = (0 until 8).map(i =>
+          s"list_min([md5('$i|'||s) FOR s IN sh]) AS m$i").mkString(", ")
+        val bandSelects = (0 until 4).map(j =>
+          s"SELECT doc_id, $j AS band_idx, md5(m${2 * j}||m${2 * j + 1}) AS bh FROM mh")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH $shingleSql,
+        mh AS (SELECT doc_id, sh, $mins FROM sh),
+        bands AS ($bandSelects),
+        b2 AS (SELECT doc_id, doc_id // $BatchSize AS batch_id,
+                      band_idx, bh
+               FROM bands),
+        hits AS (SELECT e.doc_id, e.batch_id, e.band_idx,
+                        t.doc_id AS tid
+                 FROM b2 e JOIN b2 t
+                 ON t.band_idx = e.band_idx AND t.bh = e.bh
+                    AND t.batch_id < e.batch_id)
+        SELECT doc_id, batch_id,
+               CAST(COUNT(DISTINCT band_idx) AS BIGINT) AS n_hit_bands,
+               MIN(tid) AS first_seen
+        FROM hits GROUP BY 1, 2
+        """
+      })
+  }
+
   val registry: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52,
     q82, q84, q85, q99, q112, q124, q130, q133, q136, q196, q232, q235,
-    q241, q245, q247)
+    q241, q245, q247, q251)
 }

@@ -899,3 +899,45 @@ class TypeCountsProcessor
     st.iterator().map { case (et, n) => (key, et, n) }
   }
 }
+
+/** transformWithState processor for the streaming near-dup gate —
+  * q251's streaming form. Key = one band signature ("band_idx:bh");
+  * input = (band_key, doc_id); ValueState holds the MIN doc_id seen
+  * for this signature in EARLIER micro-batches. Docs in the current
+  * batch are flagged against that prior owner only (same-batch peers
+  * never flag each other — state commits at batch boundaries, the
+  * batch-replay semantics q251's oracle checks), then the state
+  * absorbs the batch's minimum. One emission per (doc, hit band), so
+  * a per-doc count of emissions is the gate's n_hit_bands and their
+  * min owner its first_seen. State is one long per DISTINCT band
+  * signature — never per document — so the gate's state store scales
+  * with content diversity, not stream length.
+  */
+class DedupGateProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, (String, Long), (Long, Long)] {
+
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[Long]("first_seen",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[(String, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long)] = {
+    val prior = if (st.exists()) Some(st.get()) else None
+    val docs = rows.map(_._2).toVector
+    st.update((docs ++ prior).min)
+    prior match {
+      case Some(owner) => docs.iterator.map(d => (d, owner))
+      case None        => Iterator.empty
+    }
+  }
+}
