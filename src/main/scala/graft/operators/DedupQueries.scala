@@ -1872,15 +1872,30 @@ object DedupQueries {
         val bands = minhashBandTable(c, "doc_id")
           .withColumn("batch_id", expr(s"doc_id div $BatchSize"))
           .localCheckpoint()
-        bands.alias("e")
-          .join(bands.alias("t"),
-            col("t.band_idx") === col("e.band_idx") &&
-              col("t.bh") === col("e.bh") &&
-              col("t.batch_id") < col("e.batch_id"))
-          .groupBy(col("e.doc_id").as("doc_id"),
-            col("e.batch_id").as("batch_id"))
-          .agg(count_distinct(col("e.band_idx")).as("n_hit_bands"),
-            min(col("t.doc_id")).as("first_seen"))
+        // Scale shape: NEVER the naive band self-join — on a corpus
+        // with F exact copies per text every band bucket holds F+
+        // docs and the pair join is Σ|bucket|² (~2×10⁸ rows at the
+        // ×100 fixture). Instead mirror what the streaming state
+        // actually holds: one running MIN per signature. Aggregate to
+        // per-(signature, batch) minima (vocabulary-scale), prefix-min
+        // over the per-signature batch sequence (bounded window
+        // groups — batches per signature, never corpus rows), then
+        // ONE equi-join row per (doc, band). Same output, pair-free.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("bh"))
+          .orderBy(col("batch_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        val prefix = bands
+          .groupBy(col("band_idx"), col("bh"), col("batch_id"))
+          .agg(min(col("doc_id")).as("batch_min"))
+          .withColumn("min_earlier", min(col("batch_min")).over(w))
+          .filter(col("min_earlier").isNotNull)
+          .drop("batch_min")
+        bands.join(prefix, Seq("band_idx", "bh", "batch_id"))
+          .groupBy(col("doc_id"), col("batch_id"))
+          .agg(count(lit(1)).as("n_hit_bands"),
+            min(col("min_earlier")).as("first_seen"))
       },
       Some {
         val mins = (0 until 8).map(i =>
