@@ -602,7 +602,8 @@ object Queries {
     graft.operators.Spark4Queries.registry ++
     graft.operators.QualityQueries.registry ++
     graft.operators.TrainingSetQueries.registry ++
-    graft.operators.BpeQueries.registry
+    graft.operators.BpeQueries.registry ++
+    graft.operators.LmQueries.registry
 
   // NO stripMargin here: its margin char is '|', so an oracle line that
   // begins with a '||' concatenation would silently lose a pipe
