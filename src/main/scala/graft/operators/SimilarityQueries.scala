@@ -1125,6 +1125,107 @@ object SimilarityQueries {
       """
     })
 
+  /** Top principal direction of the embedding corpus via 8 unrolled
+    * power-iteration steps over the exact integer Gram matrix — the
+    * corpus-level spectral statistic behind embedding post-processing
+    * (all-but-the-top common-component removal, whitening, drift
+    * monitoring).
+    *
+    * Cross-engine determinism is the whole design: (1) components are
+    * quantized to exact milli-unit integers (round ties resolve
+    * half-away-from-zero on both engines), so the distributed
+    * aggregation M = Σ x·xᵀ is an order-independent integer sum —
+    * computed in Spark by the mergeable [[graft.functions.GramMatrix]]
+    * Aggregator (one corpus pass, dim² products per row in-memory,
+    * ONE 32 KB array shuffled per partition — never the n·dim²-row
+    * explode the relational form would shuffle); (2) every Gram cell
+    * is < 2^52 so the long→double cast is exact; (3) each iteration's
+    * mat-vec, norm, and Rayleigh quotient are index-ordered left folds
+    * (graft.plans.DotProduct == DuckDB's sequential list_dot_product),
+    * so all 8 steps are bit-identical across engines. Convergence is
+    * NOT part of the contract — the output is the deterministic 8-step
+    * estimate; the sign is fixed by the max-|loading| component.
+    * Output: 64 rows (i, loading, eigenvalue). */
+  private val q254 = Q(
+    "q254_pca_power_iteration",
+    (s, dir) => {
+      import s.implicits._
+      val Iters = 8
+      val quant = t(s, dir, "embeddings")
+        .select(transform(col("embedding"),
+          x => round(x.cast(DoubleType) * 1000).cast(LongType)).as("xq"))
+        .as[Seq[Long]]
+      val gram = quant
+        .select(new graft.functions.GramMatrix(DIM).toColumn.name("m"))
+        .toDF("m")
+      // 64 rows (i, mrow double[64]); localCheckpoint so the corpus
+      // scan runs ONCE, not once per unrolled iteration
+      val mrows = gram.select(explode(transform(
+          sequence(lit(0), lit(DIM - 1)), i =>
+            struct(i.cast(LongType).as("i"),
+              transform(slice(col("m"), i * lit(DIM) + lit(1), lit(DIM)),
+                c => c.cast(DoubleType)).as("mrow")))).as("r"))
+        .select(col("r.i").as("i"), col("r.mrow").as("mrow"))
+        .localCheckpoint()
+      def matvec(v: DataFrame): DataFrame =
+        mrows.crossJoin(broadcast(v))
+          .select(col("i"), dot(col("mrow"), col("v")).as("wi"))
+          .agg(array_sort(collect_list(struct(col("i"), col("wi")))).as("ws"))
+          .select(transform(col("ws"), e => e("wi")).as("w"))
+      var v = s.range(1).select(
+        transform(sequence(lit(0), lit(DIM - 1)), _ => lit(1.0)).as("v"))
+      for (_ <- 1 to Iters)
+        v = matvec(v).select(transform(col("w"),
+          x => x / sqrt(dot(col("w"), col("w")))).as("v"))
+      val fin = matvec(v).crossJoin(broadcast(v))
+        .select(col("v"), dot(col("v"), col("w")).as("lambda"))
+        .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("sgn", when(
+          element_at(filter(col("v"), x => abs(x) === col("mx")), 1) < 0,
+          lit(-1.0)).otherwise(lit(1.0)))
+      fin.select(col("sgn"), col("lambda"), posexplode(col("v")))
+        .select(col("pos").cast(LongType).as("i"),
+          round(col("col") * col("sgn"), 6).as("loading"),
+          round(col("lambda"), 3).as("eigenvalue"))
+    },
+    Some {
+      val steps = (1 to 8).map { k =>
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        s"""w$k AS (SELECT list(list_dot_product(mrow, v) ORDER BY i) AS w
+                    FROM mrows, $prev),
+            v$k AS (SELECT [x / sqrt(list_dot_product(w, w)) FOR x IN w] AS v
+                    FROM w$k)"""
+      }.mkString(",\n")
+      s"""
+      WITH e AS (
+        SELECT [CAST(round(x * 1000) AS BIGINT) FOR x IN embedding::DOUBLE[]] AS xq
+        FROM embeddings),
+      cells AS (
+        SELECT i, j, SUM(xq[i + 1] * xq[j + 1]) AS m
+        FROM e, range($DIM) t1(i), range($DIM) t2(j)
+        GROUP BY 1, 2),
+      mrows AS (
+        SELECT i, list(CAST(m AS DOUBLE) ORDER BY j) AS mrow
+        FROM cells GROUP BY i),
+      v0 AS (SELECT [1.0 FOR x IN range($DIM)] AS v),
+      $steps,
+      wf AS (SELECT list(list_dot_product(mrow, v) ORDER BY i) AS w,
+                    first(v) AS v
+             FROM mrows, v8),
+      fin AS (SELECT v, list_dot_product(v, w) AS lambda,
+                     list_max([abs(x) FOR x IN v]) AS mx
+              FROM wf),
+      sg AS (SELECT v, lambda,
+                    CASE WHEN [x FOR x IN v IF abs(x) = mx][1] < 0
+                         THEN -1.0 ELSE 1.0 END AS sgn
+             FROM fin)
+      SELECT CAST(i AS BIGINT) AS i,
+             round(v[i + 1] * sgn, 6) AS loading,
+             round(lambda, 3) AS eigenvalue
+      FROM sg, range($DIM) t(i)
+      """
+    })
+
   val registry: Seq[Q] = Seq(q53, q54, q55, q56, q57, q58, q59, q101,
-    q134, q138, q141, q145, q146, q147, q192, q234, q248)
+    q134, q138, q141, q145, q146, q147, q192, q234, q248, q254)
 }

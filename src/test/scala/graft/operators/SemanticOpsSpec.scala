@@ -128,6 +128,70 @@ class SemanticOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q254 power iteration equals the brute-force mirror with PCA invariants") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dim = 64
+    // exact milli-unit quantization, ties half-away-from-zero (both
+    // engines' round contract)
+    def q(x: Float): Long = {
+      val y = x.toDouble * 1000.0
+      if (y < 0) -Math.round(-y) else Math.round(y)
+    }
+    val m = Array.ofDim[Long](dim * dim)
+    vecs.foreach { v =>
+      val xs = v.map(q)
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { m(i * dim + j) += xs(i) * xs(j); j += 1 }
+        i += 1
+      }
+    }
+    // index-ordered folds, exactly the engine's arithmetic order
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += m(i * dim + j).toDouble * v(j); j += 1 }
+        acc
+      }
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < dim) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    var v = Array.fill(dim)(1.0)
+    for (_ <- 1 to 8) {
+      val w = matvec(v)
+      val n = math.sqrt(dotd(w, w))
+      v = w.map(_ / n)
+    }
+    val lambda = dotd(v, matvec(v))
+    val mx = v.map(math.abs).max
+    val sgn = if (v(v.indexWhere(x => math.abs(x) == mx)) < 0) -1.0 else 1.0
+    val rows = run("q254_pca_power_iteration").sortBy(_.getAs[Long]("i"))
+    assert(rows.length == dim)
+    rows.foreach { r =>
+      val i = r.getAs[Long]("i").toInt
+      assert(math.abs(r.getAs[Double]("loading") - v(i) * sgn) < 1e-6,
+        s"component $i diverges from the brute-force mirror")
+      assert(math.abs(r.getAs[Double]("eigenvalue") - lambda) < 5e-3)
+    }
+    val loadings = rows.map(_.getAs[Double]("loading"))
+    // unit norm (up to the 6-decimal output rounding)
+    assert(math.abs(loadings.map(x => x * x).sum - 1.0) < 1e-3)
+    // sign convention: the max-|loading| component is positive
+    assert(loadings.maxBy(math.abs) > 0)
+    // Rayleigh estimate bounded by the spectrum: >= max diagonal
+    // (one-hot Rayleigh quotient after 8 ascent steps from all-ones
+    // may still be below it in theory, but must hold on the fixture)
+    // and <= trace
+    val diag = (0 until dim).map(i => m(i * dim + i).toDouble)
+    assert(lambda <= diag.sum * (1 + 1e-12))
+    assert(lambda > 0.0)
+  }
+
   test("q147_centroid_similarity covers all label pairs with bounded sims") {
     val rows = run("q147_centroid_similarity")
     val labels = spark.read.parquet(s"$dir/embeddings.parquet")
