@@ -1146,58 +1146,60 @@ object SimilarityQueries {
     * NOT part of the contract — the output is the deterministic 8-step
     * estimate; the sign is fixed by the max-|loading| component.
     * Output: 64 rows (i, loading, eigenvalue). */
-  private val q254 = Q(
-    "q254_pca_power_iteration",
-    (s, dir) => {
-      import s.implicits._
-      val Iters = 8
-      val quant = t(s, dir, "embeddings")
-        .select(transform(col("embedding"),
-          x => round(x.cast(DoubleType) * 1000).cast(LongType)).as("xq"))
-        .as[Seq[Long]]
-      val gram = quant
-        .select(new graft.functions.GramMatrix(DIM).toColumn.name("m"))
-        .toDF("m")
-      // 64 rows (i, mrow double[64]); localCheckpoint so the corpus
-      // scan runs ONCE, not once per unrolled iteration
-      val mrows = gram.select(explode(transform(
-          sequence(lit(0), lit(DIM - 1)), i =>
-            struct(i.cast(LongType).as("i"),
-              transform(slice(col("m"), i * lit(DIM) + lit(1), lit(DIM)),
-                c => c.cast(DoubleType)).as("mrow")))).as("r"))
-        .select(col("r.i").as("i"), col("r.mrow").as("mrow"))
-        .localCheckpoint()
-      def matvec(v: DataFrame): DataFrame =
-        mrows.crossJoin(broadcast(v))
-          .select(col("i"), dot(col("mrow"), col("v")).as("wi"))
-          .agg(array_sort(collect_list(struct(col("i"), col("wi")))).as("ws"))
-          .select(transform(col("ws"), e => e("wi")).as("w"))
-      var v = s.range(1).select(
-        transform(sequence(lit(0), lit(DIM - 1)), _ => lit(1.0)).as("v"))
-      for (_ <- 1 to Iters)
-        v = matvec(v).select(transform(col("w"),
-          x => x / sqrt(dot(col("w"), col("w")))).as("v"))
-      val fin = matvec(v).crossJoin(broadcast(v))
-        .select(col("v"), dot(col("v"), col("w")).as("lambda"))
-        .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
-        .withColumn("sgn", when(
-          element_at(filter(col("v"), x => abs(x) === col("mx")), 1) < 0,
-          lit(-1.0)).otherwise(lit(1.0)))
-      fin.select(col("sgn"), col("lambda"), posexplode(col("v")))
-        .select(col("pos").cast(LongType).as("i"),
-          round(col("col") * col("sgn"), 6).as("loading"),
-          round(col("lambda"), 3).as("eigenvalue"))
-    },
-    Some {
-      val steps = (1 to 8).map { k =>
-        val prev = if (k == 1) "v0" else s"v${k - 1}"
-        s"""w$k AS (SELECT list(list_dot_product(mrow, v) ORDER BY i) AS w
-                    FROM mrows, $prev),
-            v$k AS (SELECT [x / sqrt(list_dot_product(w, w)) FOR x IN w] AS v
-                    FROM w$k)"""
-      }.mkString(",\n")
-      s"""
-      WITH e AS (
+  /** The q254/q255 shared kernel: the sign-fixed top principal
+    * direction as a broadcastable 1-row frame (pc double[64] with the
+    * max-|loading| component positive, lambda = Rayleigh estimate).
+    * One corpus pass (the GramMatrix Aggregator), then 8 declarative
+    * power-iteration steps over the 64-row matrix frame. */
+  private[graft] def topPc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quant = t(s, dir, "embeddings")
+      .select(transform(col("embedding"),
+        x => round(x.cast(DoubleType) * 1000).cast(LongType)).as("xq"))
+      .as[Seq[Long]]
+    val gram = quant
+      .select(new graft.functions.GramMatrix(DIM).toColumn.name("m"))
+      .toDF("m")
+    // 64 rows (i, mrow double[64]); localCheckpoint so the corpus
+    // scan runs ONCE, not once per unrolled iteration
+    val mrows = gram.select(explode(transform(
+        sequence(lit(0), lit(DIM - 1)), i =>
+          struct(i.cast(LongType).as("i"),
+            transform(slice(col("m"), i * lit(DIM) + lit(1), lit(DIM)),
+              c => c.cast(DoubleType)).as("mrow")))).as("r"))
+      .select(col("r.i").as("i"), col("r.mrow").as("mrow"))
+      .localCheckpoint()
+    def matvec(v: DataFrame): DataFrame =
+      mrows.crossJoin(broadcast(v))
+        .select(col("i"), dot(col("mrow"), col("v")).as("wi"))
+        .agg(array_sort(collect_list(struct(col("i"), col("wi")))).as("ws"))
+        .select(transform(col("ws"), e => e("wi")).as("w"))
+    var v = s.range(1).select(
+      transform(sequence(lit(0), lit(DIM - 1)), _ => lit(1.0)).as("v"))
+    for (_ <- 1 to 8)
+      v = matvec(v).select(transform(col("w"),
+        x => x / sqrt(dot(col("w"), col("w")))).as("v"))
+    matvec(v).crossJoin(broadcast(v))
+      .select(col("v"), dot(col("v"), col("w")).as("lambda"))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("sgn", when(
+        element_at(filter(col("v"), x => abs(x) === col("mx")), 1) < 0,
+        lit(-1.0)).otherwise(lit(1.0)))
+      .select(transform(col("v"), x => x * col("sgn")).as("pc"),
+        col("lambda"))
+  }
+
+  /** The DuckDB mirror of [[topPc]]: WITH-clause chain ending in
+    * `sg(pc, lambda)`. Callers append their own consuming CTEs. */
+  private[graft] val topPcDuckCtes: String = {
+    val steps = (1 to 8).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""w$k AS (SELECT list(list_dot_product(mrow, v) ORDER BY i) AS w
+                  FROM mrows, $prev),
+          v$k AS (SELECT [x / sqrt(list_dot_product(w, w)) FOR x IN w] AS v
+                  FROM w$k)"""
+    }.mkString(",\n")
+    s"""e AS (
         SELECT [CAST(round(x * 1000) AS BIGINT) FOR x IN embedding::DOUBLE[]] AS xq
         FROM embeddings),
       cells AS (
@@ -1215,17 +1217,68 @@ object SimilarityQueries {
       fin AS (SELECT v, list_dot_product(v, w) AS lambda,
                      list_max([abs(x) FOR x IN v]) AS mx
               FROM wf),
-      sg AS (SELECT v, lambda,
-                    CASE WHEN [x FOR x IN v IF abs(x) = mx][1] < 0
-                         THEN -1.0 ELSE 1.0 END AS sgn
-             FROM fin)
+      sg AS (SELECT [x * (CASE WHEN [y FOR y IN v IF abs(y) = mx][1] < 0
+                               THEN -1.0 ELSE 1.0 END) FOR x IN v] AS pc,
+                    lambda
+             FROM fin)"""
+  }
+
+  private val q254 = Q(
+    "q254_pca_power_iteration",
+    (s, dir) =>
+      topPc(s, dir)
+        .select(col("lambda"), posexplode(col("pc")))
+        .select(col("pos").cast(LongType).as("i"),
+          round(col("col"), 6).as("loading"),
+          round(col("lambda"), 3).as("eigenvalue")),
+    Some(s"""
+      WITH $topPcDuckCtes
       SELECT CAST(i AS BIGINT) AS i,
-             round(v[i + 1] * sgn, 6) AS loading,
+             round(pc[i + 1], 6) AS loading,
              round(lambda, 3) AS eigenvalue
       FROM sg, range($DIM) t(i)
-      """
-    })
+      """))
+
+  /** All-but-the-top diagnostics: each embedding's projection onto the
+    * corpus top principal direction ([[topPc]] — the shared kernel, so
+    * this can never drift from q254's reported component) and the
+    * residual-norm ratio after removing it, top-20 by |projection|.
+    * This is the ABTT common-component view (Mu & Viswanath 2018,
+    * arXiv:1702.01417): dominant-direction outliers are exactly the
+    * vectors most distorted by corpus-level anisotropy. One corpus
+    * scan against a broadcast 1-row PC frame; top-k is a
+    * TakeOrderedAndProject, never a full sort. */
+  private val q255 = Q(
+    "q255_abtt_projection",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      e.crossJoin(broadcast(topPc(s, dir)))
+        .withColumn("proj", dot(col("v"), col("pc")))
+        .withColumn("nrm", l2norm(col("v")))
+        .withColumn("resid_ratio",
+          sqrt(greatest(col("nrm") * col("nrm") - col("proj") * col("proj"),
+            lit(0.0))) / col("nrm"))
+        .orderBy(abs(col("proj")).desc, col("vec_id").asc)
+        .limit(20)
+        .select(col("vec_id"), round(col("proj"), 6).as("proj"),
+          round(col("resid_ratio"), 6).as("resid_ratio"))
+    },
+    Some(s"""
+      WITH $topPcDuckCtes,
+      base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      scored AS (
+        SELECT vec_id,
+               list_dot_product(v, pc) AS proj,
+               sqrt(list_dot_product(v, v)) AS nrm
+        FROM base, sg)
+      SELECT vec_id, round(proj, 6) AS proj,
+             round(sqrt(greatest(nrm * nrm - proj * proj, 0.0)) / nrm, 6)
+               AS resid_ratio
+      FROM scored
+      ORDER BY abs(proj) DESC, vec_id ASC LIMIT 20
+      """))
 
   val registry: Seq[Q] = Seq(q53, q54, q55, q56, q57, q58, q59, q101,
-    q134, q138, q141, q145, q146, q147, q192, q234, q248, q254)
+    q134, q138, q141, q145, q146, q147, q192, q234, q248, q254, q255)
 }

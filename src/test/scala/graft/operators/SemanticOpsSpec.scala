@@ -192,6 +192,62 @@ class SemanticOpsSpec extends AnyFunSuite {
     assert(lambda > 0.0)
   }
 
+  test("q255 ABTT projections match the mirror PC and bound the residual") {
+    // recompute the mirror PC exactly as the q254 test does
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
+    val dim = 64
+    def q(x: Float): Long = {
+      val y = x.toDouble * 1000.0
+      if (y < 0) -Math.round(-y) else Math.round(y)
+    }
+    val m = Array.ofDim[Long](dim * dim)
+    raw.foreach { case (_, v) =>
+      val xs = v.map(q)
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { m(i * dim + j) += xs(i) * xs(j); j += 1 }
+        i += 1
+      }
+    }
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += m(i * dim + j).toDouble * v(j); j += 1 }
+        acc
+      }
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < dim) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    var v = Array.fill(dim)(1.0)
+    for (_ <- 1 to 8) {
+      val w = matvec(v)
+      val n = math.sqrt(dotd(w, w))
+      v = w.map(_ / n)
+    }
+    val mx = v.map(math.abs).max
+    val sgn = if (v(v.indexWhere(x => math.abs(x) == mx)) < 0) -1.0 else 1.0
+    val pc = v.map(_ * sgn)
+    val truth = raw.map { case (id, f) =>
+      val dv = f.map(_.toDouble)
+      (id, dotd(dv, pc), math.sqrt(dotd(dv, dv)))
+    }.sortBy { case (id, p, _) => (-math.abs(p), id) }.take(20)
+    val rows = run("q255_abtt_projection")
+    assert(rows.length == 20)
+    rows.zip(truth).foreach { case (r, (id, p, nrm)) =>
+      assert(r.getAs[Long]("vec_id") == id)
+      assert(math.abs(r.getAs[Double]("proj") - p) < 1e-6)
+      val rr = r.getAs[Double]("resid_ratio")
+      assert(rr >= 0.0 && rr <= 1.0)
+      // Pythagoras: resid² + (proj/||v||)² = 1
+      assert(math.abs(rr * rr + (p / nrm) * (p / nrm) - 1.0) < 1e-4)
+    }
+  }
+
   test("q147_centroid_similarity covers all label pairs with bounded sims") {
     val rows = run("q147_centroid_similarity")
     val labels = spark.read.parquet(s"$dir/embeddings.parquet")
