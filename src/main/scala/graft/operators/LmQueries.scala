@@ -51,10 +51,18 @@ object LmQueries {
   /** Tokens with 1-based position and the preceding word (NULL for the
     * first token): one per-row array pass, no shuffle — bigram context
     * is attached before the explode, so the LM joins below are plain
-    * vocabulary-key equi-joins. */
+    * vocabulary-key equi-joins.
+    *
+    * Null text contributes ZERO tokens on both engines: DuckDB's
+    * range(1, NULL) unnests to no rows, but Spark's size(NULL) = -1
+    * would turn sequence(1, size(ws)) into the DESCENDING [1, 0, -1]
+    * and mint three phantom null tokens per null document (the
+    * round-12 size(NULL) divergence class — caught by the round-13
+    * nasty sweep), so null word arrays are filtered out first. */
   private def tokensWithContext(docs: DataFrame): DataFrame =
     docs
       .withColumn("ws", graft.functions.TextOps.words(col("text")))
+      .filter(col("ws").isNotNull)
       .select(col("doc_id"), col("lang"), explode(expr(
         "transform(sequence(1, size(ws)), i -> struct(" +
           "element_at(ws, i) as w, " +
