@@ -436,12 +436,17 @@ class TrainingSetSpec extends AnyFunSuite {
           s"embedded extract of doc $id not flagged (got $m)")
       }
     rows.foreach { r =>
-      val (jac, con) = (Option(r.getAs[Any]("jac")),
-        Option(r.getAs[Any]("containment")))
+      val (jac, con, sim) = (Option(r.getAs[Any]("jac")),
+        Option(r.getAs[Any]("containment")),
+        Option(r.getAs[Any]("sim")))
       r.getAs[String]("method") match {
         case "both"        => assert(jac.nonEmpty && con.nonEmpty)
         case "lsh"         => assert(jac.nonEmpty && con.isEmpty)
         case "containment" => assert(jac.isEmpty && con.nonEmpty)
+        // round-13 paraphrase shape: lexical columns NULL by
+        // construction, cosine similarity carries the evidence
+        case "semantic"    => assert(jac.isEmpty && con.isEmpty &&
+          sim.nonEmpty)
         case other         => fail(s"unknown method $other")
       }
     }
