@@ -157,9 +157,23 @@ object BpeQueries {
     val parts =
       if (st.isDirectory) fs.listStatus(p).toSeq.filter(_.isFile)
       else Seq(st)
-    val sig = parts
-      .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-      .sorted.mkString("|")
+    // name:length:mtime alone can collide when a fixture is regenerated
+    // in place with identical part names/sizes inside the filesystem's
+    // mtime granularity — add CONTENT evidence: the tail of each part
+    // holds the parquet footer (schema, row-group stats, offsets),
+    // which changes with the data even at equal byte length. One small
+    // tail read per part, no corpus scan.
+    val sig = parts.map { f =>
+      val tailLen = math.min(f.getLen, 4096L).toInt
+      val buf = new Array[Byte](math.max(tailLen, 0))
+      if (tailLen > 0) {
+        val in = fs.open(f.getPath)
+        try in.readFully(f.getLen - tailLen, buf) finally in.close()
+      }
+      val tailMd5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(buf).map(b => f"$b%02x").mkString
+      s"${f.getPath.getName}:${f.getLen}:$tailMd5"
+    }.sorted.mkString("|")
     java.security.MessageDigest.getInstance("MD5")
       .digest(sig.getBytes("UTF-8")).map(b => f"$b%02x").mkString
   }
@@ -206,10 +220,14 @@ object BpeQueries {
             fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_OK"), true)
               .close()
             // publish atomically; if another writer won the race, keep
-            // theirs and drop ours — both hold identical content
+            // theirs and drop ours — both hold identical content.
+            // Hadoop rename reports many failures via `false` rather
+            // than an exception, so `published` must rest on evidence
+            // the marker actually exists at the final path — not on
+            // having attempted the rename.
             if (fs.exists(basePath) || !fs.rename(tmp, basePath))
               fs.delete(tmp, true)
-            true
+            fs.exists(ok)
           } catch { case scala.util.control.NonFatal(_) => false }
           // prefer the artifact-backed frame: the localCheckpoint'd vf
           // dies at the next harness storage cleanup, a parquet read

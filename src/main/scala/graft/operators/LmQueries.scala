@@ -94,9 +94,10 @@ object LmQueries {
     * document — bounded by corpus cardinality, not token volume).
     * Languages absent from the reference tier have no LM and are
     * excluded (CCNet semantics), identically in both engines. */
-  private val q252 = Q(
-    "q252_lm_perplexity_buckets",
-    (s, dir) => {
+  /** q252's per-document cross-entropy frame (doc_id, lang, n_tok, ce)
+    * — factored out so LmSpec can measure boundary-tie multiplicity
+    * against the same rounded-ce values the bucket cut sees. */
+  private[graft] def docCeFrame(s: SparkSession, dir: String): DataFrame = {
       val docs = t(s, dir, "documents")
       val toks = tokensWithContext(docs)
       val ref = tokensWithContext(docs.filter(col("source").isin(RefTier: _*)))
@@ -122,11 +123,17 @@ object LmQueries {
               col("cv").cast(DoubleType)) + lit(0.1) * col("pu")))
         .select(col("doc_id"), col("lang"),
           round(log(col("p")), 6).cast(DecimalType(18, 6)).as("lp"))
-      val docCe = scored.groupBy(col("doc_id"), col("lang"))
+      scored.groupBy(col("doc_id"), col("lang"))
         .agg(count(lit(1)).as("n_tok"),
           round(-(sum(col("lp")).cast(DoubleType) / count(lit(1))), 4)
             .as("ce"))
         .localCheckpoint()
+  }
+
+  private val q252 = Q(
+    "q252_lm_perplexity_buckets",
+    (s, dir) => {
+      val docCe = docCeFrame(s, dir)
       val thr = docCe.groupBy(col("lang"))
         .agg(percentile(col("ce"), lit(1.0 / 3)).as("t1"),
           percentile(col("ce"), lit(2.0 / 3)).as("t2"))

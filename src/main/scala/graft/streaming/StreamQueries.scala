@@ -932,12 +932,27 @@ class DedupGateProcessor
       rows: Iterator[(String, Long)],
       timerValues: org.apache.spark.sql.streaming.TimerValues)
       : Iterator[(Long, Long)] = {
-    val prior = if (st.exists()) Some(st.get()) else None
-    val docs = rows.map(_._2).toVector
-    st.update((docs ++ prior).min)
-    prior match {
-      case Some(owner) => docs.iterator.map(d => (d, owner))
-      case None        => Iterator.empty
+    if (st.exists()) {
+      // a prior owner exists: every doc in the batch is an emission, so
+      // buffering here is the output itself, not overhead
+      val owner = st.get()
+      val docs = rows.map(_._2).toVector
+      st.update(math.min(if (docs.isEmpty) owner else docs.min, owner))
+      docs.iterator.map(d => (d, owner))
+    } else {
+      // first sighting of this signature: nothing is emitted, so fold a
+      // running min over the iterator WITHOUT materializing the batch —
+      // a hot signature (many copies of one text in one micro-batch)
+      // must not pin memory proportional to its batch occupancy
+      var m = Long.MaxValue
+      var any = false
+      while (rows.hasNext) {
+        val d = rows.next()._2
+        any = true
+        if (d < m) m = d
+      }
+      if (any) st.update(m)
+      Iterator.empty
     }
   }
 }
