@@ -63,10 +63,18 @@ object LmQueries {
     docs
       .withColumn("ws", graft.functions.TextOps.words(col("text")))
       .filter(col("ws").isNotNull)
+      // zip each word with its predecessor (null for the doc-initial
+      // token) via zip_with over the array and its shifted self.
+      // NOT transform(sequence(1, size(ws)), i -> element_at(ws, i)):
+      // CollapseProject inlines ws = split(norm(text)) into the lambda
+      // and higher-order lambdas re-evaluate their body per ELEMENT, so
+      // the indexed form re-ran the normalize+split regex once per
+      // token — O(tokens²) per document, measured 13 s of q253's 13.9 s
+      // at sf0.1. As zip_with ARGUMENTS the arrays are evaluated once
+      // per row (and codegen CSE dedupes the repeated subtree).
       .select(col("doc_id"), col("lang"), explode(expr(
-        "transform(sequence(1, size(ws)), i -> struct(" +
-          "element_at(ws, i) as w, " +
-          "CASE WHEN i > 1 THEN element_at(ws, i - 1) END as v))"))
+        "zip_with(ws, concat(array(CAST(NULL AS STRING)), " +
+          "slice(ws, 1, size(ws) - 1)), (x, y) -> struct(x as w, y as v))"))
         .as("tk"))
       .select(col("doc_id"), col("lang"), col("tk.w"), col("tk.v"))
 
@@ -224,10 +232,13 @@ object LmQueries {
     (s, dir) => {
       val feats = t(s, dir, "documents")
         .withColumn("ws", graft.functions.TextOps.words(col("text")))
+        // bigrams as zip_with over the array and its tail — never
+        // element_at inside a lambda, which re-evaluates the inlined
+        // split(norm(text)) per element (see tokensWithContext)
         .withColumn("ngs", expr(
           "concat(ws, CASE WHEN size(ws) >= 2 THEN " +
-            "transform(sequence(2, size(ws)), i -> " +
-            "concat(element_at(ws, i - 1), ' ', element_at(ws, i))) " +
+            "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), " +
+            "(x, y) -> concat(x, ' ', y)) " +
             "ELSE slice(ws, 1, 0) END)"))
         .select(col("doc_id"), col("source"), explode(col("ngs")).as("ng"))
         .select(col("doc_id"), col("source"),
