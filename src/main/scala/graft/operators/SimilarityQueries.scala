@@ -1279,6 +1279,326 @@ object SimilarityQueries {
       ORDER BY abs(proj) DESC, vec_id ASC LIMIT 20
       """))
 
+  /** MMR-diversified retrieval (Carbonell & Goldstein 1998): rerank a
+    * relevance shortlist so consecutive picks are not near-duplicates
+    * of each other — the retrieval-side twin of SemDeDup (a RAG stack
+    * that dedups its corpus still needs diversity at QUERY time).
+    * Candidates = exact top-20 by cosine to the probe (q53's
+    * TakeOrderedAndProject shape); then 5 greedy rounds pick
+    * argmax of λ·rel − (1−λ)·max(sim to already-picked), λ = 0.7,
+    * ties by vec_id.
+    *
+    * Scale shape: the greedy loop is DRIVER-scale by construction —
+    * it runs over the k-row shortlist, never the corpus. The corpus
+    * pass is the one TakeOrderedAndProject producing the shortlist;
+    * the shortlist and its 20×20 pair-sim matrix are localCheckpointed
+    * 400-row frames, and each round collects exactly ONE argmax row
+    * (the q242 BPE-loop discipline). Every cosine is the index-ordered
+    * DotProduct fold, so the oracle's unrolled five rounds agree
+    * bit-for-bit even at tie boundaries. */
+  private val q256 = Q(
+    "q256_mmr_diversification",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+      val cand = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .withColumn("rel", cosine(col("v"), col("pv")))
+        .orderBy(col("rel").desc, col("vec_id").asc).limit(20)
+        .select(col("vec_id"), col("v"), col("rel"))
+        .localCheckpoint()
+      val pairSim = cand.select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(
+          cand.select(col("vec_id").as("sel_id"), col("v").as("sv"))))
+        .filter(col("vec_id") =!= col("sel_id"))
+        .select(col("vec_id"), col("sel_id"),
+          cosine(col("v"), col("sv")).as("ps"))
+        .localCheckpoint()
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+      while (picked.length < 5) {
+        val chosen = picked.map(_._2)
+        val remaining = cand.filter(!col("vec_id").isin(chosen.toSeq: _*))
+        val scored =
+          if (chosen.isEmpty)
+            remaining.select(col("vec_id"), col("rel"),
+              (lit(0.7) * col("rel") - lit(0.3) * lit(0.0)).as("score"))
+          else
+            remaining.join(
+              pairSim.filter(col("sel_id").isin(chosen.toSeq: _*))
+                .groupBy(col("vec_id")).agg(max(col("ps")).as("mx")),
+              Seq("vec_id"))
+              .select(col("vec_id"), col("rel"),
+                (lit(0.7) * col("rel") - lit(0.3) * col("mx")).as("score"))
+        val w = scored.orderBy(col("score").desc, col("vec_id").asc)
+          .limit(1).collect()(0)
+        picked += ((picked.length + 1L, w.getAs[Long]("vec_id"),
+          w.getAs[Double]("rel"), w.getAs[Double]("score")))
+      }
+      import s.implicits._
+      picked.toSeq.toDF("rank", "vec_id", "rel", "score")
+        .select(col("rank"), col("vec_id"),
+          round(col("rel"), 5).as("rel"), round(col("score"), 5).as("score"))
+    },
+    Some {
+      def selRound(k: Int): String = {
+        val prev = (1 until k).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ")
+        if (k == 1)
+          s"""s1 AS (
+            SELECT 1 AS rnk, vec_id, v, rel, 0.7*rel - 0.3*0.0 AS score
+            FROM cand ORDER BY score DESC, vec_id LIMIT 1)"""
+        else
+          s"""p$k AS ($prev),
+          s$k AS (
+            SELECT $k AS rnk, c.vec_id, c.v, c.rel,
+                   0.7*c.rel - 0.3*MAX(
+                     list_dot_product(c.v, p.v) /
+                       (sqrt(list_dot_product(c.v, c.v)) *
+                        sqrt(list_dot_product(p.v, p.v)))) AS score
+            FROM cand c JOIN p$k p ON c.vec_id <> p.vec_id
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM p$k)
+            GROUP BY c.vec_id, c.v, c.rel
+            ORDER BY score DESC, c.vec_id LIMIT 1)"""
+      }
+      val rounds = (1 to 5).map(selRound).mkString(",\n      ")
+      val out = (1 to 5).map(k =>
+        s"SELECT rnk, vec_id, rel, score FROM s$k").mkString(" UNION ALL ")
+      s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+      cand AS (
+        SELECT vec_id, v, $duckCos AS rel
+        FROM e, p WHERE vec_id <> 0
+        ORDER BY rel DESC, vec_id LIMIT 20),
+      $rounds
+      SELECT CAST(rnk AS BIGINT) AS rank, vec_id,
+             round(rel, 5) AS rel, round(score, 5) AS score
+      FROM ($out)
+      """
+    })
+
+  /** IVF nprobe tuning sweep: recall@10 and scanned-candidate count at
+    * nprobe ∈ {1,2,4,8} against the exact scan — the measurement an
+    * IVF deployment runs to pick its recall/cost operating point
+    * (q59 ships the index with nprobe fixed at 2; this is the query
+    * that justifies the 2). Same index as q59: 32 md5-seeded
+    * centroids, nearest-centroid cells, probe cells ranked by
+    * centroid similarity.
+    *
+    * Scale shape: cells outside the max nprobe (rank > 8) are
+    * filtered BEFORE the per-nprobe explode, so the sweep scans
+    * ~8/32 of the corpus once, not the corpus ×4; the per-nprobe
+    * top-10 is a window over that bounded candidate slice (per-np
+    * groups, the q54 grouped-top-k shape), the exact top-10 and the
+    * 32-row cell-rank table are broadcasts. The one corpus-scale
+    * stage is the centroid scoring pass q59 already pays. */
+  private val q257 = Q(
+    "q257_ivf_nprobe_sweep",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .localCheckpoint()
+      val cents = e
+        .orderBy(md5(col("vec_id").cast(StringType).cast(BinaryType)),
+          col("vec_id"))
+        .limit(32)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val slim = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          cosine(col("v"), col("cv")).as("csim"))
+        .localCheckpoint()
+      val assigned = slim.groupBy(col("vec_id"))
+        .agg(max_by(col("cid"),
+          struct(col("csim"), (lit(0L) - col("cid")).as("ncid"))).as("cell"))
+      val cellRank = slim.filter(col("vec_id") === 0)
+        .withColumn("crank", row_number().over(
+          Window.orderBy(col("csim").desc, col("cid").asc)))
+        .filter(col("crank") <= 8)
+        .select(col("cid").as("cell"), col("crank"))
+      val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+      val exactTop = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .withColumn("sim", cosine(col("v"), col("pv")))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), lit(1L).as("hit"))
+      val cand = assigned.join(broadcast(cellRank), "cell")
+        .filter(col("vec_id") =!= 0)
+        .join(e, "vec_id")
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("crank"),
+          cosine(col("v"), col("pv")).as("sim"))
+      val perNp = cand
+        .withColumn("np", explode(typedlit(Seq(1L, 2L, 4L, 8L))))
+        .filter(col("crank") <= col("np"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("np"))
+            .orderBy(col("sim").desc, col("vec_id").asc)))
+        .join(broadcast(exactTop), Seq("vec_id"), "left")
+      perNp.groupBy(col("np"))
+        .agg(asLongCol(count(lit(1))).as("n_candidates"),
+          sum(when(col("rn") <= 10 && col("hit").isNotNull, lit(1L))
+            .otherwise(lit(0L))).as("n_hits"))
+        .withColumn("recall",
+          col("n_hits").cast(DoubleType) / lit(10.0))
+        .orderBy(col("np"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+      scored AS (
+        SELECT e.vec_id, e.v, c.cid,
+               list_dot_product(e.v, c.cv) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(c.cv, c.cv))) AS csim
+        FROM e CROSS JOIN c),
+      assigned AS (
+        SELECT vec_id, v, cid AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY csim DESC, cid) AS rn FROM scored)
+        WHERE rn = 1),
+      crank AS (
+        SELECT cell, crank FROM (
+          SELECT cid AS cell, row_number() OVER
+            (ORDER BY csim DESC, cid) AS crank
+          FROM scored WHERE vec_id = 0)
+        WHERE crank <= 8),
+      p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+      exact AS (
+        SELECT vec_id FROM e, p WHERE vec_id <> 0
+        ORDER BY $duckCos DESC, vec_id LIMIT 10),
+      cand AS (
+        SELECT a.vec_id, k.crank, $duckCos AS sim
+        FROM assigned a JOIN crank k USING (cell), p
+        WHERE a.vec_id <> 0),
+      pernp AS (
+        SELECT n.np, cand.vec_id, cand.crank, cand.sim,
+               row_number() OVER (PARTITION BY n.np
+                 ORDER BY cand.sim DESC, cand.vec_id) AS rn
+        FROM cand CROSS JOIN
+          (SELECT CAST(unnest([1,2,4,8]) AS BIGINT) AS np) n
+        WHERE cand.crank <= n.np)
+      SELECT np, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(CASE WHEN rn <= 10 AND vec_id IN
+               (SELECT vec_id FROM exact) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits,
+             CAST(SUM(CASE WHEN rn <= 10 AND vec_id IN
+               (SELECT vec_id FROM exact) THEN 1 ELSE 0 END) AS DOUBLE)
+               / 10.0 AS recall
+      FROM pernp
+      GROUP BY np ORDER BY np
+    """))
+
+  /** Per-label class-separability telemetry: within-class scatter
+    * (mean squared distance to the class centroid) against the squared
+    * distance to the NEAREST other centroid — the Fisher-style ratio
+    * that says which labels a classifier (or a cluster-balanced
+    * sampler) can actually separate in embedding space. q147 reports
+    * the between-class angles; this adds the within-class spread that
+    * decides whether those angles matter.
+    *
+    * Exactness: within = E||x||² − ||c||² needs only per-label SUMS —
+    * Σ||x||² with the per-row dot rounded to 6 dp into DECIMAL(28,6)
+    * (order-independent), and the q147 per-(label,dim) DECIMAL(18,12)
+    * component sums reassembled into an ordered double vector whose
+    * self/cross dot products are the index-ordered DotProduct fold.
+    * Every division happens once, on the driver-scale 10-row frame,
+    * in the same textual order as the oracle.
+    *
+    * Scale shape: two corpus passes (the ||x||² aggregate and the
+    * component sums), both map-side combined to 10 and 640 rows;
+    * the 10×10 centroid pair grid and the final algebra are
+    * broadcast-scale. */
+  private val q258 = Q(
+    "q258_class_separability",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("label"), asDouble(col("embedding")).as("v"))
+      val ssq = e.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(dot(col("v"), col("v")), 6)
+            .cast(DecimalType(28, 6))).as("ssq"))
+      val cents = e
+        .select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("label"), col("d"))
+        .agg(sum(col("x").cast(DecimalType(18, 12))).as("sx"))
+        .groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("d"), col("sx")))),
+          t => t("sx").cast(DoubleType)).as("sv"))
+      val self = cents.join(ssq, "label")
+        .select(col("label"), col("sv"), col("n"),
+          (col("ssq").cast(DoubleType) / col("n") -
+            dot(col("sv"), col("sv")) /
+              (col("n").cast(DoubleType) * col("n").cast(DoubleType)))
+            .as("within"))
+        .localCheckpoint()
+      val other = self.select(col("label").as("lb"), col("sv").as("vb"),
+        col("n").as("nb"))
+      val nearest = self.crossJoin(broadcast(other))
+        .filter(col("label") =!= col("lb"))
+        .withColumn("d2",
+          dot(col("sv"), col("sv")) /
+            (col("n").cast(DoubleType) * col("n").cast(DoubleType)) +
+            dot(col("vb"), col("vb")) /
+              (col("nb").cast(DoubleType) * col("nb").cast(DoubleType)) -
+            lit(2.0) * dot(col("sv"), col("vb")) /
+              (col("n").cast(DoubleType) * col("nb").cast(DoubleType)))
+        .groupBy(col("label"), col("within"))
+        .agg(min_by(struct(col("lb"), col("d2")),
+          struct(col("d2"), col("lb"))).as("nn"))
+      nearest.select(
+        col("label").cast(LongType).as("label"),
+        round(col("within"), 6).as("within_msd"),
+        col("nn.lb").cast(LongType).as("nearest_label"),
+        round(col("nn.d2"), 6).as("between_d2"),
+        round(round(col("nn.d2"), 6) / round(col("within"), 6), 4)
+          .as("separation"))
+    },
+    Some(s"""
+      WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+      ssq AS (
+        SELECT label, COUNT(*) AS n,
+               SUM(CAST(round(list_dot_product(v, v), 6)
+                 AS DECIMAL(28,6))) AS ssq
+        FROM e GROUP BY 1),
+      sums AS (
+        SELECT label, i AS d,
+               SUM(CAST(v[i+1] AS DECIMAL(18,12))) AS sx
+        FROM e, range(${DIM}) t(i)
+        GROUP BY 1, 2),
+      cents AS (
+        SELECT label, list(CAST(sx AS DOUBLE) ORDER BY d) AS sv
+        FROM sums GROUP BY 1),
+      self AS (
+        SELECT c.label, c.sv, s.n,
+               CAST(s.ssq AS DOUBLE) / s.n -
+                 list_dot_product(c.sv, c.sv) /
+                   (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE)) AS within
+        FROM cents c JOIN ssq s USING (label)),
+      pairs AS (
+        SELECT a.label, a.within, b.label AS lb,
+               list_dot_product(a.sv, a.sv) /
+                 (CAST(a.n AS DOUBLE) * CAST(a.n AS DOUBLE)) +
+                 list_dot_product(b.sv, b.sv) /
+                   (CAST(b.n AS DOUBLE) * CAST(b.n AS DOUBLE)) -
+                 2.0 * list_dot_product(a.sv, b.sv) /
+                   (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) AS d2
+        FROM self a JOIN self b ON a.label <> b.label),
+      nearest AS (
+        SELECT label, within, lb, d2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY label
+            ORDER BY d2, lb) AS rn FROM pairs)
+        WHERE rn = 1)
+      SELECT CAST(label AS BIGINT) AS label,
+             round(within, 6) AS within_msd,
+             CAST(lb AS BIGINT) AS nearest_label,
+             round(d2, 6) AS between_d2,
+             round(round(d2, 6) / round(within, 6), 4) AS separation
+      FROM nearest
+    """))
+
   val registry: Seq[Q] = Seq(q53, q54, q55, q56, q57, q58, q59, q101,
-    q134, q138, q141, q145, q146, q147, q192, q234, q248, q254, q255)
+    q134, q138, q141, q145, q146, q147, q192, q234, q248, q254, q255,
+    q256, q257, q258)
 }
