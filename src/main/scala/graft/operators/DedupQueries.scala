@@ -1923,7 +1923,188 @@ object DedupQueries {
       })
   }
 
+  /** MinHash estimator calibration: over q51's own band-candidate
+    * pairs, compare the SIGNATURE-estimated Jaccard (fraction of the 8
+    * minhash components that agree — E[est] = true Jaccard) against
+    * the exact shingle-set Jaccard, bucketed by exact-Jaccard decile.
+    * This is the table that says whether the deployed 4-band×2-row
+    * scheme is calibrated at its 0.5 threshold — the tuning evidence
+    * behind q51's config, the way q101 is behind the LSH-ANN family.
+    *
+    * Shares [[minhashBandTable]]'s signature expression (the same
+    * native MinHashSig pass) and q51's candidate generation, so the
+    * calibration can never drift from the deployed scheme. All
+    * statistics are integer micro-units (value*10⁶ // denominator) —
+    * no float means anywhere.
+    *
+    * Scale shape: identical to q51 (band-bucket self-join candidates,
+    * never all-pairs) plus one extra 8-component signature equi-join;
+    * the output is 10 rows. */
+  private val q259 = Q(
+    "q259_minhash_calibration",
+    (s, dir) => {
+      val c = corpus(t(s, dir, "documents"))
+        .withColumn("sh",
+          TextOps.shingleSet(TextOps.words(col("text")), 5))
+        .withColumn("ms", graft.plans.MinHashSig.minhashSig(col("sh"), 8))
+        .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"),
+          col("ms"))
+        .localCheckpoint()
+      val bands = minhashBandTable(c.select(col("doc_id"), col("sh")),
+        "doc_id")
+      val cand = bands.alias("a")
+        .join(bands.alias("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val scored = cand
+        .join(c.select(col("doc_id").as("d1"), col("sh").as("sh1"),
+          col("nsh").as("n1"), col("ms").as("ms1")), "d1")
+        .join(c.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+          col("nsh").as("n2"), col("ms").as("ms2")), "d2")
+        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2")))
+          .cast(LongType))
+        .withColumn("uni", col("n1") + col("n2") - col("inter"))
+        .withColumn("m", size(filter(zip_with(col("ms1"), col("ms2"),
+          (a, b) => a === b), x => x)).cast(LongType))
+        .select(
+          expr("(inter * 1000000) div uni").as("jac_u"),
+          expr("(m * 1000000) div 8").as("est_u"),
+          expr("least(9, (inter * 10) div uni)").as("bucket"))
+      scored.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(jac_u) div count(1)").as("mean_jac_u"),
+          expr("sum(est_u) div count(1)").as("mean_est_u"),
+          expr("sum(abs(jac_u - est_u)) div count(1)").as("mean_abs_err_u"))
+        .orderBy(col("bucket"))
+    },
+    Some {
+      val mins = (0 until 8).map(i =>
+        s"list_min([md5('$i|'||s) FOR s IN sh]) AS m$i").mkString(", ")
+      val bandSelects = (0 until 4).map(j =>
+        s"SELECT doc_id, $j AS band_idx, md5(m${2 * j}||m${2 * j + 1}) AS bh FROM mh")
+        .mkString(" UNION ALL ")
+      val matches = (0 until 8).map(i =>
+        s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH $shingleSql,
+      mh AS (SELECT doc_id, sh, len(sh) AS nsh, $mins FROM sh),
+      bands AS ($bandSelects),
+      cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+               FROM bands x JOIN bands y
+               ON x.band_idx = y.band_idx AND x.bh = y.bh
+                  AND x.doc_id < y.doc_id),
+      scored AS (
+        SELECT CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+               CAST(a.nsh + b.nsh
+                 - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni,
+               CAST($matches AS BIGINT) AS m
+        FROM cand
+        JOIN mh a ON a.doc_id = d1
+        JOIN mh b ON b.doc_id = d2),
+      u AS (
+        SELECT (inter * 1000000) // uni AS jac_u,
+               (m * 1000000) // 8 AS est_u,
+               least(9, (inter * 10) // uni) AS bucket
+        FROM scored)
+      SELECT bucket, COUNT(*) AS n_pairs,
+             CAST(SUM(jac_u) // COUNT(*) AS BIGINT) AS mean_jac_u,
+             CAST(SUM(est_u) // COUNT(*) AS BIGINT) AS mean_est_u,
+             CAST(SUM(abs(jac_u - est_u)) // COUNT(*) AS BIGINT)
+               AS mean_abs_err_u
+      FROM u GROUP BY 1 ORDER BY 1
+      """
+    })
+
+  /** Streaming per-source token-quota admission gate (batch-replay
+    * formulation): a document is ADMITTED iff the running token total
+    * of its source — in arrival (doc_id) order, counting every
+    * arriving document — is still within the source's budget. The
+    * ingest-time cousin of q231 (which sorts by quality under a global
+    * budget; an ingest gate cannot sort the future) and the second
+    * streaming member of the pipeline family after q251: the streaming
+    * form (graft.streaming.TokenQuotaProcessor, StreamTokenQuotaSpec)
+    * holds ONE running Long per source and admits per document in
+    * doc_id order within each micro-batch, so batch replay and stream
+    * agree exactly.
+    *
+    * Because every arrival counts toward the running total, the gate
+    * closes monotonically — once the budget line is crossed the
+    * criterion fails for every later document of that source, which is
+    * what makes the admitted set a plain prefix-cumsum predicate
+    * instead of a sequential recurrence.
+    *
+    * Scale shape: the running sum is q231's exact skew shape — NEVER a
+    * per-source partitioned window (20 groups, corpus-scale group
+    * size); ONE [[PrefixPass.cumSumDecimal]] under the source-leading
+    * total order plus a broadcast triangular offset table. */
+  private val q261 = {
+    val Budget = 1000L
+    Q(
+      "q261_stream_token_quota",
+      (s, dir) => {
+        val scored = t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(TextOps.words(col("text"))).cast(LongType).as("n_tok"))
+          .filter(col("n_tok") > 0)
+          .withColumn("tok_dec", col("n_tok").cast(DecimalType(20, 0)))
+        val (withCum, _) = PrefixPass.cumSumDecimal(scored,
+          Seq(col("source").asc, col("doc_id").asc), "tok_dec", "gcum")
+        val totals = scored.groupBy(col("source"))
+          .agg(sum(col("n_tok")).as("src_tot"))
+        val off = totals.alias("a")
+          .join(broadcast(totals.alias("b")),
+            col("b.source") < col("a.source"), "left")
+          .groupBy(col("a.source").as("source"))
+          .agg(coalesce(sum(col("b.src_tot")), lit(0L)).as("off"))
+        withCum.join(broadcast(off), "source")
+          .withColumn("admitted",
+            col("gcum") - col("off") <= lit(Budget))
+          .groupBy(col("source"))
+          .agg(
+            sum(when(col("admitted"), lit(1L)).otherwise(lit(0L)))
+              .as("n_admitted"),
+            sum(when(col("admitted"), lit(0L)).otherwise(lit(1L)))
+              .as("n_rejected"),
+            sum(when(col("admitted"), col("n_tok")).otherwise(lit(0L)))
+              .cast(LongType).as("admitted_tokens"),
+            min(when(!col("admitted"), col("doc_id"))).as("first_rejected"))
+          .withColumn("utilization_u",
+            expr(s"(admitted_tokens * 1000000) div ${Budget}L"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT source, doc_id,
+                 string_split(regexp_replace(trim(lower(text)),
+                   '\\s+',' ','g'),' ') AS w
+          FROM documents),
+        scored AS (
+          SELECT source, doc_id, CAST(len(w) AS BIGINT) AS n_tok
+          FROM toks WHERE len(w) > 0),
+        cum AS (
+          SELECT source, doc_id, n_tok,
+                 SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS c
+          FROM scored)
+        SELECT source,
+               CAST(SUM(CASE WHEN c <= $Budget THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_admitted,
+               CAST(SUM(CASE WHEN c <= $Budget THEN 0 ELSE 1 END)
+                 AS BIGINT) AS n_rejected,
+               CAST(SUM(CASE WHEN c <= $Budget THEN n_tok ELSE 0 END)
+                 AS BIGINT) AS admitted_tokens,
+               MIN(CASE WHEN c > $Budget THEN doc_id END)
+                 AS first_rejected,
+               (CAST(SUM(CASE WHEN c <= $Budget THEN n_tok ELSE 0 END)
+                 AS BIGINT) * 1000000) // $Budget AS utilization_u
+        FROM cum GROUP BY 1 ORDER BY 1
+      """))
+  }
+
   val registry: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52,
     q82, q84, q85, q99, q112, q124, q130, q133, q136, q196, q232, q235,
-    q241, q245, q247, q251)
+    q241, q245, q247, q251, q259, q261)
 }

@@ -340,5 +340,118 @@ object QualityQueries {
       GROUP BY 1
     """))
 
-  val registry: Seq[Q] = Seq(q207, q208, q210, q238)
+  /** Per-source lexical-statistics panel: token/type/hapax counts,
+    * type-token ratio, top-10 word coverage, and a Zipf slope fit —
+    * the corpus-health numbers a data-mixing decision reads next to
+    * q137's KL drift and q246's fertility (a source whose Zipf slope
+    * or hapax share is off-profile is boilerplate-heavy or synthetic,
+    * before any model-based score is spent on it).
+    *
+    * Zipf slope = OLS of ln(freq) on ln(rank) over each source's
+    * top-100 words, with both logs rounded to 6 dp into DECIMAL(18,6)
+    * BEFORE the sums (the q252 ln-ulp discipline — decimal sums are
+    * partition-order independent and engine-exact); the one division
+    * happens on the 20-row frame in identical textual order. Ratios
+    * are integer micro-units.
+    *
+    * Scale shape: one token explode map-side combines into the
+    * (source, word) vocabulary table — VOCABULARY-scale, not corpus
+    * scale; the per-source rank window runs over that table (20
+    * partitions of vocabulary-size rows — the q92 top-k shape, not a
+    * per-document window), and everything after rn ≤ 100 is
+    * driver-scale algebra. */
+  private val q260 = Q(
+    "q260_lexical_stats",
+    (s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(col("source"), explode(TextOps.words(col("text"))).as("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val stats = vocab.groupBy(col("source"))
+        .agg(sum(col("cnt")).as("n_tok"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("cnt") === 1, lit(1L)).otherwise(lit(0L)))
+            .as("hapax"))
+      val ranked = vocab.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("cnt").desc, col("w").asc)))
+        .filter(col("rn") <= 100)
+        .localCheckpoint()
+      val top10 = ranked.filter(col("rn") <= 10)
+        .groupBy(col("source")).agg(sum(col("cnt")).as("top10"))
+      val fit = ranked
+        .select(col("source"),
+          round(log(col("rn").cast(DoubleType)), 6)
+            .cast(DecimalType(18, 6)).as("x"),
+          round(log(col("cnt").cast(DoubleType)), 6)
+            .cast(DecimalType(18, 6)).as("y"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("source"), round(
+          (col("k") * col("sxy").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+            (col("k") * col("sxx").cast(DoubleType) -
+              col("sx").cast(DoubleType) * col("sx").cast(DoubleType)), 4)
+          .as("zipf_slope"))
+      stats.join(top10, "source").join(fit, "source")
+        .select(col("source"), col("n_tok"), col("n_types"), col("hapax"),
+          expr("(n_types * 1000000) div n_tok").as("ttr_u"),
+          expr("(hapax * 1000000) div n_types").as("hapax_u"),
+          expr("(top10 * 1000000) div n_tok").as("top10_cov_u"),
+          col("zipf_slope"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT source, unnest(string_split(
+          regexp_replace(trim(lower(text)),'\s+',' ','g'), ' ')) AS w
+        FROM documents),
+      vocab AS (
+        SELECT source, w, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+      stats AS (
+        SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tok,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS hapax
+        FROM vocab GROUP BY 1),
+      ranked AS (
+        SELECT source, cnt, rn FROM (
+          SELECT source, cnt, row_number() OVER (PARTITION BY source
+            ORDER BY cnt DESC, w) AS rn
+          FROM vocab)
+        WHERE rn <= 100),
+      top10 AS (
+        SELECT source, CAST(SUM(cnt) AS BIGINT) AS top10
+        FROM ranked WHERE rn <= 10 GROUP BY 1),
+      fit AS (
+        SELECT source,
+          round((k * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                (k * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+            AS zipf_slope
+        FROM (
+          SELECT source, COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM (SELECT source,
+                  CAST(round(ln(CAST(rn AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS x,
+                  CAST(round(ln(CAST(cnt AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS y
+                FROM ranked)
+          GROUP BY 1))
+      SELECT source, n_tok, n_types, hapax,
+             (n_types * 1000000) // n_tok AS ttr_u,
+             (hapax * 1000000) // n_types AS hapax_u,
+             (top10 * 1000000) // n_tok AS top10_cov_u,
+             zipf_slope
+      FROM stats JOIN top10 USING (source) JOIN fit USING (source)
+      ORDER BY source
+    """))
+
+  val registry: Seq[Q] = Seq(q207, q208, q210, q238, q260)
 }

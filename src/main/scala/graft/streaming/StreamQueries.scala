@@ -956,3 +956,46 @@ class DedupGateProcessor
     }
   }
 }
+
+/** transformWithState processor for the per-source token-quota
+  * admission gate — q261's streaming form. Key = source; input =
+  * (source, doc_id, n_tok); ValueState holds the source's running
+  * token total across micro-batches. Within a batch the key's rows
+  * are processed in doc_id order (arrival order inside the batch),
+  * every arrival counts toward the total, and a document is admitted
+  * iff the total INCLUDING it is within the budget — the same
+  * prefix-cumsum predicate q261's batch formulation (and oracle)
+  * computes, so stream and batch replay agree exactly. One emission
+  * per document: (doc_id, admitted). State is one Long per source —
+  * it scales with the source count, never the stream length.
+  */
+class TokenQuotaProcessor(budget: Long)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, (String, Long, Long), (Long, Boolean)] {
+
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[Long]("tok_total",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[(String, Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Boolean)] = {
+    // admission is order-sensitive, so the batch's rows for this key
+    // must be buffered and sorted by doc_id — unlike the dedup gate's
+    // first-sighting path, every row here produces an emission, so the
+    // buffer is the output itself, not overhead
+    val docs = rows.map(r => (r._2, r._3)).toArray.sortInPlaceBy(_._1)
+    var cum = if (st.exists()) st.get() else 0L
+    val out = docs.map { case (d, n) => cum += n; (d, cum <= budget) }
+    st.update(cum)
+    out.iterator
+  }
+}
