@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the round-14 wave (q256 MMR, q257 nprobe sweep,
+  * q258 separability, q259 MinHash calibration, q260 lexical stats,
+  * q261 token quota). The oracle loop proves engine parity; these pin
+  * the SEMANTICS: the greedy MMR recurrence against a Scala mirror,
+  * recall monotonicity in nprobe, a brute-force within-class scatter,
+  * the calibration table's bucket arithmetic and its exact tie-out to
+  * q51's threshold, per-source conservation laws, and the quota
+  * gate's budget bound.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  /** Index-ordered left fold — the same accumulation order as the
+    * native DotProduct expression. */
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private def cos(a: Array[Double], b: Array[Double]): Double =
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+  private lazy val vecs: Map[Long, Array[Double]] =
+    graft.Tables.load(graft.Tables.tuned(spark), dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+
+  test("q256 equals a brute-force greedy MMR mirror") {
+    val pv = vecs(0L)
+    val cand = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, cos(v, pv)) }
+      .sortBy { case (id, _, rel) => (-rel, id) }.take(20)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    val expected = (1 to 5).map { k =>
+      val best = cand.filter(c => !picked.exists(_._1 == c._1))
+        .map { case (id, v, rel) =>
+          val mx = if (picked.isEmpty) 0.0
+            else picked.map(p => cos(v, p._2)).max
+          (id, v, rel, 0.7 * rel - 0.3 * mx)
+        }
+        .minBy { case (id, _, _, score) => (-score, id) }
+      picked += ((best._1, best._2))
+      (k.toLong, best._1)
+    }
+    val got = run("q256_mmr_diversification")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == expected.sorted, s"got $got expected $expected")
+  }
+
+  test("q257 recall and candidate count are monotone in nprobe") {
+    val rows = run("q257_ivf_nprobe_sweep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._3 <= b._3
+    }, s"monotonicity violated: ${rows.toSeq}")
+    assert(rows.last._3 >= 1, "nprobe=8 should recover at least one true neighbour")
+  }
+
+  test("q258 within-class scatter matches a brute-force mirror") {
+    val labels = graft.Tables.load(graft.Tables.tuned(spark), dir, "embeddings")
+      .select(col("label").cast("long"), col("vec_id"))
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val got = run("q258_class_separability")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(3)))
+      .toMap
+    for ((lab, (within, between)) <- got) {
+      val members = vecs.filter { case (id, _) => labels(id) == lab }.values.toSeq
+      val n = members.size
+      val cent = (0 until 64).map(d => members.map(_(d)).sum / n).toArray
+      val msd = members.map(v => dot(v, v) - 2 * dot(v, cent) + dot(cent, cent))
+        .sum / n
+      assert(math.abs(within - msd) < 1e-4,
+        s"label $lab within $within vs brute $msd")
+      assert(within > 0 && between > 0)
+    }
+    // nearest-centroid symmetry sanity: every nearest_label is a label
+    val labs = got.keySet
+    run("q258_class_separability").collect()
+      .foreach(r => assert(labs.contains(r.getLong(2))))
+  }
+
+  test("q259 bucket arithmetic is exact and ties out to q51's threshold") {
+    val rows = run("q259_minhash_calibration")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for ((bucket, _, meanJac) <- rows) {
+      assert(bucket >= 0 && bucket <= 9)
+      val hi = if (bucket == 9) 1000000L else (bucket + 1) * 100000L
+      assert(meanJac >= bucket * 100000L && meanJac <= hi,
+        s"bucket $bucket mean_jac_u $meanJac out of range")
+    }
+    // buckets >= 5 are exactly jaccard >= 0.5 — q51's verify threshold
+    val nHigh = rows.filter(_._1 >= 5).map(_._2).sum
+    val q51n = run("q51_minhash_lsh").count()
+    assert(nHigh == q51n,
+      s"calibration high-bucket mass $nHigh != q51 pair count $q51n")
+  }
+
+  test("q260 conserves tokens and reports sane lexicon shapes") {
+    val docs = graft.Tables.load(graft.Tables.tuned(spark), dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(graft.functions.TextOps.words(col("text")))).as("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = run("q260_lexical_stats").collect()
+    assert(rows.length == docs.size)
+    for (r <- rows) {
+      val (src, nTok, nTypes, hapax) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nTok == docs(src), s"$src token conservation")
+      assert(hapax <= nTypes && nTypes <= nTok)
+      assert(r.getLong(4) > 0 && r.getLong(4) <= 1000000L) // ttr_u
+      assert(r.getLong(6) <= 1000000L)                     // top10_cov_u
+      assert(r.getDouble(7) < 0.0, s"$src Zipf slope must be negative")
+    }
+  }
+
+  test("q261 conserves documents and never exceeds the budget") {
+    val perSrc = graft.Tables.load(graft.Tables.tuned(spark), dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = run("q261_stream_token_quota").collect()
+    for (r <- rows) {
+      val src = r.getString(0)
+      val (adm, rej, tok) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(adm + rej == perSrc(src), s"$src doc conservation")
+      assert(tok <= 1000L, s"$src admitted tokens $tok exceed budget")
+      assert(r.getLong(5) == tok * 1000000L / 1000L, s"$src utilization")
+      assert((rej == 0) == r.isNullAt(4), s"$src first_rejected contract")
+    }
+  }
+}
