@@ -1598,7 +1598,245 @@ object SimilarityQueries {
       FROM nearest
     """))
 
+  /** Cluster-quota (diversity-balanced) sampling: apportion a fixed
+    * sample budget across the 256 LSH cells (q55's plane bank — the
+    * deterministic cluster proxy) by largest remainder, then take each
+    * cell's quota in salted-hash order — the "sample every region of
+    * embedding space" primitive behind cluster-balanced training
+    * subsets (and the diversity dual of q144's quality-weighted
+    * sampler, which happily empties a region the weights dislike).
+    *
+    * Exactness: the apportionment is q249's integer largest-remainder
+    * kernel (whole allocations summing EXACTLY to the budget); member
+    * selection is md5-hash order with vec_id ties — reproducible at
+    * any cluster size.
+    *
+    * Scale shape: per-cell selection is the mergeable [[TopK]]
+    * Aggregator (map-side partial top-k, shuffles ≤ 50 rows per
+    * partition per cell), NEVER a per-cell ROW_NUMBER window over the
+    * corpus; the apportionment windows run on the ≤256-row cell-count
+    * frame (dimension-bounded, the q249 whitelisted shape). */
+  private val q262 = {
+    val Budget = 50L
+    Q(
+      "q262_cluster_quota_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val bucket = (0 until 8).map { p =>
+          when(dot(col("v"), planeSpark(p)) > 0.0, lit(1L << p))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+        val b = e.select(col("vec_id"), bucket.as("bucket"))
+          .localCheckpoint()
+        val all = Window.partitionBy()
+        val rk = Window.partitionBy()
+          .orderBy(col("rem").desc, col("bucket").asc)
+        val quota = b.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("tot", sum(col("n")).over(all))
+          .withColumn("fl", expr(s"($Budget * n) div tot"))
+          .withColumn("rem", expr(s"($Budget * n) % tot"))
+          .withColumn("deficit", lit(Budget) - sum(col("fl")).over(all))
+          .withColumn("rk", row_number().over(rk).cast(LongType))
+          .select(col("bucket"), col("n"),
+            (col("fl") + when(col("rk") <= col("deficit"), 1L)
+              .otherwise(0L)).as("q"))
+        val sel = b.select(col("bucket"),
+            (lit(0L) - graft.functions.Exprs.md5Int32(col("vec_id").cast(StringType))).as("nh"),
+            col("vec_id"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .mapValues(r => (r._2, r._3))
+          .agg(new graft.functions.TopK(Budget.toInt).toColumn.name("top"))
+          .toDF("bucket", "top")
+        sel.join(broadcast(quota), "bucket")
+          .select(col("bucket"), col("n").as("n_bucket"),
+            col("q").as("quota"),
+            explode(expr("slice(top, 1, cast(q AS INT))")).as("p"))
+          .select(col("bucket"), col("p").getField("_2").as("vec_id"),
+            col("n_bucket"), col("quota"))
+          .orderBy(col("bucket"), col("vec_id"))
+      },
+      Some {
+        val bits = (0 until 8).map { p =>
+          s"(CASE WHEN list_dot_product(v, ${planeDuck(p)}) > 0.0 " +
+            s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        }.mkString(" + ")
+        s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, $bits AS bucket FROM e),
+        counts AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM b GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts),
+        alloc AS (
+          SELECT bucket, n, (50 * n) // t AS fl, (50 * n) % t AS rem
+          FROM counts, tot),
+        quota AS (
+          SELECT bucket, n,
+                 fl + CASE WHEN row_number() OVER
+                   (ORDER BY rem DESC, bucket) <=
+                   (SELECT 50 - SUM(fl) FROM alloc)
+                 THEN 1 ELSE 0 END AS q
+          FROM alloc),
+        ranked AS (
+          SELECT bucket, vec_id, row_number() OVER (PARTITION BY bucket
+            ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT,
+                     vec_id) AS rn
+          FROM b)
+        SELECT r.bucket, r.vec_id,
+               q.n AS n_bucket, CAST(q.q AS BIGINT) AS quota
+        FROM ranked r JOIN quota q USING (bucket)
+        WHERE rn <= q.q
+        ORDER BY r.bucket, r.vec_id
+        """
+      })
+  }
+
+  /** ANN ranking-quality evaluation: NDCG@10 and reciprocal rank of
+    * the true nearest neighbour for the multiprobe LSH search (q101's
+    * probe-bucket + hamming-1 scheme), per probe over the q54 probe
+    * set. q101's recall@10 counts set overlap; NDCG grades the ORDER
+    * the ANN index returns (a hit at position 1 is worth more than at
+    * position 10) and MRR isolates the top-1 experience — the two
+    * numbers a retrieval deployment actually quotes.
+    *
+    * Exactness: graded gain = 11 − exact_rank; position discounts
+    * ln(p+1) are 6-dp literals computed at query-build time and
+    * shipped to BOTH engines (the planeVals discipline — no libm ln
+    * in either plan), per-position terms round to DECIMAL(18,6)
+    * before the sums, and the single NDCG division happens on the
+    * 5-row frame.
+    *
+    * Scale shape: candidates come from 9 of 256 buckets per probe
+    * (never a full scan per probe); both rankings are grouped top-10
+    * windows over those bounded slices; everything else is broadcast
+    * or 5-row algebra. */
+  private val q263 = {
+    val disc: Seq[Double] = (1 to 10).map(p =>
+      BigDecimal(math.log(p + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    Q(
+      "q263_ann_ranking_quality",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+          .localCheckpoint()
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+        val wE = Window.partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        val exact = e.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("sim", cosine(col("v"), col("pv")))
+          .withColumn("er", row_number().over(wE))
+          .filter(col("er") <= 10)
+          .select(col("probe_id"), col("vec_id"), col("er"))
+          .localCheckpoint()
+        val bucket = (0 until 8).map { p =>
+          when(dot(col("v"), planeSpark(p)) > 0.0, lit(1L << p))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+        val bucketed = e.withColumn("bucket", bucket)
+        val pb = bucketed.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+            array(col("bucket") +:
+              (0 until 8).map(p =>
+                col("bucket").bitwiseXOR(lit(1L << p))): _*)
+              .as("pbuckets"))
+        val cand = bucketed.join(broadcast(pb),
+            array_contains(col("pbuckets"), col("bucket")) &&
+              col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"),
+            cosine(col("v"), col("pv")).as("sim"))
+          .localCheckpoint()
+        val nCand = cand.groupBy(col("probe_id"))
+          .agg(count(lit(1)).as("n_candidates"))
+        val discLit = typedlit(disc)
+        val ann = cand
+          .withColumn("ar", row_number().over(wE))
+          .filter(col("ar") <= 10)
+          .join(exact, Seq("probe_id", "vec_id"), "left")
+          .withColumn("gain",
+            coalesce(lit(11L) - col("er"), lit(0L)).cast(DoubleType))
+          .groupBy(col("probe_id"))
+          .agg(
+            sum(round(col("gain") / element_at(discLit, col("ar")), 6)
+              .cast(DecimalType(18, 6))).as("dcg"),
+            coalesce(max(when(col("er") === 1,
+              expr("1000000 div ar"))), lit(0L)).as("rr_u"))
+        val idcg = exact
+          .withColumn("gain", (lit(11L) - col("er")).cast(DoubleType))
+          .groupBy(col("probe_id"))
+          .agg(sum(round(col("gain") / element_at(discLit, col("er")), 6)
+            .cast(DecimalType(18, 6))).as("idcg"))
+        ann.join(idcg, "probe_id").join(nCand, "probe_id")
+          .select(col("probe_id"), col("n_candidates"),
+            round(col("dcg").cast(DoubleType) /
+              col("idcg").cast(DoubleType), 6).as("ndcg"),
+            col("rr_u"))
+          .orderBy(col("probe_id"))
+      },
+      Some {
+        val bits = (0 until 8).map { p =>
+          s"(CASE WHEN list_dot_product(v, ${planeDuck(p)}) > 0.0 " +
+            s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        }.mkString(" + ")
+        val discSql = disc.map(d => f"$d%.6f").mkString("[", ", ", "]")
+        s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        probes AS (SELECT vec_id AS probe_id, v AS pv FROM e
+                   WHERE vec_id < 5),
+        exact AS (
+          SELECT probe_id, vec_id, er FROM (
+            SELECT probe_id, vec_id, row_number() OVER
+              (PARTITION BY probe_id ORDER BY $duckCos DESC, vec_id) AS er
+            FROM e, probes WHERE vec_id <> probe_id)
+          WHERE er <= 10),
+        b AS (SELECT vec_id, v, $bits AS bucket FROM e),
+        pb AS (SELECT vec_id AS probe_id, v AS pv,
+                      [bucket, ${(0 until 8)
+                        .map(p => s"xor(bucket, ${1L << p})")
+                        .mkString(", ")}] AS pbuckets
+               FROM b WHERE vec_id < 5),
+        cand AS (
+          SELECT probe_id, b.vec_id, $duckCos AS sim
+          FROM b, pb
+          WHERE list_contains(pbuckets, bucket) AND b.vec_id <> probe_id),
+        ncand AS (SELECT probe_id, CAST(COUNT(*) AS BIGINT)
+                    AS n_candidates FROM cand GROUP BY 1),
+        disc AS (SELECT $discSql AS d),
+        ann AS (
+          SELECT c.probe_id,
+                 SUM(CAST(round(CAST(COALESCE(11 - e2.er, 0) AS DOUBLE)
+                   / d[c.ar], 6) AS DECIMAL(18,6))) AS dcg,
+                 COALESCE(MAX(CASE WHEN e2.er = 1
+                   THEN 1000000 // c.ar END), 0) AS rr_u
+          FROM (SELECT probe_id, vec_id, ar FROM (
+                  SELECT probe_id, vec_id, row_number() OVER
+                    (PARTITION BY probe_id
+                     ORDER BY sim DESC, vec_id) AS ar
+                  FROM cand)
+                WHERE ar <= 10) c
+          LEFT JOIN exact e2 USING (probe_id, vec_id), disc
+          GROUP BY 1),
+        idcg AS (
+          SELECT probe_id,
+                 SUM(CAST(round(CAST(11 - er AS DOUBLE) / d[er], 6)
+                   AS DECIMAL(18,6))) AS idcg
+          FROM exact, disc GROUP BY 1)
+        SELECT probe_id, n_candidates,
+               round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg,
+               CAST(rr_u AS BIGINT) AS rr_u
+        FROM ann JOIN idcg USING (probe_id) JOIN ncand USING (probe_id)
+        ORDER BY probe_id
+        """
+      })
+  }
+
   val registry: Seq[Q] = Seq(q53, q54, q55, q56, q57, q58, q59, q101,
     q134, q138, q141, q145, q146, q147, q192, q234, q248, q254, q255,
-    q256, q257, q258)
+    q256, q257, q258, q262, q263)
 }

@@ -1266,7 +1266,101 @@ object TrainingSetQueries {
       GROUP BY 1
     """))
 
+  /** Mixing-temperature sweep: q218's apportionment at τ ∈ {0.25,
+    * 0.5, 0.75, 1.0} in one query — the table a DoReMi-style mixture
+    * decision actually reads (how much does each τ flatten the head
+    * sources and boost the tail) before committing to the single τ
+    * q218 ships. Per (τ, source): the integer weight, the exact
+    * largest-remainder allocation of the same 1M-sample budget, and
+    * the normalized share.
+    *
+    * Engine exactness without libm pow: pow is NOT correctly rounded
+    * (Java vs C can differ an ulp, and floor() amplifies that to an
+    * off-by-one weight), but sqrt IS — so every n^τ here is a sqrt
+    * composition: n^.25 = sqrt(sqrt(n·10²⁴)), n^.5 = sqrt(n·10¹²),
+    * n^.75 = sqrt(n·10⁴)·sqrt(sqrt(n·10⁸)), n¹ = n — each τ with its own
+    * fixed scale, chosen so B·w stays under 2⁶³ at 10¹¹ documents
+    * (normalization is per τ, so the scales cancel).
+    *
+    * Scale shape: ONE group-count of the corpus; the sweep is 4×
+    * |sources| rows of integer algebra with windows PARTITIONED BY τ
+    * over the dimension-bounded source list (the q218 whitelisted
+    * window shape, one extra 4-value key). */
+  private val q264 = {
+    val Budget = 1000000L
+    Q(
+      "q264_temperature_sweep",
+      (s, dir) => {
+        val counts = t(s, dir, "documents")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        val nD = col("n_docs").cast(DoubleType)
+        val sweep = counts
+          .withColumn("tau_u", explode(typedlit(Seq(25L, 50L, 75L, 100L))))
+          .withColumn("w",
+            when(col("tau_u") === 25, floor(sqrt(sqrt(nD * lit(1e24)))))
+              .when(col("tau_u") === 50, floor(sqrt(nD * lit(1e12))))
+              .when(col("tau_u") === 75,
+                floor(sqrt(nD * lit(1e4)) * sqrt(sqrt(nD * lit(1e8)))))
+              .otherwise(col("n_docs"))
+              .cast(LongType))
+        val all = Window.partitionBy(col("tau_u"))
+        val rk = Window.partitionBy(col("tau_u"))
+          .orderBy(col("rem").desc, col("source").asc)
+        sweep
+          .withColumn("tot_w", sum(col("w")).over(all))
+          .withColumn("floor_alloc", expr(s"($Budget * w) div tot_w"))
+          .withColumn("rem", expr(s"($Budget * w) % tot_w"))
+          .withColumn("deficit",
+            lit(Budget) - sum(col("floor_alloc")).over(all))
+          .withColumn("rk", row_number().over(rk).cast(LongType))
+          .select(col("tau_u"), col("source"), col("n_docs"),
+            (col("floor_alloc") +
+              when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+              .as("alloc"),
+            round(col("w").cast(DoubleType) /
+              col("tot_w").cast(DoubleType), 6).as("weight"))
+          .orderBy(col("tau_u"), col("source"))
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1),
+        sweep AS (
+          SELECT tau_u, source, n_docs,
+                 CAST(CASE tau_u
+                   WHEN 25 THEN FLOOR(SQRT(SQRT(
+                     CAST(n_docs AS DOUBLE) * 1e24)))
+                   WHEN 50 THEN FLOOR(SQRT(CAST(n_docs AS DOUBLE) * 1e12))
+                   WHEN 75 THEN FLOOR(SQRT(CAST(n_docs AS DOUBLE) * 1e4)
+                     * SQRT(SQRT(CAST(n_docs AS DOUBLE) * 1e8)))
+                   ELSE n_docs
+                 END AS BIGINT) AS w
+          FROM c, (SELECT CAST(unnest([25, 50, 75, 100]) AS BIGINT)
+                     AS tau_u) t),
+        g AS (
+          SELECT tau_u, source, n_docs, w,
+                 SUM(w) OVER (PARTITION BY tau_u) AS tot_w,
+                 ($Budget * w) // SUM(w) OVER (PARTITION BY tau_u)
+                   AS floor_alloc,
+                 ($Budget * w) % SUM(w) OVER (PARTITION BY tau_u) AS rem
+          FROM sweep),
+        r AS (
+          SELECT *,
+                 $Budget - SUM(floor_alloc) OVER (PARTITION BY tau_u)
+                   AS deficit,
+                 ROW_NUMBER() OVER (PARTITION BY tau_u
+                   ORDER BY rem DESC, source ASC) AS rk
+          FROM g)
+        SELECT tau_u, source, n_docs,
+               CAST(floor_alloc + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc,
+               round(CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE), 6) AS weight
+        FROM r
+        ORDER BY tau_u, source
+      """))
+  }
+
   val registry: Seq[Q] =
     Seq(q218, q219, q220, q221, q222, q223, q224, q225, q226, q227,
-      q230, q231, q233, q236, q237, q239, q240)
+      q230, q231, q233, q236, q237, q239, q240, q264)
 }
