@@ -2104,7 +2104,98 @@ object DedupQueries {
       """))
   }
 
+  /** Cross-source similarity audit: which SOURCES share content —
+    * the provenance question behind mixture weighting (two "distinct"
+    * sources that are partial mirrors double-count their shared mass
+    * in every per-source budget q218/q249/q264 hand out). Runs the
+    * deployed MinHash banding over the RAW documents table (no
+    * synthetic plants — this audits the actual corpus), keeps only
+    * cross-source candidate pairs, verifies with exact Jaccard, and
+    * rolls up to unordered source pairs: pair count, max Jaccard, and
+    * mean Jaccard in integer micro-units.
+    *
+    * Scale shape: q51's band-bucket candidate generation (never
+    * all-pairs, and source×source output is dimension-bounded at
+    * |sources|²); the same-source majority of candidates is filtered
+    * before the shingle-set verify join. */
+  private val q266 = Q(
+    "q266_cross_source_audit",
+    (s, dir) => {
+      val c = t(s, dir, "documents")
+        .withColumn("sh",
+          TextOps.shingleSet(TextOps.words(col("text")), 5))
+        .select(col("doc_id"), col("source"), col("sh"),
+          size(col("sh")).as("nsh"))
+        .localCheckpoint()
+      val bands = minhashBandTable(c.select(col("doc_id"), col("sh")),
+        "doc_id")
+      val cand = bands.alias("a")
+        .join(bands.alias("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      cand
+        .join(c.select(col("doc_id").as("d1"), col("source").as("s1"),
+          col("sh").as("sh1"), col("nsh").as("n1")), "d1")
+        .join(c.select(col("doc_id").as("d2"), col("source").as("s2"),
+          col("sh").as("sh2"), col("nsh").as("n2")), "d2")
+        .filter(col("s1") =!= col("s2"))
+        .withColumn("inter",
+          size(array_intersect(col("sh1"), col("sh2"))).cast(LongType))
+        .withColumn("uni", col("n1") + col("n2") - col("inter"))
+        .select(least(col("s1"), col("s2")).as("src_a"),
+          greatest(col("s1"), col("s2")).as("src_b"),
+          expr("(inter * 1000000) div uni").as("jac_u"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          max(col("jac_u")).as("max_jac_u"),
+          expr("sum(jac_u) div count(1)").as("mean_jac_u"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some {
+      val mins = (0 until 8).map(i =>
+        s"list_min([md5('$i|'||s) FOR s IN sh]) AS m$i").mkString(", ")
+      val bandSelects = (0 until 4).map(j =>
+        s"SELECT doc_id, $j AS band_idx, md5(m${2 * j}||m${2 * j + 1}) AS bh FROM mh")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH tok AS (
+        SELECT doc_id, source,
+               string_split(regexp_replace(trim(lower(text)),
+                 '\\s+',' ','g'),' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, source,
+               list_distinct([array_to_string(w[i+1:i+5],' ')
+                 FOR i IN range(len(w)-4)]) AS sh
+        FROM tok),
+      mh AS (SELECT doc_id, sh, $mins FROM sh),
+      bands AS ($bandSelects),
+      cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+               FROM bands x JOIN bands y
+               ON x.band_idx = y.band_idx AND x.bh = y.bh
+                  AND x.doc_id < y.doc_id),
+      scored AS (
+        SELECT least(a.source, b.source) AS src_a,
+               greatest(a.source, b.source) AS src_b,
+               (CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000000)
+                 // CAST(len(a.sh) + len(b.sh)
+                   - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS jac_u
+        FROM cand
+        JOIN sh a ON a.doc_id = d1
+        JOIN sh b ON b.doc_id = d2
+        WHERE a.source <> b.source)
+      SELECT src_a, src_b, COUNT(*) AS n_pairs,
+             CAST(MAX(jac_u) AS BIGINT) AS max_jac_u,
+             CAST(SUM(jac_u) // COUNT(*) AS BIGINT) AS mean_jac_u
+      FROM scored GROUP BY 1, 2
+      ORDER BY 1, 2
+      """
+    })
+
   val registry: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52,
     q82, q84, q85, q99, q112, q124, q130, q133, q136, q196, q232, q235,
-    q241, q245, q247, q251, q259, q261)
+    q241, q245, q247, q251, q259, q261, q266)
 }

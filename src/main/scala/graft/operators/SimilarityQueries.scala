@@ -1836,7 +1836,114 @@ object SimilarityQueries {
       })
   }
 
+  /** Incremental IVF index maintenance — the ANN twin of q133's
+    * incremental shard dedup: a 10% hash-split "new shard" arrives and
+    * is assigned to the FROZEN centroids the history built (a
+    * production IVF never re-clusters per shard — it appends to cells
+    * and watches for drift). Per cell: history size, new-member count,
+    * growth in micro-units, and the mean assignment similarity of the
+    * new members — a cell whose growth is far above its share, or
+    * whose new members sit far from the centroid, is the retrain
+    * signal.
+    *
+    * Scale shape: q59's index build on the history side (one
+    * broadcast-centroid scoring pass + the max_by assignment
+    * aggregate), the same ONE pass over the delta, two ≤32-row
+    * aggregates and a broadcast join — nothing pairwise anywhere.
+    * Mean similarities round per-row to DECIMAL(18,6) before the sum
+    * (order-independent). */
+  private val q265 = Q(
+    "q265_ivf_shard_maintenance",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("is_new",
+          graft.functions.Exprs.md5Int32(col("vec_id").cast(StringType))
+            % 10 === 0)
+        .localCheckpoint()
+      val hist = e.filter(!col("is_new"))
+      val delta = e.filter(col("is_new"))
+      val cents = hist
+        .orderBy(md5(col("vec_id").cast(StringType).cast(BinaryType)),
+          col("vec_id"))
+        .limit(32)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      def assign(df: DataFrame): DataFrame =
+        df.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"),
+            cosine(col("v"), col("cv")).as("csim"))
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("csim"),
+            (lit(0L) - col("cid")).as("ncid"))).as("best"))
+          .select(col("vec_id"),
+            (lit(0L) - col("best.ncid")).as("cell"),
+            col("best.csim").as("csim"))
+      val before = assign(hist).groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_before"))
+      val arrived = assign(delta).groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_new"),
+          round(sum(round(col("csim"), 6).cast(DecimalType(18, 6)))
+            .cast(DoubleType) / count(lit(1)), 6).as("mean_new_csim"))
+      before.join(arrived, Seq("cell"), "left")
+        .select(col("cell"), col("n_before"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          expr("(coalesce(n_new, 0L) * 1000000) div n_before")
+            .as("growth_u"),
+          col("mean_new_csim"))
+        .orderBy(col("cell"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT
+                 % 10 = 0 AS is_new
+        FROM embeddings),
+      hist AS (SELECT vec_id, v FROM e WHERE NOT is_new),
+      delta AS (SELECT vec_id, v FROM e WHERE is_new),
+      c AS (SELECT vec_id AS cid, v AS cv FROM hist
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+      ah AS (
+        SELECT vec_id, cid AS cell, csim FROM (
+          SELECT h.vec_id, c.cid,
+                 list_dot_product(h.v, c.cv) /
+                   (sqrt(list_dot_product(h.v, h.v)) *
+                    sqrt(list_dot_product(c.cv, c.cv))) AS csim,
+                 row_number() OVER (PARTITION BY h.vec_id
+                   ORDER BY list_dot_product(h.v, c.cv) /
+                     (sqrt(list_dot_product(h.v, h.v)) *
+                      sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid)
+                   AS rn
+          FROM hist h CROSS JOIN c)
+        WHERE rn = 1),
+      ad AS (
+        SELECT vec_id, cid AS cell, csim FROM (
+          SELECT d.vec_id, c.cid,
+                 list_dot_product(d.v, c.cv) /
+                   (sqrt(list_dot_product(d.v, d.v)) *
+                    sqrt(list_dot_product(c.cv, c.cv))) AS csim,
+                 row_number() OVER (PARTITION BY d.vec_id
+                   ORDER BY list_dot_product(d.v, c.cv) /
+                     (sqrt(list_dot_product(d.v, d.v)) *
+                      sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid)
+                   AS rn
+          FROM delta d CROSS JOIN c)
+        WHERE rn = 1),
+      before AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_before
+                 FROM ah GROUP BY 1),
+      arrived AS (
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_new,
+               round(CAST(SUM(CAST(round(csim, 6) AS DECIMAL(18,6)))
+                 AS DOUBLE) / COUNT(*), 6) AS mean_new_csim
+        FROM ad GROUP BY 1)
+      SELECT b.cell, b.n_before,
+             COALESCE(a.n_new, 0) AS n_new,
+             (COALESCE(a.n_new, 0) * 1000000) // b.n_before AS growth_u,
+             a.mean_new_csim
+      FROM before b LEFT JOIN arrived a USING (cell)
+      ORDER BY b.cell
+    """))
+
   val registry: Seq[Q] = Seq(q53, q54, q55, q56, q57, q58, q59, q101,
     q134, q138, q141, q145, q146, q147, q192, q234, q248, q254, q255,
-    q256, q257, q258, q262, q263)
+    q256, q257, q258, q262, q263, q265)
 }

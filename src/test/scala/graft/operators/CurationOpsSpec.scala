@@ -133,6 +133,79 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q262 spends the sample budget exactly, within each cell's quota") {
+    val rows = run("q262_cluster_quota_sample").collect()
+    assert(rows.length == 50, "budget must be spent exactly")
+    assert(rows.map(_.getLong(1)).distinct.length == 50, "distinct members")
+    val perBucket = rows.groupBy(_.getLong(0))
+    for ((b, rs) <- perBucket) {
+      val quota = rs.map(_.getLong(3)).distinct
+      assert(quota.length == 1 && rs.length == quota.head,
+        s"bucket $b selected ${rs.length} != quota $quota")
+      assert(rs.head.getLong(2) >= rs.length, s"bucket $b over-sampled")
+    }
+  }
+
+  test("q263 ranking-quality numbers are bounded and consistent") {
+    val rows = run("q263_ann_ranking_quality").collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      val (nc, ndcg, rr) = (r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(nc >= 10, "multiprobe candidates should cover a top-10")
+      // a single probe CAN score 0 at tiny SF (none of its 9 buckets
+      // holds an exact-top-10 member) — bound, don't require signal
+      // per probe
+      assert(ndcg >= 0.0 && ndcg <= 1.0, s"ndcg $ndcg out of range")
+      assert(rr == 0L || (rr >= 100000L && rr <= 1000000L),
+        s"rr_u $rr is not a reciprocal of a 1..10 position")
+    }
+    assert(rows.exists(_.getDouble(2) > 0.0),
+      "the index should rank SOMETHING correctly across 5 probes")
+  }
+
+  test("q264 conserves each tau's budget and orders head-source weight by tau") {
+    val rows = run("q264_temperature_sweep").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val taus = rows.map(_._1).distinct.sorted
+    assert(taus.toSeq == Seq(25L, 50L, 75L, 100L))
+    for (tau <- taus)
+      assert(rows.filter(_._1 == tau).map(_._4).sum == 1000000L,
+        s"tau $tau allocation must sum to the budget")
+    // τ→1 concentrates weight on the biggest source, flattens the rest
+    val biggest = rows.filter(_._1 == 25).maxBy(r => (r._3, r._2))._2
+    val wByTau = taus.map(t =>
+      rows.find(r => r._1 == t && r._2 == biggest).get._5)
+    assert(wByTau.sliding(2).forall(w => w(1) >= w(0) - 1e-9),
+      s"head-source weight should be non-decreasing in tau: $wByTau")
+  }
+
+  test("q265 conserves the corpus across history and shard") {
+    val rows = run("q265_ivf_shard_maintenance").collect()
+    val total = graft.Tables.load(graft.Tables.tuned(spark), dir, "embeddings")
+      .count()
+    assert(rows.map(_.getLong(1)).sum + rows.map(_.getLong(2)).sum == total,
+      "every vector must be assigned exactly once")
+    for (r <- rows) {
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1),
+        s"cell ${r.getLong(0)} growth accounting")
+      assert((r.getLong(2) == 0L) == r.isNullAt(4),
+        s"cell ${r.getLong(0)} mean_new_csim contract")
+    }
+  }
+
+  test("q266 reports only cross-source pairs with sane aggregates") {
+    val rows = run("q266_cross_source_audit").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getString(0) < r.getString(1), "unordered pair canonical form")
+      assert(r.getLong(2) >= 1)
+      assert(r.getLong(4) <= r.getLong(3),
+        "mean jaccard cannot exceed max jaccard")
+      assert(r.getLong(3) <= 1000000L)
+    }
+  }
+
   test("q261 conserves documents and never exceeds the budget") {
     val perSrc = graft.Tables.load(graft.Tables.tuned(spark), dir, "documents")
       .groupBy(col("source")).agg(count(lit(1)).as("n"))
