@@ -376,5 +376,83 @@ object SketchQueries {
       """))
   }
 
-  val registry: Seq[Q] = Seq(q190, q191, q195, q228)
+  /** Mergeable quantile sketch — the missing member of the sketch
+    * family (HLL q190, bloom q195, count-min q123, KMV q228 cover
+    * cardinality/membership/frequency; this covers QUANTILES): a
+    * deterministic bottom-K-by-salted-hash uniform sample (the KMV
+    * idea pointed at values) kept by the mergeable [[TopK]]
+    * Aggregator, quantiles read as order statistics of the sample
+    * next to the exact interpolated percentiles they approximate.
+    * Bounded state (K rows per partition shuffled, one K-array
+    * merged) where the exact percentile needs a full sort — the
+    * 100 TB trade this table quantifies.
+    *
+    * Everything is deterministic and oracle-expressible: the sample
+    * is "the K rows with the smallest md5(orderkey|linenumber)", so
+    * DuckDB reproduces the exact same sample, order statistics, and
+    * errors — no probabilistic bound needs trusting. */
+  private val q267 = {
+    val K = 256
+    Q(
+      "q267_sample_quantile_sketch",
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "lineitem")
+          .select(
+            (lit(0L) - md5Int32(concat(
+              col("l_orderkey").cast(StringType), lit("|"),
+              col("l_linenumber").cast(StringType)))).as("nh"),
+            (dec2(col("l_extendedprice")) * 100).cast(LongType).as("cents"))
+        val sample = base.as[(Long, Long)]
+          .groupByKey(_ => 0)
+          .mapValues(identity)
+          .agg(new graft.functions.TopK(K).toColumn.name("top"))
+          .toDF("g", "top")
+          .select(array_sort(expr("transform(top, p -> p._2)")).as("sv"))
+        val exact = base.agg(percentile(col("cents"),
+          typedlit(Seq(0.25, 0.5, 0.75, 0.9))).as("ex"))
+        sample.crossJoin(broadcast(exact))
+          .select(posexplode(typedlit(Seq(0.25, 0.5, 0.75, 0.9)))
+            .as(Seq("i", "p")), col("sv"), col("ex"))
+          .select(
+            (col("p") * 100).cast(LongType).as("p_pct"),
+            round(element_at(col("ex"), col("i") + 1) / lit(100.0), 4)
+              .as("exact_price"),
+            round(element_at(col("sv"),
+              greatest(lit(1), least(lit(K),
+                ceil(col("p") * size(col("sv"))).cast(IntegerType))))
+              / lit(100.0), 2).as("sample_price"))
+          .withColumn("abs_err",
+            round(abs(col("exact_price") - col("sample_price")), 4))
+          .orderBy(col("p_pct"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT ('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)||'|'
+                   ||CAST(l_linenumber AS VARCHAR)),1,8))::BIGINT AS h,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT) AS cents
+          FROM lineitem),
+        samp AS (
+          SELECT list(cents ORDER BY cents) AS sv
+          FROM (SELECT cents FROM base ORDER BY h, cents LIMIT $K)),
+        ex AS (SELECT quantile_cont(cents, [0.25, 0.5, 0.75, 0.9]) AS ex
+               FROM base),
+        ps AS (SELECT * FROM (VALUES (1, 0.25), (2, 0.5), (3, 0.75),
+                 (4, 0.9)) t(i, p))
+        SELECT CAST(p * 100 AS BIGINT) AS p_pct,
+               round(ex[i] / 100.0, 4) AS exact_price,
+               round(sv[greatest(1, least($K,
+                 CAST(ceil(p * len(sv)) AS INT)))] / 100.0, 2)
+                 AS sample_price,
+               round(abs(round(ex[i] / 100.0, 4)
+                 - round(sv[greatest(1, least($K,
+                     CAST(ceil(p * len(sv)) AS INT)))] / 100.0, 2)), 4)
+                 AS abs_err
+        FROM ps, samp, ex
+        ORDER BY p_pct
+      """))
+  }
+
+  val registry: Seq[Q] = Seq(q190, q191, q195, q228, q267)
 }

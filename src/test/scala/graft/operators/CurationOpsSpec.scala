@@ -206,6 +206,27 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q267 sample quantiles track the exact percentiles") {
+    val rows = run("q267_sample_quantile_sketch").collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(25L, 50L, 75L, 90L))
+    val prices = graft.Tables.load(graft.Tables.tuned(spark), dir, "lineitem")
+      .agg(min(col("l_extendedprice")), max(col("l_extendedprice")))
+      .collect().head
+    for (r <- rows) {
+      val (exact, est, err) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(est >= prices.getDouble(0) - 0.01 &&
+        est <= prices.getDouble(1) + 0.01,
+        "sample quantile must be an observed value")
+      assert(err == BigDecimal(math.abs(exact - est))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // 256-point uniform sample: generous 25% relative-error envelope
+      assert(err / exact <= 0.25, s"p${r.getLong(0)} err $err vs $exact")
+    }
+    // sample quantiles are monotone in p (order statistics of one array)
+    val ests = rows.sortBy(_.getLong(0)).map(_.getDouble(2))
+    assert(ests.sliding(2).forall(w => w(1) >= w(0)))
+  }
+
   test("q261 conserves documents and never exceeds the budget") {
     val perSrc = graft.Tables.load(graft.Tables.tuned(spark), dir, "documents")
       .groupBy(col("source")).agg(count(lit(1)).as("n"))
