@@ -34,9 +34,17 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "q218_temperature_mixing", // |sources| rows (~20; a production
     // source registry is thousands at most — dimension-bounded, the
     // corpus-scale work is the one group-count feeding it)
-    "q249_fertility_reweighting" // same |sources| bound as q218: the
+    "q249_fertility_reweighting", // same |sources| bound as q218: the
     // corpus-scale work is the q243 token pass + one group-count;
     // everything windowed is per-source algebra
+    "q257_ivf_nprobe_sweep", // the ranked frame is the PROBE's 32
+    // centroid-similarity rows (one per centroid, a fixed index
+    // parameter) — the corpus-scale work is the broadcast-centroid
+    // scoring pass, which is never windowed
+    "q262_cluster_quota_sample" // apportionment windows run on the
+    // ≤256-row cell-count aggregate (2^8 LSH cells, an algorithm
+    // constant); per-cell member selection is the mergeable TopK
+    // aggregate, not a window
   )
 
   Queries.registry.filterNot(q => slow(q.name)).foreach { q =>
