@@ -1937,47 +1937,71 @@ object DedupQueries {
     * statistics are integer micro-units (value*10⁶ // denominator) —
     * no float means anywhere.
     *
-    * Scale shape: identical to q51 (band-bucket self-join candidates,
-    * never all-pairs) plus one extra 8-component signature equi-join;
-    * the output is 10 rows. */
-  private val q259 = Q(
-    "q259_minhash_calibration",
-    (s, dir) => {
-      val c = corpus(t(s, dir, "documents"))
-        .withColumn("sh",
-          TextOps.shingleSet(TextOps.words(col("text")), 5))
+    * Scale shape: the q241/q266 content-group reshape — on a
+    * replicated corpus EVERY band candidate is a genuine dup (27M doc
+    * pairs at the ×100 fixture, 133.8s as a doc-pairwise join), but
+    * jac and est depend only on the CONTENT pair, so the kernel
+    * verifies each group pair once and carries the doc-pair count as
+    * an integer weight (n1·n2 across groups, nd·(nd−1)/2 within a
+    * multi-doc group at Jaccard = estimate = 1). The census is EXACT —
+    * no sampling — at replication-invariant cost, and the ORACLE
+    * deliberately stays the naive doc-pairwise formulation: two
+    * independent derivations must hash-match. */
+  private[graft] def calibrationPairs(docs: DataFrame): DataFrame = {
+      val c = corpus(docs)
+        .withColumn("nt", TextOps.norm(col("text")))
+        .filter(col("nt").isNotNull)
+        .select(md5(col("nt")).as("g"), col("nt"))
+      val grp = c.groupBy(col("g"))
+        .agg(count(lit(1)).as("nd"), min(col("nt")).as("nt"))
+        .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
+        .withColumn("nsh", size(col("sh")).cast(LongType))
         .withColumn("ms", graft.plans.MinHashSig.minhashSig(col("sh"), 8))
-        .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"),
-          col("ms"))
+        .drop("nt")
         .localCheckpoint()
-      val bands = minhashBandTable(c.select(col("doc_id"), col("sh")),
-        "doc_id")
+      val bands = minhashBandTable(grp.select(col("g"), col("sh")), "g")
       val cand = bands.alias("a")
         .join(bands.alias("b"),
           col("a.band_idx") === col("b.band_idx") &&
-            col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+            col("a.bh") === col("b.bh") && col("a.g") < col("b.g"))
+        .select(col("a.g").as("g1"), col("b.g").as("g2"))
         .distinct()
-      val scored = cand
-        .join(c.select(col("doc_id").as("d1"), col("sh").as("sh1"),
-          col("nsh").as("n1"), col("ms").as("ms1")), "d1")
-        .join(c.select(col("doc_id").as("d2"), col("sh").as("sh2"),
-          col("nsh").as("n2"), col("ms").as("ms2")), "d2")
+      val cross = cand
+        .join(grp.select(col("g").as("g1"), col("sh").as("sh1"),
+          col("nsh").as("m1"), col("ms").as("ms1"),
+          col("nd").as("nd1")), "g1")
+        .join(grp.select(col("g").as("g2"), col("sh").as("sh2"),
+          col("nsh").as("m2"), col("ms").as("ms2"),
+          col("nd").as("nd2")), "g2")
         .withColumn("inter", size(array_intersect(col("sh1"), col("sh2")))
           .cast(LongType))
-        .withColumn("uni", col("n1") + col("n2") - col("inter"))
+        .withColumn("uni", col("m1") + col("m2") - col("inter"))
         .withColumn("m", size(filter(zip_with(col("ms1"), col("ms2"),
           (a, b) => a === b), x => x)).cast(LongType))
         .select(
           expr("(inter * 1000000) div uni").as("jac_u"),
           expr("(m * 1000000) div 8").as("est_u"),
-          expr("least(9, (inter * 10) div uni)").as("bucket"))
+          expr("least(9, (inter * 10) div uni)").as("bucket"),
+          (col("nd1") * col("nd2")).as("n"))
+      // within a multi-doc content group every pair has identical
+      // shingle sets AND identical signatures: jac = est = 1 exactly;
+      // nsh = 0 groups are excluded as the pairwise form's 0/0 is
+      val intra = grp.filter(col("nd") > 1 && col("nsh") > 0)
+        .select(lit(1000000L).as("jac_u"), lit(1000000L).as("est_u"),
+          lit(9L).as("bucket"), expr("nd * (nd - 1) div 2").as("n"))
+      cross.unionByName(intra)
+  }
+
+  private val q259 = Q(
+    "q259_minhash_calibration",
+    (s, dir) => {
+      val scored = calibrationPairs(t(s, dir, "documents"))
       scored.groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_pairs"),
-          expr("sum(jac_u) div count(1)").as("mean_jac_u"),
-          expr("sum(est_u) div count(1)").as("mean_est_u"),
-          expr("sum(abs(jac_u - est_u)) div count(1)").as("mean_abs_err_u"))
+        .agg(sum(col("n")).cast(LongType).as("n_pairs"),
+          expr("sum(jac_u * n) div sum(n)").as("mean_jac_u"),
+          expr("sum(est_u * n) div sum(n)").as("mean_est_u"),
+          expr("sum(abs(jac_u - est_u) * n) div sum(n)")
+            .as("mean_abs_err_u"))
         .orderBy(col("bucket"))
     },
     Some {
@@ -2114,44 +2138,74 @@ object DedupQueries {
     * rolls up to unordered source pairs: pair count, max Jaccard, and
     * mean Jaccard in integer micro-units.
     *
-    * Scale shape: q51's band-bucket candidate generation (never
-    * all-pairs, and source×source output is dimension-bounded at
-    * |sources|²); the same-source majority of candidates is filtered
-    * before the shingle-set verify join. */
+    * Scale shape: the q241 content-group reshape — banding, candidate
+    * generation and the shingle verify all run at CONTENT-GROUP grain
+    * (md5 of normalized text, which fully determines the shingle set),
+    * so the cost is replication-invariant (44.0 → group-scale at ×100)
+    * while the OUTPUT is the exact doc-pair census: a cross-group
+    * candidate (g1,g2) contributes cnt(g1,s_a)·cnt(g2,s_b) doc pairs
+    * per source pair, and a multi-source group contributes its
+    * within-group cross-source products at Jaccard 1.0. The ORACLE
+    * deliberately stays the naive doc-pairwise formulation — two
+    * independent derivations of the same census must hash-match. */
   private val q266 = Q(
     "q266_cross_source_audit",
     (s, dir) => {
       val c = t(s, dir, "documents")
-        .withColumn("sh",
-          TextOps.shingleSet(TextOps.words(col("text")), 5))
-        .select(col("doc_id"), col("source"), col("sh"),
-          size(col("sh")).as("nsh"))
+        .withColumn("nt", TextOps.norm(col("text")))
+        .filter(col("nt").isNotNull)
+        .select(col("source"), md5(col("nt")).as("g"), col("nt"))
         .localCheckpoint()
-      val bands = minhashBandTable(c.select(col("doc_id"), col("sh")),
-        "doc_id")
+      val grp = c.groupBy(col("g"))
+        .agg(min(col("nt")).as("nt"))
+        .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
+        .withColumn("nsh", size(col("sh")).cast(LongType))
+        .drop("nt")
+        .localCheckpoint()
+      val bySrc = c.groupBy(col("g"), col("source"))
+        .agg(count(lit(1)).as("cnt"))
+      val bands = minhashBandTable(grp.select(col("g"), col("sh")), "g")
       val cand = bands.alias("a")
         .join(bands.alias("b"),
           col("a.band_idx") === col("b.band_idx") &&
-            col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+            col("a.bh") === col("b.bh") && col("a.g") < col("b.g"))
+        .select(col("a.g").as("g1"), col("b.g").as("g2"))
         .distinct()
-      cand
-        .join(c.select(col("doc_id").as("d1"), col("source").as("s1"),
-          col("sh").as("sh1"), col("nsh").as("n1")), "d1")
-        .join(c.select(col("doc_id").as("d2"), col("source").as("s2"),
-          col("sh").as("sh2"), col("nsh").as("n2")), "d2")
-        .filter(col("s1") =!= col("s2"))
+      val crossG = cand
+        .join(grp.select(col("g").as("g1"), col("sh").as("sh1"),
+          col("nsh").as("m1")), "g1")
+        .join(grp.select(col("g").as("g2"), col("sh").as("sh2"),
+          col("nsh").as("m2")), "g2")
         .withColumn("inter",
           size(array_intersect(col("sh1"), col("sh2"))).cast(LongType))
-        .withColumn("uni", col("n1") + col("n2") - col("inter"))
+        .withColumn("uni", col("m1") + col("m2") - col("inter"))
+        .select(col("g1"), col("g2"),
+          expr("(inter * 1000000) div uni").as("jac_u"))
+        .join(bySrc.select(col("g").as("g1"), col("source").as("s1"),
+          col("cnt").as("c1")), "g1")
+        .join(bySrc.select(col("g").as("g2"), col("source").as("s2"),
+          col("cnt").as("c2")), "g2")
+        .filter(col("s1") =!= col("s2"))
         .select(least(col("s1"), col("s2")).as("src_a"),
           greatest(col("s1"), col("s2")).as("src_b"),
-          expr("(inter * 1000000) div uni").as("jac_u"))
+          col("jac_u"), (col("c1") * col("c2")).as("n"))
+      // a multi-source content group: every cross-source doc pair
+      // inside it is an exact dup (identical shingle sets, jac 1.0);
+      // nsh = 0 groups are excluded exactly as the pairwise form
+      // excludes 0/0-Jaccard pairs
+      val intraG = bySrc.join(grp.filter(col("nsh") > 0)
+          .select(col("g")), "g")
+        .alias("x")
+        .join(bySrc.alias("y"),
+          col("x.g") === col("y.g") && col("x.source") < col("y.source"))
+        .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+          lit(1000000L).as("jac_u"),
+          (col("x.cnt") * col("y.cnt")).as("n"))
+      crossG.unionByName(intraG)
         .groupBy(col("src_a"), col("src_b"))
-        .agg(count(lit(1)).as("n_pairs"),
+        .agg(sum(col("n")).cast(LongType).as("n_pairs"),
           max(col("jac_u")).as("max_jac_u"),
-          expr("sum(jac_u) div count(1)").as("mean_jac_u"))
+          expr("sum(jac_u * n) div sum(n)").as("mean_jac_u"))
         .orderBy(col("src_a"), col("src_b"))
     },
     Some {

@@ -108,7 +108,9 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(meanJac >= bucket * 100000L && meanJac <= hi,
         s"bucket $bucket mean_jac_u $meanJac out of range")
     }
-    // buckets >= 5 are exactly jaccard >= 0.5 — q51's verify threshold
+    // buckets >= 5 are exactly jaccard >= 0.5 — q51's verify
+    // threshold; the group-grain census is exact, so its high-bucket
+    // doc-pair mass must equal q51's pair count exactly
     val nHigh = rows.filter(_._1 >= 5).map(_._2).sum
     val q51n = run("q51_minhash_lsh").count()
     assert(nHigh == q51n,
