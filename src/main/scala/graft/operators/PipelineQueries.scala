@@ -1577,9 +1577,114 @@ object PipelineQueries {
       """))
   }
 
+  /** Chunk-grain retrieval with document-level dedup — the serving
+    * query a RAG stack actually runs: q110's overlapping 64-token
+    * chunks scored by q109's Okapi BM25 (same k1/b/IDF, stats at
+    * CHUNK grain — N = chunks, avgdl = chunk length), top-20 chunks
+    * shortlisted, then deduped to the best chunk per document and the
+    * top-5 documents returned. Retrieval at chunk grain beats doc
+    * grain (a long document's one relevant passage isn't diluted by
+    * its length), but without the dedup step one hot document's
+    * overlapping chunks fill the whole context window — this query IS
+    * that dedup step.
+    *
+    * Scale shape: chunking + scoring are one generate + projection
+    * against a broadcast 1-row stats frame (the q109 shape, zero extra
+    * shuffles); the shortlist is a TakeOrderedAndProject; dedup and
+    * final ranking run on the 20-row shortlist. */
+  private val q268 = {
+    val terms = Seq("merge", "sort", "tree")
+    val k1 = 1.2
+    val b = 0.75
+    Q(
+      "q268_chunk_retrieval",
+      (s, dir) => {
+        val chunks = t(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+          .select(col("doc_id"), col("w"),
+            posexplode(sequence(lit(0),
+              greatest(size(col("w")) - 1, lit(0)), lit(48)))
+              .as(Seq("chunk_id", "off")))
+          .withColumn("c", slice(col("w"), col("off") + 1, lit(64)))
+          .select(col("doc_id"), asLong(col("chunk_id")).as("chunk_id"),
+            col("c"), size(col("c")).cast(DoubleType).as("dl"))
+        val tf = terms.zipWithIndex.foldLeft(chunks) { case (d, (term, i)) =>
+          d.withColumn(s"tf$i",
+            size(filter(col("c"), x => x === term)).cast(DoubleType))
+        }.drop("c").localCheckpoint()
+        val aggs = count(lit(1)).cast(DoubleType).as("n") +:
+          avg(col("dl")).as("avgdl") +:
+          terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1).otherwise(0))
+              .cast(DoubleType).as(s"df$i"))
+        val stats = tf.agg(aggs.head, aggs.tail: _*)
+        val score = terms.indices.map { i =>
+          val idf = log(lit(1.0) +
+            (col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+          idf * (col(s"tf$i") * lit(k1 + 1)) /
+            (col(s"tf$i") +
+              lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+        }.reduce(_ + _)
+        val top = tf.crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("chunk_id"),
+            round(score, 4).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"), col("chunk_id"))
+          .limit(20)
+        top.groupBy(col("doc_id"))
+          .agg(max(struct(col("bm25"),
+            (lit(0L) - col("chunk_id")).as("nc"))).as("best"))
+          .select(col("doc_id"),
+            (lit(0L) - col("best.nc")).as("chunk_id"),
+            col("best.bm25").as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(5)
+      },
+      Some {
+        val w = """string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ')"""
+        val tfCols = terms.zipWithIndex.map { case (term, i) =>
+          s"CAST(len(list_filter(c, x -> x = '$term')) AS DOUBLE) AS tf$i"
+        }.mkString(", ")
+        val dfCols = terms.indices.map(i =>
+          s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+          .mkString(", ")
+        val score = terms.indices.map(i =>
+          s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * ${k1 + 1}) / " +
+            s"(tf$i + $k1 * (${1.0 - b} + $b * dl / avgdl))")
+          .mkString(" + ")
+        s"""
+        WITH tok AS (SELECT doc_id, $w AS w FROM documents
+                     WHERE text IS NOT NULL),
+        offs AS (
+          SELECT doc_id, w,
+                 unnest(range(0, greatest(len(w), 1), 48)) AS off
+          FROM tok),
+        ch AS (
+          SELECT doc_id, CAST(off // 48 AS BIGINT) AS chunk_id,
+                 w[off+1:off+64] AS c
+          FROM offs),
+        tf AS (SELECT doc_id, chunk_id, CAST(len(c) AS DOUBLE) AS dl,
+                      $tfCols FROM ch),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+                         $dfCols FROM tf),
+        top AS (
+          SELECT doc_id, chunk_id, round($score, 4) AS bm25
+          FROM tf, stats
+          ORDER BY round($score, 4) DESC, doc_id, chunk_id LIMIT 20),
+        best AS (
+          SELECT doc_id, chunk_id, bm25 FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY bm25 DESC, chunk_id) AS rn FROM top)
+          WHERE rn = 1)
+        SELECT doc_id, chunk_id, bm25
+        FROM best ORDER BY bm25 DESC, doc_id LIMIT 5
+        """
+      })
+  }
+
   val registry: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q100, q107,
       q109, q110, q111, q113, q114, q115, q120, q121, q123, q125,
       q127, q128, q129, q131, q132, q137, q140, q142, q144, q160, q216,
-      q217)
+      q217, q268)
 }

@@ -229,6 +229,17 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(ests.sliding(2).forall(w => w(1) >= w(0)))
   }
 
+  test("q268 returns one best chunk per distinct document, ranked") {
+    val rows = run("q268_chunk_retrieval").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getLong(0)).distinct.length == 5,
+      "document-level dedup must leave distinct doc_ids")
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.sliding(2).forall(w => w(1) <= w(0)),
+      "results must be ranked by score")
+    assert(scores.head > 0.0, "the fixture matches the query terms")
+  }
+
   test("q261 conserves documents and never exceeds the budget") {
     val perSrc = graft.Tables.load(graft.Tables.tuned(spark), dir, "documents")
       .groupBy(col("source")).agg(count(lit(1)).as("n"))
