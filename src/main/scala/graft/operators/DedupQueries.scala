@@ -2294,7 +2294,149 @@ object DedupQueries {
       """
     })
 
+  /** MinHash banding-parameter sweep: candidate and true-positive
+    * doc-pair mass, precision and recall at every (bands × rows)
+    * split of the 8 signature components — 8×1, 4×2, 2×4, 1×8. q259
+    * calibrates the ESTIMATOR; this grades the CANDIDATE GENERATOR,
+    * the table that justifies shipping 4×2 (the S-curve trade: more
+    * rows per band = fewer false candidates but missed true pairs).
+    *
+    * Ground truth = verified Jaccard ≥ 0.5 pairs among the 8×1
+    * candidates: a (b,r) band matches only if its r components all
+    * match, so every config's candidate set is a SUBSET of 8×1's —
+    * recall is measured against the most permissive banding's
+    * verified positives. Identical-text (same content group) pairs
+    * are excluded: every config finds them trivially (q45's exact
+    * dedup owns that class); the sweep grades NEAR-dup discovery.
+    *
+    * Scale shape: everything at content-group grain (the q241/q259
+    * census discipline) — one signature pass, one unified
+    * (cfg, band, hash) self-join, ONE verify of the 8×1 candidate
+    * set, doc-pair counts as integer weights. Output: 4 rows. */
+  private val q269 = {
+    // (name, bands, rows): r·b = 8 components each
+    val configs = Seq(("8x1", 8, 1), ("4x2", 4, 2), ("2x4", 2, 4),
+      ("1x8", 1, 8))
+    Q(
+      "q269_banding_sweep",
+      (s, dir) => {
+        val grp = corpus(t(s, dir, "documents"))
+          .withColumn("nt", TextOps.norm(col("text")))
+          .filter(col("nt").isNotNull)
+          .select(md5(col("nt")).as("g"), col("nt"))
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("nd"), min(col("nt")).as("nt"))
+          .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
+          .withColumn("nsh", size(col("sh")).cast(LongType))
+          .withColumn("ms",
+            graft.plans.MinHashSig.minhashSig(col("sh"), 8))
+          .drop("nt")
+          .localCheckpoint()
+        val bandCols = configs.flatMap { case (cfg, b, r) =>
+          (0 until b).map { j =>
+            struct(lit(cfg).as("cfg"), lit(j).as("band_idx"),
+              md5(concat((0 until r).map(i =>
+                element_at(col("ms"), j * r + i + 1)): _*)).as("bh"))
+          }
+        }
+        val bands = grp.select(col("g"),
+          explode(array(bandCols: _*)).as("t"))
+          .select(col("g"), col("t.cfg"), col("t.band_idx"), col("t.bh"))
+        val cand = bands.alias("a")
+          .join(bands.alias("b"),
+            col("a.cfg") === col("b.cfg") &&
+              col("a.band_idx") === col("b.band_idx") &&
+              col("a.bh") === col("b.bh") && col("a.g") < col("b.g"))
+          .select(col("a.cfg").as("cfg"), col("a.g").as("g1"),
+            col("b.g").as("g2"))
+          .distinct()
+          .localCheckpoint()
+        // verify ONCE: 8x1's candidates are the union of every config's
+        val truth = cand.filter(col("cfg") === "8x1")
+          .select(col("g1"), col("g2"))
+          .join(grp.select(col("g").as("g1"), col("sh").as("sh1"),
+            col("nsh").as("m1"), col("nd").as("nd1")), "g1")
+          .join(grp.select(col("g").as("g2"), col("sh").as("sh2"),
+            col("nsh").as("m2"), col("nd").as("nd2")), "g2")
+          .withColumn("inter",
+            size(array_intersect(col("sh1"), col("sh2"))).cast(LongType))
+          .withColumn("uni", col("m1") + col("m2") - col("inter"))
+          .select(col("g1"), col("g2"),
+            expr("(inter * 1000000) div uni").as("jac_u"),
+            (col("nd1") * col("nd2")).as("n"))
+          .localCheckpoint()
+        val perCfg = cand.join(truth, Seq("g1", "g2"))
+          .groupBy(col("cfg"))
+          .agg(sum(col("n")).cast(LongType).as("cand_pairs"),
+            sum(when(col("jac_u") >= 500000, col("n")).otherwise(lit(0L)))
+              .cast(LongType).as("true_pairs"))
+        val total = perCfg.filter(col("cfg") === "8x1")
+          .select(col("true_pairs").as("total_true"))
+        perCfg.crossJoin(broadcast(total))
+          .select(col("cfg"), col("cand_pairs"), col("true_pairs"),
+            expr("(true_pairs * 1000000) div cand_pairs")
+              .as("precision_u"),
+            expr("(true_pairs * 1000000) div total_true").as("recall_u"))
+          .orderBy(col("cfg"))
+      },
+      Some {
+        val nrm = """regexp_replace(trim(lower(text)),'\s+',' ','g')"""
+        val mins = (0 until 8).map(i =>
+          s"list_min([md5('$i|'||s) FOR s IN sh]) AS m$i").mkString(", ")
+        val bandSelects = configs.flatMap { case (cfg, b, r) =>
+          (0 until b).map { j =>
+            val parts = (0 until r).map(i => s"m${j * r + i}").mkString("||")
+            s"SELECT g, '$cfg' AS cfg, $j AS band_idx, md5($parts) AS bh FROM mh"
+          }
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH $corpusSql,
+        nt AS (SELECT doc_id, $nrm AS nt FROM corpus
+               WHERE text IS NOT NULL),
+        grp AS (
+          SELECT md5(nt) AS g, CAST(COUNT(*) AS BIGINT) AS nd,
+                 MIN(nt) AS mnt
+          FROM nt GROUP BY 1),
+        sh AS (
+          SELECT g, nd,
+                 list_distinct([array_to_string(w[i+1:i+5],' ')
+                   FOR i IN range(len(w)-4)]) AS sh
+          FROM (SELECT g, nd, string_split(mnt, ' ') AS w FROM grp)),
+        mh AS (SELECT g, nd, sh, len(sh) AS nsh, $mins FROM sh),
+        bands AS ($bandSelects),
+        cand AS (SELECT DISTINCT x.cfg, x.g AS g1, y.g AS g2
+                 FROM bands x JOIN bands y
+                 ON x.cfg = y.cfg AND x.band_idx = y.band_idx
+                    AND x.bh = y.bh AND x.g < y.g),
+        truth AS (
+          SELECT c.g1, c.g2,
+                 (CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
+                   * 1000000)
+                   // CAST(a.nsh + b.nsh
+                     - len(list_intersect(a.sh, b.sh)) AS BIGINT)
+                   AS jac_u,
+                 a.nd * b.nd AS n
+          FROM (SELECT g1, g2 FROM cand WHERE cfg = '8x1') c
+          JOIN mh a ON a.g = c.g1
+          JOIN mh b ON b.g = c.g2),
+        percfg AS (
+          SELECT cfg, CAST(SUM(n) AS BIGINT) AS cand_pairs,
+                 CAST(SUM(CASE WHEN jac_u >= 500000 THEN n
+                          ELSE 0 END) AS BIGINT) AS true_pairs
+          FROM cand JOIN truth USING (g1, g2)
+          GROUP BY 1),
+        total AS (SELECT true_pairs AS total_true FROM percfg
+                  WHERE cfg = '8x1')
+        SELECT cfg, cand_pairs, true_pairs,
+               (true_pairs * 1000000) // cand_pairs AS precision_u,
+               (true_pairs * 1000000) // total_true AS recall_u
+        FROM percfg, total
+        ORDER BY cfg
+        """
+      })
+  }
+
   val registry: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52,
     q82, q84, q85, q99, q112, q124, q130, q133, q136, q196, q232, q235,
-    q241, q245, q247, q251, q259, q261, q266)
+    q241, q245, q247, q251, q259, q261, q266, q269)
 }

@@ -453,5 +453,73 @@ object QualityQueries {
       ORDER BY source
     """))
 
-  val registry: Seq[Q] = Seq(q207, q208, q210, q238, q260)
+  /** Quality-gate ablation lattice: the 2³ pass/fail cells of three
+    * independent integer-exact gates — length (n_tok ≥ 32),
+    * word-repetition (duplicated-token share ≤ 0.55), mean word
+    * length within [4.3, 4.7] chars — with document and token mass
+    * per cell. A filtering pipeline publishes exactly this table
+    * before turning gates on: it shows each gate's marginal kill
+    * mass AND the overlap structure (a document failing two gates is
+    * cheap to lose; a big cell failing only one gate is where a
+    * threshold review pays). q48/q132 emit per-gate funnels; the
+    * lattice is the joint distribution those funnels marginalize.
+    *
+    * Scale shape: one token pass, map-side combined into ≤8 cells;
+    * every statistic is integer micro-units. */
+  private val q270 = Q(
+    "q270_gate_ablation",
+    (s, dir) => {
+      val stats = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(TextOps.words(col("text")).as("w"))
+        .select(size(col("w")).cast(LongType).as("n_tok"),
+          size(array_distinct(col("w"))).cast(LongType).as("n_types"),
+          length(array_join(col("w"), "")).cast(LongType).as("n_chars"))
+        .withColumn("dup_u",
+          expr("((n_tok - n_types) * 1000000) div n_tok"))
+        .withColumn("mwl_u", expr("(n_chars * 1000000) div n_tok"))
+        .select(
+          (col("n_tok") >= 32).as("pass_len"),
+          (col("dup_u") <= 550000).as("pass_rep"),
+          (col("mwl_u") >= 4300000 && col("mwl_u") <= 4700000)
+            .as("pass_mwl"),
+          col("n_tok"))
+      val total = stats.agg(count(lit(1)).as("n_total"))
+      stats.groupBy(col("pass_len"), col("pass_rep"), col("pass_mwl"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast(LongType).as("n_tokens"))
+        .crossJoin(broadcast(total))
+        .withColumn("share_u", expr("(n_docs * 1000000) div n_total"))
+        .drop("n_total")
+        .orderBy(col("pass_len"), col("pass_rep"), col("pass_mwl"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT string_split(regexp_replace(trim(lower(text)),
+                 '\s+',' ','g'),' ') AS w
+        FROM documents WHERE text IS NOT NULL),
+      stats AS (
+        SELECT CAST(len(w) AS BIGINT) AS n_tok,
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
+               CAST(length(array_to_string(w, '')) AS BIGINT) AS n_chars
+        FROM t),
+      gated AS (
+        SELECT n_tok >= 32 AS pass_len,
+               ((n_tok - n_types) * 1000000) // n_tok <= 550000
+                 AS pass_rep,
+               (n_chars * 1000000) // n_tok BETWEEN 4300000 AND 4700000
+                 AS pass_mwl,
+               n_tok
+        FROM stats),
+      total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM gated)
+      SELECT pass_len, pass_rep, pass_mwl,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             (CAST(COUNT(*) AS BIGINT) * 1000000) // n_total AS share_u
+      FROM gated, total
+      GROUP BY 1, 2, 3, n_total
+      ORDER BY 1, 2, 3
+    """))
+
+  val registry: Seq[Q] = Seq(q207, q208, q210, q238, q260, q270)
 }

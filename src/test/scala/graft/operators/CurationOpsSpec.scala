@@ -240,6 +240,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(scores.head > 0.0, "the fixture matches the query terms")
   }
 
+  test("q269 banding configs are nested and the permissive config defines recall") {
+    val rows = run("q269_banding_sweep").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toMap
+    assert(rows.keySet == Set("8x1", "4x2", "2x4", "1x8"))
+    // an (b,r) band matches only if all r components match, so each
+    // stricter config's candidate AND true sets are SUBSETS
+    val order = Seq("8x1", "4x2", "2x4", "1x8")
+    val cands = order.map(rows(_)._1)
+    val trues = order.map(rows(_)._2)
+    assert(cands.sliding(2).forall(w => w(1) <= w(0)), s"cand not nested: $cands")
+    assert(trues.sliding(2).forall(w => w(1) <= w(0)), s"true not nested: $trues")
+    assert(rows("8x1")._3 == 1000000L, "8x1 defines recall = 1")
+  }
+
+  test("q270 lattice partitions the corpus with conserved shares") {
+    val rows = run("q270_gate_ablation").collect()
+    val total = graft.Tables.load(graft.Tables.tuned(spark), dir, "documents")
+      .filter(col("text").isNotNull).count()
+    assert(rows.map(_.getLong(3)).sum == total,
+      "lattice cells must partition the corpus")
+    val shares = rows.map(_.getLong(5)).sum
+    assert(shares <= 1000000L && shares >= 1000000L - 8,
+      s"floored shares must sum to ~1e6: $shares")
+  }
+
   test("q261 conserves documents and never exceeds the budget") {
     val perSrc = graft.Tables.load(graft.Tables.tuned(spark), dir, "documents")
       .groupBy(col("source")).agg(count(lit(1)).as("n"))
