@@ -150,6 +150,16 @@ object BpeQueries {
     * the artifact load path actually short-circuit training. */
   private[graft] val trainCount = new java.util.concurrent.atomic.AtomicLong
 
+  /** Tail-content hash memo keyed by (path, length, mtime): a probe
+    * whose metadata triple is unchanged reuses the hash instead of
+    * re-opening the part file, keeping repeat cache-validity checks
+    * metadata-only (one listStatus, zero data reads). A regenerated
+    * part changes mtime (or length) and misses the memo, so the
+    * content evidence below is still gathered exactly when it can
+    * have changed. */
+  private val tailHashMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def fingerprint(s: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -162,16 +172,21 @@ object BpeQueries {
     // mtime granularity — add CONTENT evidence: the tail of each part
     // holds the parquet footer (schema, row-group stats, offsets),
     // which changes with the data even at equal byte length. One small
-    // tail read per part, no corpus scan.
+    // tail read per part on first sight of a (path, len, mtime)
+    // triple; memoized thereafter.
     val sig = parts.map { f =>
-      val tailLen = math.min(f.getLen, 4096L).toInt
-      val buf = new Array[Byte](math.max(tailLen, 0))
-      if (tailLen > 0) {
-        val in = fs.open(f.getPath)
-        try in.readFully(f.getLen - tailLen, buf) finally in.close()
-      }
-      val tailMd5 = java.security.MessageDigest.getInstance("MD5")
-        .digest(buf).map(b => f"$b%02x").mkString
+      val memoKey =
+        s"${f.getPath.toUri}:${f.getLen}:${f.getModificationTime}"
+      val tailMd5 = tailHashMemo.getOrElseUpdate(memoKey, {
+        val tailLen = math.min(f.getLen, 4096L).toInt
+        val buf = new Array[Byte](math.max(tailLen, 0))
+        if (tailLen > 0) {
+          val in = fs.open(f.getPath)
+          try in.readFully(f.getLen - tailLen, buf) finally in.close()
+        }
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(buf).map(b => f"$b%02x").mkString
+      })
       s"${f.getPath.getName}:${f.getLen}:$tailMd5"
     }.sorted.mkString("|")
     java.security.MessageDigest.getInstance("MD5")

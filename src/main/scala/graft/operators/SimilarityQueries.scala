@@ -1552,7 +1552,8 @@ object SimilarityQueries {
         round(col("within"), 6).as("within_msd"),
         col("nn.lb").cast(LongType).as("nearest_label"),
         round(col("nn.d2"), 6).as("between_d2"),
-        round(round(col("nn.d2"), 6) / round(col("within"), 6), 4)
+        round(round(col("nn.d2"), 6) /
+            nullif(round(col("within"), 6), lit(0d)), 4)
           .as("separation"))
     },
     Some(s"""
@@ -1594,7 +1595,8 @@ object SimilarityQueries {
              round(within, 6) AS within_msd,
              CAST(lb AS BIGINT) AS nearest_label,
              round(d2, 6) AS between_d2,
-             round(round(d2, 6) / round(within, 6), 4) AS separation
+             round(round(d2, 6) / nullif(round(within, 6), 0), 4)
+               AS separation
       FROM nearest
     """))
 
