@@ -96,6 +96,11 @@ object Bench {
     val repeatThreshold =
       sys.env.getOrElse("GRAFT_BENCH_REPEAT_THRESHOLD", "1.0").toDouble
     var spark = newSession(cpus)
+    graft.tools.PeakHeap.install(spark.sparkContext)
+    // per-query peak-heap observations for the SCALE.md margin table;
+    // written to a BENCH_HEAP.json sidecar, never the stdout contract
+    val heapObs = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, String)]
     val warmT0 = System.nanoTime()
     warmup(spark, sfDir)
     val warmupS = (System.nanoTime() - warmT0) / 1e9
@@ -111,6 +116,7 @@ object Bench {
           SparkSession.clearActiveSession()
           SparkSession.clearDefaultSession()
           spark = newSession(cpus)
+          graft.tools.PeakHeap.install(spark.sparkContext)
           // re-warm the fresh context: table scans (empty block manager,
           // cold footer caches) plus the streaming machinery; JIT and
           // the codegen cache persist across recycles for free
@@ -135,10 +141,19 @@ object Bench {
           catch { case _: Throwable => () }
         }
         def once(): (Double, Boolean) = {
+          graft.tools.PeakHeap.reset()
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
             catch { case _: Throwable => false }
           val dt = (System.nanoTime() - t0) / 1e9
+          val (pk, st) = (graft.tools.PeakHeap.peakGb,
+            graft.tools.PeakHeap.peakStage)
+          heapObs.synchronized {
+            // keep the MAX observation per query across repeat runs
+            val i = heapObs.indexWhere(_._1 == name)
+            if (i < 0) heapObs += ((name, pk, st))
+            else if (pk > heapObs(i)._2) heapObs(i) = (name, pk, st)
+          }
           cleanup()
           (dt, ok)
         }
@@ -190,6 +205,18 @@ object Bench {
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (line(6) + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    try {
+      def esc(s: String): String =
+        s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val heapLines = heapObs.sortBy(-_._2).map { case (n, pk, st) =>
+        f"""{"query":"$n","peak_heap_gb":$pk%.2f,""" +
+          f""""xmx_gb":${graft.tools.PeakHeap.xmxGb}%.2f,""" +
+          s""""peak_stage":"${esc(st)}"}"""
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_HEAP.json"),
+        (heapLines.mkString("\n") + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     println(line(3))
     spark.stop()
   }

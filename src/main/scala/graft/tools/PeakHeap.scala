@@ -1,0 +1,78 @@
+package graft.tools
+
+import java.lang.management.ManagementFactory
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerStageSubmitted}
+
+/** Sampled peak-heap tracker with stage attribution, for the
+  * SCALE.md ×100 heap-margin table (round-14 advice #1).
+  *
+  * A daemon thread samples the JVM heap's used bytes every 20 ms; a
+  * SparkListener keeps the set of currently-running stages, so each
+  * new peak records WHICH stages were live when it happened. In
+  * local[*] the driver and executors share one heap, so this single
+  * number IS the process's OOM margin against -Xmx.
+  *
+  * The sampled value includes not-yet-collected garbage (a high
+  * reading can be a healthy young gen about to be collected), so it
+  * over-approximates live set — the right direction for a margin
+  * check: a query whose SAMPLED peak stays well under Xmx can't have
+  * OOMed on live data.
+  */
+object PeakHeap {
+  private val active =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  @volatile private var peakBytes = 0L
+  @volatile private var atPeak: Seq[String] = Nil
+  @volatile private var started = false
+  private var installedOn: String = ""
+
+  private val listener = new SparkListener {
+    override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
+      active.put(e.stageInfo.stageId,
+        s"s${e.stageInfo.stageId}[${e.stageInfo.numTasks}t] " +
+          e.stageInfo.name)
+      ()
+    }
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      active.remove(e.stageInfo.stageId)
+      ()
+    }
+  }
+
+  /** Idempotent per SparkContext (Bench recycles contexts); starts the
+    * sampler thread once per JVM. */
+  def install(sc: SparkContext): Unit = synchronized {
+    if (installedOn != sc.applicationId) {
+      sc.addSparkListener(listener)
+      installedOn = sc.applicationId
+      active.clear()
+    }
+    if (!started) {
+      started = true
+      val t = new Thread(() => {
+        val mx = ManagementFactory.getMemoryMXBean
+        while (true) {
+          val used = mx.getHeapMemoryUsage.getUsed
+          if (used > peakBytes) {
+            peakBytes = used
+            atPeak = active.values.asScala.toSeq.sorted.take(3)
+          }
+          Thread.sleep(20)
+        }
+      }, "graft-peakheap-sampler")
+      t.setDaemon(true)
+      t.start()
+    }
+  }
+
+  def reset(): Unit = { peakBytes = 0L; atPeak = Nil }
+  def peakGb: Double = peakBytes / 1e9
+  /** The stages live at the moment of the peak sample ("" when the
+    * peak fell between stages — driver-side work). */
+  def peakStage: String = atPeak.mkString(" | ")
+  def xmxGb: Double = Runtime.getRuntime.maxMemory / 1e9
+}

@@ -41,6 +41,7 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    PeakHeap.install(spark.sparkContext)
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     def cleanup(): Unit = {
@@ -48,15 +49,21 @@ object ScaleBench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.sharedState.cacheManager.clearCache()
     }
-    def time(name: String): Double = {
-      def once(): Double = {
+    // returns (min-of-2 seconds, MAX peak heap GB across both runs,
+    // the stages live at that peak)
+    def time(name: String): (Double, Double, String) = {
+      def once(): (Double, Double, String) = {
+        PeakHeap.reset()
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
+        val (pk, st) = (PeakHeap.peakGb, PeakHeap.peakStage)
         cleanup()
-        dt
+        (dt, pk, st)
       }
-      math.min(once(), once())
+      val a = once(); val b = once()
+      val peak = if (a._2 >= b._2) a else b
+      (math.min(a._1, b._1), peak._2, peak._3)
     }
 
     names.foreach { name =>
@@ -72,7 +79,7 @@ object ScaleBench {
   }
 
   private def runShapes(spark: SparkSession, sfDir: String, name: String,
-      time: String => Double): Unit = {
+      time: String => (Double, Double, String)): Unit = {
     {
       val shapes: Seq[(String, () => Unit, () => Unit)] =
         if (PrefixQueries.contains(name)) Seq(
@@ -93,8 +100,12 @@ object ScaleBench {
       shapes.foreach { case (shape, set, unset) =>
         set()
         try {
-          val dt = time(name)
-          println(f"""{"query":"$name","shape":"$shape","sec":$dt%.3f,"sf":"$sfDir"}""")
+          val (dt, peakGb, peakStage) = time(name)
+          val st = peakStage.replace("\\", "\\\\").replace("\"", "\\\"")
+          println(f"""{"query":"$name","shape":"$shape","sec":$dt%.3f,""" +
+            f""""peak_heap_gb":$peakGb%.2f,""" +
+            f""""xmx_gb":${PeakHeap.xmxGb}%.2f,""" +
+            s""""peak_stage":"$st","sf":"$sfDir"}""")
         } finally unset()
       }
     }
