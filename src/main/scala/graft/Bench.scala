@@ -146,8 +146,8 @@ object Bench {
           val ok = try { fn(spark, sfDir).count(); true }
             catch { case _: Throwable => false }
           val dt = (System.nanoTime() - t0) / 1e9
-          val (pk, st) = (graft.tools.PeakHeap.peakGb,
-            graft.tools.PeakHeap.peakStage)
+          val (pk, st) = (graft.tools.PeakHeap.postGcPeakGb,
+            graft.tools.PeakHeap.postGcPeakStage)
           heapObs.synchronized {
             // keep the MAX observation per query across repeat runs
             val i = heapObs.indexWhere(_._1 == name)
@@ -209,7 +209,7 @@ object Bench {
       def esc(s: String): String =
         s.replace("\\", "\\\\").replace("\"", "\\\"")
       val heapLines = heapObs.sortBy(-_._2).map { case (n, pk, st) =>
-        f"""{"query":"$n","peak_heap_gb":$pk%.2f,""" +
+        f"""{"query":"$n","post_gc_peak_gb":$pk%.2f,""" +
           f""""xmx_gb":${graft.tools.PeakHeap.xmxGb}%.2f,""" +
           s""""peak_stage":"${esc(st)}"}"""
       }

@@ -603,7 +603,9 @@ object Queries {
     graft.operators.QualityQueries.registry ++
     graft.operators.TrainingSetQueries.registry ++
     graft.operators.BpeQueries.registry ++
-    graft.operators.LmQueries.registry
+    graft.operators.LmQueries.registry ++
+    graft.operators.RetrievalQueries.registry ++
+    graft.operators.UnigramQueries.registry
 
   // NO stripMargin here: its margin char is '|', so an oracle line that
   // begins with a '||' concatenation would silently lose a pipe

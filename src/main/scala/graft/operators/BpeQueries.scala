@@ -160,7 +160,7 @@ object BpeQueries {
   private val tailHashMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def fingerprint(s: SparkSession, dir: String): String = {
+  private[operators] def fingerprint(s: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)

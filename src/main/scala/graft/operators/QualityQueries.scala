@@ -521,5 +521,124 @@ object QualityQueries {
       ORDER BY 1, 2, 3
     """))
 
-  val registry: Seq[Q] = Seq(q207, q208, q210, q238, q260, q270)
+  /** Quality-threshold selection curve × gate-cell composition
+    * (round-14 advice #6): for every selection threshold on q250's
+    * distilled rule score qs (the model's training target — the
+    * oracle-exact arm of the q250 contract; the GBT's agreement with
+    * it is pinned in MlQualitySpec), the kept document/token mass
+    * BROKEN DOWN by q270's 2³ gate lattice cell — the table a
+    * curation run reads to pick the shipped threshold: it shows not
+    * just how much token mass each threshold keeps but WHAT the kept
+    * mass looks like under the independent quality gates (a
+    * threshold that keeps mass mostly from all-gates-fail cells is
+    * selecting garbage the gates would re-kill).
+    *
+    * Exactness: qs is the 6-dp-rounded rule score routed to integer
+    * micro-units through DECIMAL(18,6) (the q264 double→BIGINT
+    * discipline); thresholds are the 10 deciles thr_u = b·100000;
+    * membership (qs_u ≥ thr_u) is evaluated as integer bucket
+    * algebra, never a float compare.
+    *
+    * Scale shape: ONE corpus token pass aggregates to ≤ 80
+    * (bucket × gate-cell) rows map-side; the threshold sweep is a
+    * suffix-cumulative expansion of that tiny frame (each cell emits
+    * its thresholds b ≤ bucket — never a second corpus pass, never a
+    * per-threshold scan); the composition share is a partitioned
+    * window over ≤ 80 rows. */
+  private val q274 = Q(
+    "q274_selection_curve",
+    (s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in")
+      val f = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(TextOps.words(col("text")).as("w"))
+        .filter(col("w").isNotNull && size(col("w")) >= 1)
+        .select(size(col("w")).cast(LongType).as("n_tok"),
+          size(array_distinct(col("w"))).cast(LongType).as("n_types"),
+          length(array_join(col("w"), "")).cast(LongType).as("n_chars"),
+          round((size(array_distinct(col("w"))).cast(DoubleType) /
+              size(col("w"))) * 0.4
+            + (lit(1.0) - TextOps.vocabHits(col("w"), stop)
+                .cast(DoubleType) / size(col("w"))) * 0.3
+            + least(lit(1.0),
+                size(col("w")).cast(DoubleType) / 100.0) * 0.3,
+            6).as("qs"))
+      val cells = f
+        .withColumn("qs_u",
+          (col("qs").cast(DecimalType(18, 6)) * lit(1000000))
+            .cast(LongType))
+        .select(
+          least(expr("qs_u div 100000"), lit(9L)).as("bucket"),
+          (col("n_tok") >= 32).as("pass_len"),
+          (expr("((n_tok - n_types) * 1000000) div n_tok") <= 550000L)
+            .as("pass_rep"),
+          expr("(n_chars * 1000000) div n_tok between 4300000 and 4700000")
+            .as("pass_mwl"),
+          col("n_tok"))
+        .groupBy(col("bucket"), col("pass_len"), col("pass_rep"),
+          col("pass_mwl"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast(LongType).as("n_tokens"))
+      val curve = cells
+        .select(explode(sequence(lit(0L), col("bucket"))).as("b"),
+          col("pass_len"), col("pass_rep"), col("pass_mwl"),
+          col("n_docs"), col("n_tokens"))
+        .groupBy((col("b") * 100000).as("thr_u"), col("pass_len"),
+          col("pass_rep"), col("pass_mwl"))
+        .agg(sum(col("n_docs")).cast(LongType).as("n_docs"),
+          sum(col("n_tokens")).cast(LongType).as("n_tokens"))
+      curve
+        .withColumn("cell_tok_share_u",
+          expr("(n_tokens * 1000000) div " +
+            "sum(n_tokens) over (partition by thr_u)"))
+        .orderBy(col("thr_u"), col("pass_len"), col("pass_rep"),
+          col("pass_mwl"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT string_split(regexp_replace(trim(lower(text)),
+                 '\s+',' ','g'),' ') AS w
+        FROM documents WHERE text IS NOT NULL),
+      f AS (
+        SELECT CAST(len(w) AS BIGINT) AS n_tok,
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
+               CAST(length(array_to_string(w, '')) AS BIGINT) AS n_chars,
+               round((CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
+                 + (1.0 - CAST(len(list_filter(w,
+                     x -> x IN ('the','a','of','and','to','in')))
+                     AS DOUBLE) / len(w)) * 0.3
+                 + LEAST(1.0, CAST(len(w) AS DOUBLE) / 100.0) * 0.3,
+                 6) AS qs
+        FROM t WHERE len(w) >= 1),
+      g AS (
+        SELECT LEAST(CAST(CAST(qs AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                 // 100000, 9) AS bucket,
+               n_tok >= 32 AS pass_len,
+               ((n_tok - n_types) * 1000000) // n_tok <= 550000
+                 AS pass_rep,
+               (n_chars * 1000000) // n_tok BETWEEN 4300000 AND 4700000
+                 AS pass_mwl,
+               n_tok
+        FROM f),
+      cells AS (
+        SELECT bucket, pass_len, pass_rep, pass_mwl,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM g GROUP BY 1, 2, 3, 4),
+      curve AS (
+        SELECT b * 100000 AS thr_u, pass_len, pass_rep, pass_mwl,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM (SELECT cells.*, unnest(range(0, bucket + 1)) AS b
+              FROM cells)
+        GROUP BY 1, 2, 3, 4)
+      SELECT thr_u, pass_len, pass_rep, pass_mwl, n_docs, n_tokens,
+             CAST((n_tokens * 1000000) //
+               SUM(n_tokens) OVER (PARTITION BY thr_u)
+               AS BIGINT) AS cell_tok_share_u
+      FROM curve
+      ORDER BY 1, 2, 3, 4
+    """))
+
+  val registry: Seq[Q] = Seq(q207, q208, q210, q238, q260, q270, q274)
 }

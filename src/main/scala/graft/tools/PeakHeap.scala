@@ -27,8 +27,53 @@ object PeakHeap {
     new java.util.concurrent.ConcurrentHashMap[Int, String]()
   @volatile private var peakBytes = 0L
   @volatile private var atPeak: Seq[String] = Nil
+  @volatile private var postGcPeakBytes = 0L
+  @volatile private var atPostGcPeak: Seq[String] = Nil
+  @volatile private var oldGenPeakBytes = 0L
   @volatile private var started = false
   private var installedOn: String = ""
+
+  /** Heap-pool names (G1: Eden/Survivor/Old), to filter the per-pool
+    * after-GC map down to heap. */
+  private lazy val heapPoolNames: Set[String] =
+    ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(_.getName).toSet
+
+  /** Subscribe to GC-completion notifications: each one carries the
+    * per-pool usage AFTER the collection, whose heap sum is the
+    * surviving footprint — the number an OOM actually compares
+    * against Xmx (sampled used-heap saturates at capacity on any
+    * busy query because G1 lets the heap fill before collecting;
+    * measured: every heavy query "peaks" at ~Xmx by that metric). */
+  private def subscribeGc(): Unit =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala.foreach {
+      case em: javax.management.NotificationEmitter =>
+        em.addNotificationListener(
+          new javax.management.NotificationListener {
+            override def handleNotification(
+                n: javax.management.Notification, hb: Any): Unit =
+              if (n.getType ==
+                  "com.sun.management.gc.notification") {
+                val info = com.sun.management
+                  .GarbageCollectionNotificationInfo.from(
+                    n.getUserData
+                      .asInstanceOf[javax.management.openmbean.CompositeData])
+                val after = info.getGcInfo.getMemoryUsageAfterGc.asScala
+                  .collect { case (k, v) if heapPoolNames(k) => v.getUsed }
+                  .sum
+                if (after > postGcPeakBytes) {
+                  postGcPeakBytes = after
+                  atPostGcPeak = active.values.asScala.toSeq.sorted.take(3)
+                }
+                val old = info.getGcInfo.getMemoryUsageAfterGc.asScala
+                  .collect { case (k, v) if k.contains("Old") => v.getUsed }
+                  .sum
+                if (old > oldGenPeakBytes) oldGenPeakBytes = old
+              }
+          }, null, null)
+      case _ => ()
+    }
 
   private val listener = new SparkListener {
     override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
@@ -53,6 +98,7 @@ object PeakHeap {
     }
     if (!started) {
       started = true
+      subscribeGc()
       val t = new Thread(() => {
         val mx = ManagementFactory.getMemoryMXBean
         while (true) {
@@ -69,10 +115,24 @@ object PeakHeap {
     }
   }
 
-  def reset(): Unit = { peakBytes = 0L; atPeak = Nil }
+  def reset(): Unit = {
+    peakBytes = 0L; atPeak = Nil
+    postGcPeakBytes = 0L; atPostGcPeak = Nil
+    oldGenPeakBytes = 0L
+  }
+  /** Peak old-gen usage after any GC — promoted-survivor footprint
+    * (still an over-estimate of live: mixed collections reclaim old
+    * regions incrementally). */
+  def oldGenPeakGb: Double = oldGenPeakBytes / 1e9
   def peakGb: Double = peakBytes / 1e9
+  /** Max heap surviving any GC during the window — the live-footprint
+    * (OOM-margin) metric. 0.0 when no GC ran in the window (footprint
+    * never even forced a collection). */
+  def postGcPeakGb: Double = postGcPeakBytes / 1e9
   /** The stages live at the moment of the peak sample ("" when the
     * peak fell between stages — driver-side work). */
   def peakStage: String = atPeak.mkString(" | ")
+  /** The stages live at the worst post-GC snapshot. */
+  def postGcPeakStage: String = atPostGcPeak.mkString(" | ")
   def xmxGb: Double = Runtime.getRuntime.maxMemory / 1e9
 }

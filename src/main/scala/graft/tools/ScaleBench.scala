@@ -49,21 +49,23 @@ object ScaleBench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.sharedState.cacheManager.clearCache()
     }
-    // returns (min-of-2 seconds, MAX peak heap GB across both runs,
-    // the stages live at that peak)
-    def time(name: String): (Double, Double, String) = {
-      def once(): (Double, Double, String) = {
+    // returns (min-of-2 seconds, MAX post-GC heap GB across both
+    // runs, the stages live at that worst snapshot, MAX old-gen
+    // after-GC GB)
+    def time(name: String): (Double, Double, String, Double) = {
+      def once(): (Double, Double, String, Double) = {
         PeakHeap.reset()
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
-        val (pk, st) = (PeakHeap.peakGb, PeakHeap.peakStage)
+        val r = (dt, PeakHeap.postGcPeakGb, PeakHeap.postGcPeakStage,
+          PeakHeap.oldGenPeakGb)
         cleanup()
-        (dt, pk, st)
+        r
       }
       val a = once(); val b = once()
-      val peak = if (a._2 >= b._2) a else b
-      (math.min(a._1, b._1), peak._2, peak._3)
+      val live = if (a._2 >= b._2) a else b
+      (math.min(a._1, b._1), live._2, live._3, math.max(a._4, b._4))
     }
 
     names.foreach { name =>
@@ -79,10 +81,15 @@ object ScaleBench {
   }
 
   private def runShapes(spark: SparkSession, sfDir: String, name: String,
-      time: String => (Double, Double, String)): Unit = {
+      time: String => (Double, Double, String, Double)): Unit = {
     {
       val shapes: Seq[(String, () => Unit, () => Unit)] =
-        if (PrefixQueries.contains(name)) Seq(
+        // GRAFT_SCALE_SHAPE=registry: time only the shipped shape (for
+        // heap-margin probes, where the naive comparison shape would
+        // multiply a long run for no new information)
+        if (sys.env.get("GRAFT_SCALE_SHAPE").contains("registry"))
+          Seq(("registry", () => (), () => ()))
+        else if (PrefixQueries.contains(name)) Seq(
           ("twophase", () => (), () => ()),
           ("naive_window",
             () => spark.conf.set(PrefixPass.NaiveConfKey, "true"),
@@ -100,10 +107,11 @@ object ScaleBench {
       shapes.foreach { case (shape, set, unset) =>
         set()
         try {
-          val (dt, peakGb, peakStage) = time(name)
-          val st = peakStage.replace("\\", "\\\\").replace("\"", "\\\"")
+          val (dt, liveGb, liveStage, oldGb) = time(name)
+          val st = liveStage.replace("\\", "\\\\").replace("\"", "\\\"")
           println(f"""{"query":"$name","shape":"$shape","sec":$dt%.3f,""" +
-            f""""peak_heap_gb":$peakGb%.2f,""" +
+            f""""post_gc_peak_gb":$liveGb%.2f,""" +
+            f""""old_gen_peak_gb":$oldGb%.2f,""" +
             f""""xmx_gb":${PeakHeap.xmxGb}%.2f,""" +
             s""""peak_stage":"$st","sf":"$sfDir"}""")
         } finally unset()
