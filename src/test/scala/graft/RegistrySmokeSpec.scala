@@ -41,10 +41,15 @@ class RegistrySmokeSpec extends AnyFunSuite {
     // centroid-similarity rows (one per centroid, a fixed index
     // parameter) — the corpus-scale work is the broadcast-centroid
     // scoring pass, which is never windowed
-    "q262_cluster_quota_sample" // apportionment windows run on the
+    "q262_cluster_quota_sample", // apportionment windows run on the
     // ≤256-row cell-count aggregate (2^8 LSH cells, an algorithm
     // constant); per-cell member selection is the mergeable TopK
     // aggregate, not a window
+    "q271_rrf_fusion" // the three rank windows order post-LIMIT
+    // shortlists: the two K=20 TakeOrdered outputs and their ≤40-row
+    // full outer join — all bounded by the shortlist constant K; the
+    // corpus-scale work is the two scans FEEDING the TakeOrdereds,
+    // which are per-partition heaps, never windowed
   )
 
   Queries.registry.filterNot(q => slow(q.name)).foreach { q =>
