@@ -30,4 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK-17 G1 GCLocker starvation mitigation: shuffle readers hold
+  // JNI critical regions while 32 task threads allocate page-sized
+  // arrays; the default of 2 retries turns a transient stall into
+  // "Retried waiting for GCLocker too often" -> spurious
+  // OutOfMemoryError (measured on the x100 heap-margin probes)
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 ) ++ sys.env.get("GRAFT_GC_LOG").map(f => s"-Xlog:gc*:file=$f").toSeq

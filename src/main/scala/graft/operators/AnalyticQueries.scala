@@ -651,7 +651,17 @@ object AnalyticQueries {
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
         .withColumn("deg",
           count(lit(1)).over(Window.partitionBy(col("src"))))
-        .localCheckpoint()
+        // persist, not localCheckpoint (round-15 heap hardening): the
+        // ×100 edge table is ~26M rows and is re-scanned every
+        // iteration — compressed columnar batches keep it ~5x smaller
+        // than deserialized checkpoint rows, leaving the unified pool
+        // to the per-iteration aggregates. (A bipartite-degree
+        // variant that drops this window entirely was measured 50%
+        // SLOWER at ×100: materializing `op` to feed two consumers
+        // breaks the okeys-join partitioning that lets the self-join
+        // pipeline shuffle-free, and the extra degree shuffles cost
+        // more than the one window sort.)
+        .persist()
       // per iteration the rank table joins map-side WHILE its measured
       // size (|parts| rows — constant across iterations, because the
       // symmetric edge relation makes every node a dst) stays under
@@ -663,7 +673,10 @@ object AnalyticQueries {
       // fall back to a shuffled equi-join on src against the
       // localCheckpoint'd edge table instead of overflowing the
       // broadcast ceiling — the same degradation q163's BFS uses.
-      val nodes = edgesDeg.select(col("src").as("part")).distinct()
+      val nodes = edgesDeg.select(col("src").as("part"))
+        // shuffle-first dedup (the q163 round-15 pattern): aggregate
+        // per slim key slice, never a fat-partition map-side map
+        .repartition(128, col("part")).distinct()
         .localCheckpoint()
       // one count on the checkpoint replaces the old 1-row nRow
       // aggregate AND its two broadcast cross-joins: n is a driver

@@ -936,20 +936,34 @@ object DedupQueries {
     * shingles, where q232's MinHash banding needs a whole-set
     * signature coincidence. Verify is ASYMMETRIC containment
     * |sh_train ∩ sh_eval| / |sh_eval| >= tau. */
+  /** The (doc_id, sh, nsh) 5-gram shingle table of one corpus side,
+    * materialized — the shared input of BOTH cross-corpus detector
+    * kernels. q232/q245 build their own; q247 builds each side ONCE
+    * and feeds the LSH and containment arms from the same checkpoint
+    * (round-14 advice #3: the verdict was paying the corpus
+    * tokenize+shingle pass and its checkpoint twice). */
+  private[graft] def decontamShingleTable(side: DataFrame): DataFrame =
+    side
+      .withColumn("sh", TextOps.shingleSet(TextOps.words(col("text")), 5))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+      .localCheckpoint()
+
   private[graft] def containmentDecontamParts(
       train: DataFrame, evalDocs: DataFrame, tau: Double = 0.8)
+      : (DataFrame, DataFrame) =
+    containmentDecontamPartsOn(
+      decontamShingleTable(train.select(col("doc_id"), col("text"))),
+      decontamShingleTable(evalDocs.select(col("doc_id"), col("text"))),
+      tau)
+
+  /** Containment kernel over PRE-BUILT shingle tables (see
+    * [[decontamShingleTable]]); identical plan to the text entry. */
+  private[graft] def containmentDecontamPartsOn(
+      shT: DataFrame, shE: DataFrame, tau: Double = 0.8)
       : (DataFrame, DataFrame) = {
-    def index(side: DataFrame): (DataFrame, DataFrame) = {
-      val c = side
-        .withColumn("sh", TextOps.shingleSet(TextOps.words(col("text")), 5))
-        .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
-        .localCheckpoint()
-      val ex = cappedPostings(
-        c.select(col("doc_id"), explode(col("sh")).as("s")))
-      (c, ex)
-    }
-    val (shT, exT) = index(train.select(col("doc_id"), col("text")))
-    val (shE, exE) = index(evalDocs.select(col("doc_id"), col("text")))
+    def postings(c: DataFrame): DataFrame =
+      cappedPostings(c.select(col("doc_id"), explode(col("sh")).as("s")))
+    val (exT, exE) = (postings(shT), postings(shE))
     val cand = exT.alias("t")
       .join(exE.alias("e"), col("t.s") === col("e.s"))
       .select(col("t.doc_id").as("train_id"), col("e.doc_id").as("eval_id"))
@@ -1589,32 +1603,35 @@ object DedupQueries {
   private[graft] def lshDecontamParts(
       train: DataFrame, evalDocs: DataFrame,
       bands: Int = 4, rowsPerBand: Int = 2, tau: Double = 0.5)
+      : (DataFrame, DataFrame) =
+    lshDecontamPartsOn(
+      decontamShingleTable(train.select(col("doc_id"), col("text"))),
+      decontamShingleTable(evalDocs.select(col("doc_id"), col("text"))),
+      bands, rowsPerBand, tau)
+
+  /** LSH kernel over PRE-BUILT shingle tables (see
+    * [[decontamShingleTable]]); identical plan to the text entry. */
+  private[graft] def lshDecontamPartsOn(
+      shT: DataFrame, shE: DataFrame,
+      bands: Int, rowsPerBand: Int, tau: Double)
       : (DataFrame, DataFrame) = {
-    def index(side: DataFrame): (DataFrame, DataFrame) = {
-      val c = side
-        .withColumn("sh", TextOps.shingleSet(TextOps.words(col("text")), 5))
-        .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
-        .localCheckpoint()
-      // concat, NOT concat_ws: a doc with < 5 words has an empty
-      // shingle set and NULL minhash components, and concat_ws would
-      // collapse those to md5('') — one shared constant bucket that
-      // cross-products every short train doc with every short eval
-      // doc AND diverges from the oracle's NULL-propagating list_min.
-      // concat propagates the NULL, the band hash stays NULL, and a
-      // null key never equi-joins: short docs generate no candidates
-      // on either engine.
-      val b = c
-        .withColumn("ms", graft.plans.MinHashSig.minhashSig(
-          col("sh"), bands * rowsPerBand))
-        .withColumn("bands", array((0 until bands).map(j =>
-          md5(concat((0 until rowsPerBand).map(r =>
-            element_at(col("ms"), rowsPerBand * j + r + 1)): _*))): _*))
-        .select(col("doc_id"),
-          posexplode(col("bands")).as(Seq("band_idx", "bh")))
-      (c, b)
-    }
-    val (shT, bandsT) = index(train.select(col("doc_id"), col("text")))
-    val (shE, bandsE0) = index(evalDocs.select(col("doc_id"), col("text")))
+    // concat, NOT concat_ws: a doc with < 5 words has an empty
+    // shingle set and NULL minhash components, and concat_ws would
+    // collapse those to md5('') — one shared constant bucket that
+    // cross-products every short train doc with every short eval
+    // doc AND diverges from the oracle's NULL-propagating list_min.
+    // concat propagates the NULL, the band hash stays NULL, and a
+    // null key never equi-joins: short docs generate no candidates
+    // on either engine.
+    def bandsOf(c: DataFrame): DataFrame = c
+      .withColumn("ms", graft.plans.MinHashSig.minhashSig(
+        col("sh"), bands * rowsPerBand))
+      .withColumn("bands", array((0 until bands).map(j =>
+        md5(concat((0 until rowsPerBand).map(r =>
+          element_at(col("ms"), rowsPerBand * j + r + 1)): _*))): _*))
+      .select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_idx", "bh")))
+    val (bandsT, bandsE0) = (bandsOf(shT), bandsOf(shE))
     // measurement is free: shE is localCheckpoint'd, so this count
     // reads cached blocks; bands are exactly `bands` rows per eval doc
     val bandsE = GatedBroadcast(bandsE0, shE.count() * bands)
@@ -1756,9 +1773,17 @@ object DedupQueries {
         .localCheckpoint()
       val evalDocs = nearCopy.unionByName(embedded)
         .unionByName(para.select(col("eval_id").as("doc_id"), col("text")))
-      val lsh = lshDecontamParts(docs, evalDocs,
-        bands = 8, rowsPerBand = 1)._2
-      val con = containmentDecontamParts(docs, evalDocs)._2
+      // shared-kernel discipline, round 15: each side's corpus-scale
+      // tokenize+shingle pass materializes ONCE and feeds both
+      // lexical arms (previously each arm re-built and re-checkpointed
+      // both sides — two full corpus passes and twice the pinned
+      // checkpoint blocks for identical frames)
+      val shT = decontamShingleTable(docs.select(col("doc_id"), col("text")))
+      val shE = decontamShingleTable(
+        evalDocs.select(col("doc_id"), col("text")))
+      val lsh = lshDecontamPartsOn(shT, shE,
+        bands = 8, rowsPerBand = 1, tau = 0.5)._2
+      val con = containmentDecontamPartsOn(shT, shE)._2
       val sem = SimilarityQueries.semanticDecontamParts(
         t(s, dir, "embeddings").select(col("vec_id"),
           transform(col("embedding"), x => x.cast(DoubleType)).as("v")),

@@ -563,11 +563,19 @@ object StatQueries {
       // both relations feed BOTH native set operators — materialize
       // the narrow tagged projection once so the fact is scanned once
       // (each un-checkpointed side was re-scanned per operator: 4
-      // source scans, round-6 plan audit)
+      // source scans, round-6 plan audit). Round 15 heap hardening:
+      // persist() keeps the 60M-row ×100 projection as compressed
+      // COLUMNAR batches (~5x smaller than the old localCheckpoint's
+      // deserialized rows, which pinned the whole unified pool and
+      // OOMed the 4g margin probe), and the explicit wide
+      // repartition on pkey makes every set-op aggregate downstream
+      // run on slim per-key slices instead of building
+      // full-fact-partition hash maps in all 32 tasks at once
       val base = t(s, dir, "lineitem")
         .select(col("l_partkey").as("pkey"),
           (col("l_quantity") > 25.0).as("hi"))
-        .localCheckpoint()
+        .repartition(128, col("pkey"))
+        .persist()
       val a = base.filter(col("hi")).select(col("pkey"))
       val b = base.filter(!col("hi")).select(col("pkey"))
       val ea = a.exceptAll(b).groupBy(col("pkey"))

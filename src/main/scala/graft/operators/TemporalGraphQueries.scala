@@ -70,48 +70,71 @@ object TemporalGraphQueries {
     """))
 
   /** Bounded multi-hop BFS over the co-purchase graph: hop distance
-    * (<= 3) from the smallest part key, Pregel-style — each round is one
-    * frontier-edge join plus an anti-join against the visited set, no
-    * driver-side state. The edge list shuffles once on src and is
-    * reused by every round. On a dense co-purchase graph two hops
-    * reach most of the component, so at 100x the visited set is
-    * dimension-sized (multi-GB) — frontier and visited set are
-    * therefore broadcast ONLY while their materialized row counts
-    * stay under [[GatedBroadcast]]'s limit (counts are free on the
-    * per-round localCheckpoints); larger rounds run as shuffled
-    * hash / left_anti joins on the node key and degrade gracefully
-    * instead of dying at the broadcast ceiling. The oracle is the
-    * same traversal unrolled as three SQL joins.
+    * (<= 3) from the smallest part key, Pregel-style — no driver-side
+    * state beyond per-round row counts. Round 15 reshapes the
+    * traversal to the BIPARTITE part↔order incidence list: a round is
+    * frontier → orders (join on part key) → parts (join on order
+    * key) → anti-join visited. The previous shape pre-materialized
+    * the co-purchase EDGE list (the incidence self-join) — quadratic
+    * in basket size, ~180M rows / the whole 8 GiB heap at ×100,
+    * where the incidence list is linear (one (order, part) row per
+    * lineitem) and two orders of magnitude smaller; reachability is
+    * IDENTICAL (a part sharing an order with a frontier part is
+    * exactly a bipartite 2-step, and the self-pair the edge filter
+    * excluded is absorbed by the visited anti-join). Each round's
+    * intermediate order set dedupes before the second hop, so a hot
+    * order never fans out twice. On a dense co-purchase graph two
+    * hops reach most of the component, so at 100x the visited set is
+    * dimension-sized — frontier/order/visited sides are broadcast
+    * ONLY while their materialized row counts stay under
+    * [[GatedBroadcast]]'s limit (counts are free on the per-round
+    * localCheckpoints); larger rounds run as shuffled hash /
+    * left_anti joins and degrade gracefully. An exhausted frontier
+    * short-circuits the remaining rounds. The oracle is the same
+    * traversal unrolled as three SQL joins.
     */
   private val q163 = Q(
     "q163_bfs_hops",
     (s, dir) => {
+      // High-cardinality dedups here shuffle FIRST (an explicit wide
+      // repartition on the grouping keys — user-pinned, so AQE keeps
+      // the width), THEN aggregate: the hash map each task builds is
+      // bounded by its slim key slice. The default plan's map-side
+      // partial aggregation over fat scan/join partitions built
+      // ~100-200 MB maps in all 32 tasks at once and was the measured
+      // ×100 execution-memory OOM storm (UNABLE_TO_ACQUIRE_MEMORY in
+      // BytesToBytesMap.<init>).
+      val DedupParts = 128
+      // the incidence list is reused 2x per round: persist() keeps it
+      // as compressed COLUMNAR batches (~5x smaller than a
+      // localCheckpoint's deserialized rows), so it doesn't crowd the
+      // unified memory pool the round aggregates allocate from
       val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      // No edge-level distinct: duplicate (src,dst) pairs cannot change
-      // a reachability result (the frontier dedupes), and dropping it
-      // saves a full-width shuffle of the pair stream.
-      val edges = li.as("a")
-        .join(li.as("b"), Seq("l_orderkey"))
-        .filter(col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .localCheckpoint() // reused 3x; cut the self-join lineage
+        .select(col("l_orderkey"), col("l_partkey"))
+        .repartition(DedupParts, col("l_orderkey"), col("l_partkey"))
+        .distinct()
+        .persist()
       val seed = li.agg(min(col("l_partkey")).as("node"))
       var dist = seed.withColumn("hops", lit(0L)).localCheckpoint()
       var frontier = dist.select(col("node"))
       var frontierRows = 1L
       var distRows = 1L
-      // adaptive per-round strategy: broadcast a side only while its
-      // KNOWN size (counted on the previous round's checkpoint) is
-      // under the limit — small rounds are map-side joins with zero
-      // edge shuffles, big rounds shuffle on the node key instead of
-      // overflowing the broadcast ceiling
-      for (h <- 1 to 3) {
-        val next = edges
+      for (h <- 1 to 3; if frontierRows > 0) {
+        val orders = li
           .join(GatedBroadcast(frontier, frontierRows),
-            edges("src") === frontier("node"))
-          .select(col("dst").as("node")).distinct()
+            li("l_partkey") === frontier("node"))
+          .select(col("l_orderkey"))
+          .repartition(DedupParts, col("l_orderkey")).distinct()
+          .localCheckpoint() // measured for the gate below
+        // visited-set anti-join BEFORE the node dedup: on a dense
+        // graph the late rounds' candidates are almost all visited,
+        // so the dedup aggregates only the few survivors instead of
+        // every node key
+        val next = li
+          .join(GatedBroadcast(orders, orders.count()), Seq("l_orderkey"))
+          .select(col("l_partkey").as("node"))
           .join(GatedBroadcast(dist, distRows), Seq("node"), "left_anti")
+          .repartition(DedupParts, col("node")).distinct()
           .withColumn("hops", lit(h.toLong))
           .localCheckpoint() // keep per-round plans constant-size
         frontierRows = next.count()
