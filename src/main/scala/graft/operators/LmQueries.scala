@@ -243,8 +243,20 @@ object LmQueries {
         .select(col("doc_id"), col("source"), explode(col("ngs")).as("ng"))
         .select(col("doc_id"), col("source"),
           (md5Int32(col("ng")) % 1024).as("b"))
-      val docB = feats.groupBy(col("doc_id"), col("source"), col("b"))
-        .agg(count(lit(1)).as("cnt")).localCheckpoint()
+      val docB = feats
+        // shuffle-first aggregate (round-15 heap hardening): the
+        // doc×bucket histogram has ~100 groups per document, so the
+        // map-side maps over fat explode partitions held most of the
+        // corpus at ×100 and OOMed the 4 GiB margin probe; shuffling
+        // the skinny feature rows first bounds every map to a slim
+        // key slice
+        .repartition(128, col("doc_id"), col("b"))
+        .groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+        // columnar persist, not localCheckpoint: the histogram is
+        // ~100 rows/doc (multi-GB deserialized at ×100) and is read
+        // twice (bucket totals + weight join)
+        .persist()
       val stats = docB.groupBy(col("b"))
         .agg(sum(when(col("source").isin(RefTier: _*), col("cnt"))
           .otherwise(lit(0L))).as("ct"), sum(col("cnt")).as("cr"))
