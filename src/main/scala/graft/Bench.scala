@@ -140,8 +140,13 @@ object Bench {
         // text queries late in the run).
         def cleanup(): Unit = {
           graft.operators.PrefixPass.releaseAll()
+          // BLOCKING unpersist (round 15): with unpersist(false) the
+          // next query starts allocating while the previous query's
+          // multi-GB checkpoint blocks are still draining — measured
+          // as the q245→q247 in-context hard OOM at ×100 (two copies
+          // of the corpus shingle table alive at once)
           spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(false))
+            .foreach(_.unpersist(true))
           spark.sharedState.cacheManager.clearCache()
           try spark.catalog.listTables().collect()
             .filter(t => t.name.startsWith("graft_"))

@@ -51,7 +51,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       graft.operators.PrefixPass.releaseAll()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.sharedState.cacheManager.clearCache()
       try spark.catalog.listTables().collect()
         .filter(t => t.name.startsWith("graft_"))

@@ -54,7 +54,9 @@ object ScaleBench {
 
     def cleanup(): Unit = {
       PrefixPass.releaseAll()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // blocking, so the next measurement never overlaps the previous
+      // run's draining blocks (see Bench.cleanup)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.sharedState.cacheManager.clearCache()
     }
     // returns (min-of-2 seconds, MAX post-GC heap GB across both
