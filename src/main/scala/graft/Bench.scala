@@ -7,14 +7,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // bound Tungsten page allocations: the default local[32]/8g page
-      // sizing produced humongous G1 allocations whose GCLocker stalls
-      // OOMed the x100 heap-margin probes (round-15 hardening)
-      .config("spark.buffer.pageSize", "2m")
-      // the spill read-ahead thread allocates its buffers inside JNI
-      // critical regions; under 32 spilling tasks those regions
-      // starve the G1 GCLocker (same probe) — disable it
-      .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
+      // stability tuning from the round-15 heap-margin campaign —
+      // see graft.tools.HarnessConf
+      .config(graft.tools.HarnessConf.tuning)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -148,6 +143,13 @@ object Bench {
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(true))
           spark.sharedState.cacheManager.clearCache()
+          // Broadcast blocks are reclaimed by ContextCleaner only
+          // after a GC collects their driver references; without a
+          // forced GC, seven heavy dedup/BPE queries' broadcasts were
+          // still resident when q247 ran at ×100 and the heap died
+          // (the Context Cleaner thread itself OOMed — round-15 sweep
+          // post-mortem). One System.gc() per query bounds that lag.
+          System.gc()
           try spark.catalog.listTables().collect()
             .filter(t => t.name.startsWith("graft_"))
             .foreach(t => spark.catalog.dropTempView(t.name))

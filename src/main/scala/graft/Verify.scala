@@ -14,14 +14,9 @@ object Verify {
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
-      // bound Tungsten page allocations: the default local[32]/8g page
-      // sizing produced humongous G1 allocations whose GCLocker stalls
-      // OOMed the x100 heap-margin probes (round-15 hardening)
-      .config("spark.buffer.pageSize", "2m")
-      // the spill read-ahead thread allocates its buffers inside JNI
-      // critical regions; under 32 spilling tasks those regions
-      // starve the G1 GCLocker (same probe) — disable it
-      .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
+      // stability tuning from the round-15 heap-margin campaign —
+      // see graft.tools.HarnessConf
+      .config(graft.tools.HarnessConf.tuning)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")

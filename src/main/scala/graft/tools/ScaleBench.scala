@@ -38,14 +38,9 @@ object ScaleBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // bound Tungsten page allocations: the default local[32]/8g page
-      // sizing produced humongous G1 allocations whose GCLocker stalls
-      // OOMed the x100 heap-margin probes (round-15 hardening)
-      .config("spark.buffer.pageSize", "2m")
-      // the spill read-ahead thread allocates its buffers inside JNI
-      // critical regions; under 32 spilling tasks those regions
-      // starve the G1 GCLocker (same probe) — disable it
-      .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
+      // stability tuning from the round-15 heap-margin campaign —
+      // see graft.tools.HarnessConf
+      .config(graft.tools.HarnessConf.tuning)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -58,6 +53,8 @@ object ScaleBench {
       // run's draining blocks (see Bench.cleanup)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.sharedState.cacheManager.clearCache()
+      // deterministic broadcast reclamation (see Bench.cleanup)
+      System.gc()
     }
     // returns (min-of-2 seconds, MAX post-GC heap GB across both
     // runs, the stages live at that worst snapshot, MAX old-gen
