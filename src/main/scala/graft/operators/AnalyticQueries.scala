@@ -675,8 +675,11 @@ object AnalyticQueries {
       // broadcast ceiling — the same degradation q163's BFS uses.
       val nodes = edgesDeg.select(col("src").as("part"))
         // shuffle-first dedup (the q163 round-15 pattern): aggregate
-        // per slim key slice, never a fat-partition map-side map
-        .repartition(128, col("part")).distinct()
+        // per slim key slice, never a fat-partition map-side map;
+        // width from nOrders × ~12 co-purchase pairs per order
+        .repartition(ShufflePlan.dedupParts(edgesDeg, nOrders * 12),
+          col("part"))
+        .distinct()
         .localCheckpoint()
       // one count on the checkpoint replaces the old 1-row nRow
       // aggregate AND its two broadcast cross-joins: n is a driver

@@ -63,3 +63,22 @@ object GatedBroadcast {
   def iterative(df: DataFrame, measuredRows: Long): DataFrame =
     if (measuredRows <= rowLimit(df) / 10) broadcast(df) else df
 }
+
+/** Width chooser for the round-15 SHUFFLE-FIRST DEDUP pattern: a
+  * high-cardinality groupBy/distinct repartitions on its grouping
+  * keys FIRST so every aggregation hash map is bounded by a slim key
+  * slice (map-side partial aggregation over fat partitions was the
+  * measured ×100 execution-memory OOM storm — SCALE.md round 15).
+  * The width scales with the MEASURED input rows (~500k rows per
+  * slice) and floors at the session's shuffle width, so small
+  * fixtures pay no extra-task latency tax (a fixed 128 cost q163
+  * +7.6s at sf0.1) while big ones get the slim slices that keep the
+  * 4 GiB margin probe green. */
+object ShufflePlan {
+  def dedupParts(df: org.apache.spark.sql.DataFrame,
+      inputRows: Long): Int = {
+    val base = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    math.min(256, math.max(base, (inputRows / 500000L).toInt))
+  }
+}

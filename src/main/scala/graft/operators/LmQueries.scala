@@ -249,8 +249,11 @@ object LmQueries {
         // map-side maps over fat explode partitions held most of the
         // corpus at ×100 and OOMed the 4 GiB margin probe; shuffling
         // the skinny feature rows first bounds every map to a slim
-        // key slice
-        .repartition(128, col("doc_id"), col("b"))
+        // key slice. Width from the measured doc count × ~128
+        // unigram+bigram features per fixture doc.
+        .repartition(ShufflePlan.dedupParts(feats,
+          t(s, dir, "documents").count() * 128),
+          col("doc_id"), col("b"))
         .groupBy(col("doc_id"), col("source"), col("b"))
         .agg(count(lit(1)).as("cnt"))
         // columnar persist, not localCheckpoint: the histogram is

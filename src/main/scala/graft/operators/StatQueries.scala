@@ -571,10 +571,14 @@ object StatQueries {
       // repartition on pkey makes every set-op aggregate downstream
       // run on slim per-key slices instead of building
       // full-fact-partition hash maps in all 32 tasks at once
-      val base = t(s, dir, "lineitem")
+      val liScan = t(s, dir, "lineitem")
+      val base = liScan
         .select(col("l_partkey").as("pkey"),
           (col("l_quantity") > 25.0).as("hi"))
-        .repartition(128, col("pkey"))
+        // width from the measured fact size (metadata-only count)
+        .repartition(
+          graft.operators.ShufflePlan.dedupParts(liScan, liScan.count()),
+          col("pkey"))
         .persist()
       val a = base.filter(col("hi")).select(col("pkey"))
       val b = base.filter(!col("hi")).select(col("pkey"))

@@ -104,12 +104,16 @@ object TemporalGraphQueries {
       // ~100-200 MB maps in all 32 tasks at once and was the measured
       // ×100 execution-memory OOM storm (UNABLE_TO_ACQUIRE_MEMORY in
       // BytesToBytesMap.<init>).
-      val DedupParts = 128
+      // width from the MEASURED fact size (metadata-only parquet
+      // count): slim slices at x100, no extra-task latency tax at
+      // sf0.1 (a fixed 128 cost +7.6s there)
+      val liScan = t(s, dir, "lineitem")
+      val DedupParts = ShufflePlan.dedupParts(liScan, liScan.count())
       // the incidence list is reused 2x per round: persist() keeps it
       // as compressed COLUMNAR batches (~5x smaller than a
       // localCheckpoint's deserialized rows), so it doesn't crowd the
       // unified memory pool the round aggregates allocate from
-      val li = t(s, dir, "lineitem")
+      val li = liScan
         .select(col("l_orderkey"), col("l_partkey"))
         .repartition(DedupParts, col("l_orderkey"), col("l_partkey"))
         .distinct()
