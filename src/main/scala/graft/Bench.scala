@@ -2,14 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
-  private def newSession(cpus: String): SparkSession = {
+  private def newSession(cpus: String, sfDir: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // stability tuning from the round-15 heap-margin campaign —
-      // see graft.tools.HarnessConf
-      .config(graft.tools.HarnessConf.tuning)
+      // scale-conditional stability tuning (round-15 heap-margin
+      // campaign + round-16 floor attribution) — see HarnessConf
+      .config(graft.tools.HarnessConf.tuning(sfDir))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -98,8 +98,16 @@ object Bench {
     val repeats = sys.env.getOrElse("GRAFT_BENCH_REPEATS", "2").toInt.max(1)
     val repeatThreshold =
       sys.env.getOrElse("GRAFT_BENCH_REPEAT_THRESHOLD", "1.0").toDouble
-    var spark = newSession(cpus)
-    graft.tools.PeakHeap.install(spark.sparkContext)
+    // A/B gates for floor-attribution experiments (round-16 advice #1):
+    // GRAFT_PEAKHEAP=off skips the heap listener+sampler entirely;
+    // GRAFT_FORCE_GC controls the inter-query System.gc(): "always"
+    // (round-15 behavior), "off", or "auto" (only after a query whose
+    // measured post-GC footprint says broadcast/checkpoint residue is
+    // actually worth collecting — the scale-conditional default).
+    val peakHeapOn = sys.env.getOrElse("GRAFT_PEAKHEAP", "on") != "off"
+    val forceGcMode = sys.env.getOrElse("GRAFT_FORCE_GC", "auto")
+    var spark = newSession(cpus, sfDir)
+    if (peakHeapOn) graft.tools.PeakHeap.install(spark.sparkContext)
     // per-query peak-heap observations for the SCALE.md margin table;
     // written to a BENCH_HEAP.json sidecar, never the stdout contract
     val heapObs = scala.collection.mutable.ArrayBuffer
@@ -118,8 +126,8 @@ object Bench {
           spark.stop()
           SparkSession.clearActiveSession()
           SparkSession.clearDefaultSession()
-          spark = newSession(cpus)
-          graft.tools.PeakHeap.install(spark.sparkContext)
+          spark = newSession(cpus, sfDir)
+          if (peakHeapOn) graft.tools.PeakHeap.install(spark.sparkContext)
           // re-warm the fresh context: table scans (empty block manager,
           // cold footer caches) plus the streaming machinery; JIT and
           // the codegen cache persist across recycles for free
@@ -148,15 +156,28 @@ object Bench {
           // forced GC, seven heavy dedup/BPE queries' broadcasts were
           // still resident when q247 ran at ×100 and the heap died
           // (the Context Cleaner thread itself OOMed — round-15 sweep
-          // post-mortem). One System.gc() per query bounds that lag.
-          System.gc()
+          // post-mortem). But a Full GC also clears the WEAK/SOFT
+          // reference caches every small query relies on (codegen
+          // classloaders, parquet footers), so running it after ALL
+          // 268 queries taxes the sf0.1 floor. "auto" forces it only
+          // when the query's measured post-GC footprint says there is
+          // actually multi-GB residue worth collecting — heavy ×100
+          // queries still get their GC, sub-second queries don't.
+          val gcNow = forceGcMode match {
+            case "always" => true
+            case "off"    => false
+            case _ => // auto: measured-footprint gate
+              !peakHeapOn || graft.tools.PeakHeap.postGcPeakGb >=
+                sys.env.getOrElse("GRAFT_FORCE_GC_GB", "1.5").toDouble
+          }
+          if (gcNow) System.gc()
           try spark.catalog.listTables().collect()
             .filter(t => t.name.startsWith("graft_"))
             .foreach(t => spark.catalog.dropTempView(t.name))
           catch { case _: Throwable => () }
         }
         def once(): (Double, Boolean) = {
-          graft.tools.PeakHeap.reset()
+          if (peakHeapOn) graft.tools.PeakHeap.reset()
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
             catch { case _: Throwable => false }

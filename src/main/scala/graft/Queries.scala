@@ -605,7 +605,8 @@ object Queries {
     graft.operators.BpeQueries.registry ++
     graft.operators.LmQueries.registry ++
     graft.operators.RetrievalQueries.registry ++
-    graft.operators.UnigramQueries.registry
+    graft.operators.UnigramQueries.registry ++
+    graft.operators.LshIndexQueries.registry
 
   // NO stripMargin here: its margin char is '|', so an oracle line that
   // begins with a '||' concatenation would silently lose a pipe

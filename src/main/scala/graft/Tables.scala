@@ -19,6 +19,33 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
 
+  private val rowCountMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Row count of a fixture table, for sizing shuffles from the
+    * MEASURED input (ShufflePlan.dedupParts). DataFrame.count() on a
+    * bare parquet scan is cheap — an empty-projection scan answered
+    * from row-group counts — but it is still a real Spark job, and it
+    * would otherwise re-run at every plan build of every query that
+    * sizes itself this way. Memoized per (path, part-file
+    * length+mtime signature): a regenerated fixture changes the
+    * signature and recounts; a stable one counts once per JVM. */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val sig = try {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      val parts =
+        if (st.isDirectory) fs.listStatus(p).toSeq.filter(_.isFile)
+        else Seq(st)
+      parts.map(f =>
+          s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+        .sorted.mkString(",")
+    } catch { case _: Throwable => "unknown" }
+    rowCountMemo.getOrElseUpdate(s"$p|$sig",
+      load(spark, dir, name).count())
+  }
+
   /** Normalize an event-time `ts` column to TimestampType whatever the
     * fixture's physical parquet encoding. The generator has shipped
     * three encodings across rounds — TIMESTAMP(NANOS) (arrives as

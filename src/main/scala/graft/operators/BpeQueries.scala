@@ -153,12 +153,16 @@ object BpeQueries {
   /** Tail-content hash memo keyed by (path, length, mtime): a probe
     * whose metadata triple is unchanged reuses the hash instead of
     * re-opening the part file, keeping repeat cache-validity checks
-    * metadata-only (one listStatus, zero data reads). A regenerated
-    * part changes mtime (or length) and misses the memo, so the
-    * content evidence below is still gathered exactly when it can
-    * have changed. */
+    * metadata-only (one listStatus, zero data reads). The memo is the
+    * same staleness hole the tail hash exists to close — a part
+    * rewritten at equal byte length within the filesystem's mtime
+    * granularity would reuse a stale hash — so files whose mtime is
+    * YOUNGER than [[mtimeSettleMs]] are hashed fresh every probe and
+    * only settle into the memo once their mtime can no longer be
+    * ambiguous. */
   private val tailHashMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val mtimeSettleMs = 5000L
 
   private[operators] def fingerprint(s: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
@@ -177,7 +181,7 @@ object BpeQueries {
     val sig = parts.map { f =>
       val memoKey =
         s"${f.getPath.toUri}:${f.getLen}:${f.getModificationTime}"
-      val tailMd5 = tailHashMemo.getOrElseUpdate(memoKey, {
+      def hashTail(): String = {
         val tailLen = math.min(f.getLen, 4096L).toInt
         val buf = new Array[Byte](math.max(tailLen, 0))
         if (tailLen > 0) {
@@ -186,7 +190,14 @@ object BpeQueries {
         }
         java.security.MessageDigest.getInstance("MD5")
           .digest(buf).map(b => f"$b%02x").mkString
-      })
+      }
+      // recently-modified parts never enter the memo: their mtime can't
+      // yet distinguish a same-length rewrite
+      val settled = System.currentTimeMillis() -
+        f.getModificationTime >= mtimeSettleMs
+      val tailMd5 =
+        if (settled) tailHashMemo.getOrElseUpdate(memoKey, hashTail())
+        else hashTail()
       s"${f.getPath.getName}:${f.getLen}:$tailMd5"
     }.sorted.mkString("|")
     java.security.MessageDigest.getInstance("MD5")

@@ -374,15 +374,15 @@ object DedupQueries {
     * components come from one native pass over the shingles
     * (graft.plans.MinHashSig) instead of 8 interpreted HOF columns. */
   private[graft] def minhashBandTable(
-      withSh: DataFrame, idCol: String): DataFrame = {
+      withSh: DataFrame, idCols: String*): DataFrame = {
     val withMin = withSh.withColumn("ms",
       graft.plans.MinHashSig.minhashSig(col("sh"), 8))
     val withBands = withMin.withColumn("bands",
       array((0 until 4).map(j =>
         md5(concat(element_at(col("ms"), 2 * j + 1),
           element_at(col("ms"), 2 * j + 2)))): _*))
-    withBands.select(col(idCol),
-      posexplode(col("bands")).as(Seq("band_idx", "bh")))
+    withBands.select(idCols.map(col) :+
+      posexplode(col("bands")).as(Seq("band_idx", "bh")): _*)
   }
 
   private[graft] def lshBandParts(docs: DataFrame): (DataFrame, DataFrame) = {

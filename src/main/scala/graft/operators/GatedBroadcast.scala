@@ -75,10 +75,22 @@ object GatedBroadcast {
   * +7.6s at sf0.1) while big ones get the slim slices that keep the
   * 4 GiB margin probe green. */
 object ShufflePlan {
+  /** The 256 cap is sized for THIS harness (single 8 GiB local[32]
+    * JVM — 256 × 500k-row slices ≈ the ×100 fixture's upper bound,
+    * and more tasks only add latency here). On a real cluster the
+    * bounded-hash-map property needs the cap to scale with executor
+    * count: beyond ~128M input rows per-slice cardinality grows
+    * unbounded again, so deployments should raise the cap to
+    * O(totalCores × a small factor) via spark.sql.shuffle.partitions,
+    * which this floor tracks. */
   def dedupParts(df: org.apache.spark.sql.DataFrame,
       inputRows: Long): Int = {
     val base = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
-    math.min(256, math.max(base, (inputRows / 500000L).toInt))
+    // cap floors at 8× the session shuffle width so a cluster-sized
+    // session (e.g. 2000 shuffle partitions) is never clamped to the
+    // local harness's 256
+    math.min(math.max(256, base * 8),
+      math.max(base, (inputRows / 500000L).toInt))
   }
 }

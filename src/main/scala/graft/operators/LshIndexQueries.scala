@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+import graft.functions.TextOps
+
+/** q276 — the MAINTAINED banded-MinHash dedup index (round-15 advice
+  * #5). q51/q133 rebuild their LSH state per run; a production corpus
+  * pipeline instead PERSISTS the banded signature table and grows it
+  * incrementally: train-once on the standing corpus shard, then MERGE
+  * each arriving shard's signatures in — never re-shingle history.
+  *
+  * The enabling algebraic fact (the q140 incremental-maintenance
+  * contract applied to dedup): a doc's signature rows depend only on
+  * its own text, so `merge(index(A), signatures(B)) == index(A ∪ B)`
+  * as sets — LshIndexSpec proves the equivalence directly, and the
+  * registry query's oracle re-derives the same statistics from the
+  * FULL corpus from scratch (the artifact path and the from-scratch
+  * path must agree exactly or the hash check fails).
+  *
+  * Artifact layout (the q242/q272 tokenizer-artifact pattern:
+  * fingerprint-keyed path, tmp+rename publish, _GRAFT_OK marker,
+  * in-JVM memo, counted builds for the spec):
+  *   {warehouse}/graft_lshidx/{tag}_{corpus-fingerprint}/rows/
+  * holding narrow (doc_id, h, band_idx, bh) rows — signatures only,
+  * never shingles: at 100 TB the index is ~4 small rows per document
+  * while shingle sets are the corpus itself.
+  */
+object LshIndexQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) =
+    Tables.load(Tables.tuned(s), dir, n)
+
+  /** Standing-shard predicate: 3/4 of the corpus is "history", the
+    * remaining quarter is the arriving shard the merge path folds in.
+    * Deterministic and oracle-expressible (doc_id % 4). */
+  private val shardMod = 4L
+  private def isHistory(c: org.apache.spark.sql.Column) =
+    c % shardMod =!= (shardMod - 1)
+
+  /** Banded signature rows for a document frame: (doc_id, h, band_idx,
+    * bh). h is the exact-dup content hash (md5 of the normalized
+    * text); band hashes come from the q51/q241 shared
+    * [[DedupQueries.minhashBandTable]] kernel (8 MinHash components,
+    * 4 bands of 2) so the maintained index can never drift from the
+    * per-run queries' banding scheme. Documents with NULL normalized
+    * text carry no signature (the q51 discipline); empty shingle sets
+    * yield NULL band hashes and are dropped here — a <5-word document
+    * has no 5-gram identity and a NULL "bucket" would otherwise
+    * glue all such docs into one giant candidate clique. */
+  private[graft] def signatures(docs: DataFrame): DataFrame = {
+    val withSh = docs
+      .withColumn("nt", TextOps.norm(col("text")))
+      .filter(col("nt").isNotNull)
+      .select(col("doc_id"), md5(col("nt")).as("h"),
+        TextOps.shingleSet(split(col("nt"), " "), 5).as("sh"))
+    DedupQueries.minhashBandTable(withSh, "doc_id", "h")
+      .filter(col("bh").isNotNull)
+      .select(col("doc_id"), col("h"),
+        col("band_idx").cast(LongType).as("band_idx"), col("bh"))
+  }
+
+  // -------------------------------------------------------------------
+  // Artifact machinery (the BpeQueries pattern)
+  // -------------------------------------------------------------------
+
+  /** Thunks, not frames: artifact-backed entries re-read parquet per
+    * call so the harness's between-query storage cleanup can't leave a
+    * dangling checkpoint reference. */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[String, () => DataFrame]
+
+  /** Build counter observable by LshIndexSpec: proves the memo and the
+    * artifact load path short-circuit recomputation. */
+  private[graft] val buildCount =
+    new java.util.concurrent.atomic.AtomicLong
+
+  private[graft] def resetMemoForTest(): Unit = memo.clear()
+
+  private[graft] def artifactPath(
+      s: SparkSession, dir: String, tag: String): String = {
+    val wh = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    s"$wh/graft_lshidx/${tag}_${BpeQueries.fingerprint(s, dir)}"
+  }
+
+  /** Load the artifact at `base` if published, else build it with
+    * `mk`, publish (write-to-tmp + atomic rename, losers of a publish
+    * race keep the winner's identical content), and return the
+    * artifact-backed reader — falling back to the in-memory frame only
+    * if the warehouse is unwritable. */
+  private def loadOrBuild(s: SparkSession, base: String,
+      mk: () => DataFrame): () => DataFrame =
+    memo.getOrElseUpdate(s"${s.sparkContext.applicationId}|$base", {
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val ok = new org.apache.hadoop.fs.Path(basePath, "_GRAFT_OK")
+      if (fs.exists(ok)) { () => s.read.parquet(s"$base/rows") }
+      else {
+        buildCount.incrementAndGet()
+        val rows = mk()
+        val published = try {
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$base.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+          rows.write.parquet(s"$tmp/rows")
+          fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_OK"), true)
+            .close()
+          if (fs.exists(basePath) || !fs.rename(tmp, basePath))
+            fs.delete(tmp, true)
+          fs.exists(ok)
+        } catch { case scala.util.control.NonFatal(_) => false }
+        if (published) { () => s.read.parquet(s"$base/rows") }
+        else { val fallback = rows.localCheckpoint(); () => fallback }
+      }
+    })
+
+  /** The standing index: signatures of the history shard, persisted
+    * once per corpus fingerprint. */
+  private[graft] def historyIndex(
+      s: SparkSession, dir: String): () => DataFrame =
+    loadOrBuild(s, artifactPath(s, dir, "hist"), () =>
+      signatures(t(s, dir, "documents")
+        .filter(isHistory(col("doc_id")))))
+
+  /** The maintained merged index: history artifact UNION the arriving
+    * shard's freshly-computed signatures — history is never
+    * re-shingled (its rows come off the parquet artifact), which is
+    * the whole point of maintaining the index: at 100 TB the arriving
+    * shard is the only text that gets tokenized. The merged result is
+    * itself published (tag "merged"), so the NEXT shard merges on top
+    * of this one — train-once / merge-many. */
+  private[graft] def mergedIndex(
+      s: SparkSession, dir: String): () => DataFrame =
+    loadOrBuild(s, artifactPath(s, dir, "merged"), () =>
+      historyIndex(s, dir)().unionByName(
+        signatures(t(s, dir, "documents")
+          .filter(!isHistory(col("doc_id"))))))
+
+  /** Index-health statistics off the MERGED artifact: per band, how
+    * many buckets exist, how many hold ≥2 docs (candidate-generating),
+    * the candidate-pair mass Σ m·(m−1)/2 computed FROM BUCKET SIZES
+    * (never materializing pairs — the posting-cap lesson), how many
+    * multi-doc buckets mix distinct contents (near-dup signal rather
+    * than exact-copy echo), and the largest bucket (the skew number a
+    * deployment watches before a band join). The oracle recomputes
+    * everything from the raw corpus from scratch — artifact content
+    * and from-scratch banding must agree bit-for-bit. */
+  private val q276 = Q(
+    "q276_lsh_index_maintain",
+    (s, dir) => {
+      val idx = mergedIndex(s, dir)()
+      idx.groupBy(col("band_idx"), col("bh"))
+        .agg(count(lit(1)).as("m"),
+          count_distinct(col("h")).as("g"))
+        .groupBy(col("band_idx"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("m") > 1, 1L).otherwise(0L)).as("n_multi_buckets"),
+          sum(expr("m * (m - 1) div 2")).as("n_cand_pairs"),
+          sum(when(col("g") > 1, 1L).otherwise(0L)).as("n_mixed_buckets"),
+          max(col("m")).as("max_bucket"))
+        .orderBy(col("band_idx"))
+    },
+    Some {
+      val mins = (0 until 8).map(i =>
+        s"list_min([md5('$i|'||s) FOR s IN sh]) AS m$i").mkString(", ")
+      val bandSelects = (0 until 4).map(j =>
+        s"SELECT doc_id, h, CAST($j AS BIGINT) AS band_idx, " +
+          s"md5(m${2 * j}||m${2 * j + 1}) AS bh FROM mh")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH c AS (
+        SELECT doc_id, md5(nt) AS h,
+               list_distinct([array_to_string(w[i+1:i+5],' ')
+                              FOR i IN range(len(w)-4)]) AS sh
+        FROM (SELECT doc_id, nt, string_split(nt, ' ') AS w
+              FROM (SELECT doc_id,
+                           regexp_replace(trim(lower(text)),'\\s+',' ','g')
+                             AS nt
+                    FROM documents)
+              WHERE nt IS NOT NULL)),
+      mh AS (SELECT doc_id, h, $mins FROM c),
+      bands AS ($bandSelects),
+      b AS (SELECT band_idx, bh, COUNT(*) AS m, COUNT(DISTINCT h) AS g
+            FROM bands WHERE bh IS NOT NULL GROUP BY 1, 2)
+      SELECT band_idx, COUNT(*) AS n_buckets,
+             CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_multi_buckets,
+             CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS n_cand_pairs,
+             CAST(SUM(CASE WHEN g > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mixed_buckets,
+             MAX(m) AS max_bucket
+      FROM b GROUP BY 1 ORDER BY 1
+      """
+    })
+
+  val registry: Seq[Q] = Seq(q276)
+}

@@ -1682,9 +1682,131 @@ object PipelineQueries {
       })
   }
 
+  /** Time-travel over the CDC change log (round-15 advice #6): the
+    * lakehouse family (merge-upsert q98, snapshot diff q115/q116, SCD2
+    * q149, compaction q160) could diff and replay versions but never
+    * RECONSTRUCT one — "the table AS OF change-sequence k" is the
+    * query a debugging/reproducibility workflow actually asks.
+    *
+    * Reconstruction is one aggregation: the last change with seq ≤ k
+    * per key (`max_by` — map-side-combinable constant state per key:
+    * no per-key window, no sort, ONE shuffle on the key), dropping
+    * keys whose last change is a delete. CdcSnapshotSpec proves the
+    * lakehouse invariant that makes snapshots trustworthy:
+    * replay(snapshot(k), changes k+1..max) ≡ snapshot(max).
+    */
+  private val q277 = Q(
+    "q277_cdc_asof_snapshot",
+    (s, dir) => {
+      val log = CdcOps.changeLog(t(s, dir, "orders"))
+      // AS-OF point derived from the log itself (60% through the
+      // sequence space) so the query exercises mid-history
+      // reconstruction at every SF; 1-row broadcast, never a shuffle
+      val kAt = log.agg(expr("max(seq) * 3 div 5").as("asof_seq"))
+      CdcOps.snapshotAsOf(log, kAt)
+        .groupBy(col("op"), col("asof_seq"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("price")).cast(DoubleType).as("sum_price"),
+          max(col("at_seq")).as("max_at_seq"))
+    },
+    Some(s"""
+      WITH log AS (${CdcOps.changeLogSql}),
+      pt AS (SELECT MAX(seq) * 3 // 5 AS asof_seq FROM log),
+      last AS (
+        SELECT k, asof_seq, MAX(seq) AS at_seq,
+               arg_max(op, seq) AS op, arg_max(price, seq) AS price
+        FROM log, pt WHERE seq <= asof_seq GROUP BY k, asof_seq)
+      SELECT op, asof_seq, COUNT(*) AS n_keys,
+             CAST(SUM(price) AS DOUBLE) AS sum_price,
+             MAX(at_seq) AS max_at_seq
+      FROM last WHERE op != 'D' GROUP BY op, asof_seq
+    """))
+
   val registry: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q100, q107,
       q109, q110, q111, q113, q114, q115, q120, q121, q123, q125,
       q127, q128, q129, q131, q132, q137, q140, q142, q144, q160, q216,
-      q217, q268)
+      q217, q268, q277)
+}
+
+/** The CDC change-log algebra behind q277, factored out so
+  * CdcSnapshotSpec can prove the replay-equivalence invariant on the
+  * exact code the registry query runs.
+  *
+  * The log is derived deterministically from the orders table (the
+  * q115 versioning discipline — both engines build identical inputs):
+  * every key k inserts at seq 3k; keys divisible by 3 are updated
+  * (+10.00) at 3k+1; keys divisible by 7 are deleted at 3k+2. Unique
+  * seq per (key, change), monotone within a key — the shape a Debezium
+  * / Delta change feed guarantees. Money stays in DECIMAL(18,2) space
+  * end to end (delete rows carry 0.00, never NULL: DuckDB's arg_max
+  * skips NULL arguments while Spark's max_by returns them — a
+  * divergence trap this convention sidesteps).
+  */
+object CdcOps {
+  import graft.functions.Exprs.dec2
+
+  def changeLog(o: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ins = o.select((col("o_orderkey") * 3).as("seq"),
+      col("o_orderkey").as("k"), lit("I").as("op"),
+      dec2(col("o_totalprice")).as("price"))
+    val upd = o.filter(col("o_orderkey") % 3 === 0)
+      .select((col("o_orderkey") * 3 + 1).as("seq"),
+        col("o_orderkey").as("k"), lit("U").as("op"),
+        (dec2(col("o_totalprice")) + dec2(lit(10))).as("price"))
+    val del = o.filter(col("o_orderkey") % 7 === 0)
+      .select((col("o_orderkey") * 3 + 2).as("seq"),
+        col("o_orderkey").as("k"), lit("D").as("op"),
+        dec2(lit(0)).as("price"))
+    ins.unionByName(upd).unionByName(del)
+  }
+
+  /** The DuckDB rendering of [[changeLog]] (shared by q277's oracle). */
+  val changeLogSql: String = """
+        SELECT o_orderkey * 3 AS seq, o_orderkey AS k, 'I' AS op,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders
+        UNION ALL
+        SELECT o_orderkey * 3 + 1, o_orderkey, 'U',
+               CAST(o_totalprice AS DECIMAL(18,2))
+                 + CAST(10 AS DECIMAL(18,2))
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey * 3 + 2, o_orderkey, 'D',
+               CAST(0 AS DECIMAL(18,2))
+        FROM orders WHERE o_orderkey % 7 = 0"""
+
+  /** Live table state AS OF the 1-row frame `kAt`'s `asof_seq`: the
+    * latest change per key with seq ≤ asof_seq, minus keys whose
+    * latest change is a delete. One hash aggregate — max/max_by state
+    * is constant per key, so partial aggregation combines map-side and
+    * the single shuffle carries one slim row per key. */
+  def snapshotAsOf(log: org.apache.spark.sql.DataFrame,
+      kAt: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    log.crossJoin(broadcast(kAt))
+      .filter(col("seq") <= col("asof_seq"))
+      .groupBy(col("k"), col("asof_seq"))
+      .agg(max(col("seq")).as("at_seq"),
+        max_by(col("op"), col("seq")).as("op"),
+        max_by(col("price"), col("seq")).as("price"))
+      .filter(col("op") =!= "D")
+
+  /** Replay a change-log tail on top of a snapshot: snapshot rows
+    * re-enter the resolution at their recorded seq, tail changes win
+    * per key whenever newer. The same aggregate as [[snapshotAsOf]] —
+    * which is exactly why replay(snapshot(k), tail) ≡ snapshot(max)
+    * (CdcSnapshotSpec pins it). */
+  def replay(snap: org.apache.spark.sql.DataFrame,
+      tail: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    snap.select(col("k"), col("at_seq").as("seq"), col("op"),
+        col("price"))
+      .unionByName(tail.select(col("k"), col("seq"), col("op"),
+        col("price")))
+      .groupBy(col("k"))
+      .agg(max(col("seq")).as("at_seq"),
+        max_by(col("op"), col("seq")).as("op"),
+        max_by(col("price"), col("seq")).as("price"))
+      .filter(col("op") =!= "D")
 }

@@ -575,9 +575,11 @@ object StatQueries {
       val base = liScan
         .select(col("l_partkey").as("pkey"),
           (col("l_quantity") > 25.0).as("hi"))
-        // width from the measured fact size (metadata-only count)
+        // width from the measured fact size (memoized cheap
+        // columnless scan — see Tables.rowCount)
         .repartition(
-          graft.operators.ShufflePlan.dedupParts(liScan, liScan.count()),
+          graft.operators.ShufflePlan.dedupParts(liScan,
+            graft.Tables.rowCount(s, dir, "lineitem")),
           col("pkey"))
         .persist()
       val a = base.filter(col("hi")).select(col("pkey"))

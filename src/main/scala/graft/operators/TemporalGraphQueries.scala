@@ -104,11 +104,15 @@ object TemporalGraphQueries {
       // ~100-200 MB maps in all 32 tasks at once and was the measured
       // ×100 execution-memory OOM storm (UNABLE_TO_ACQUIRE_MEMORY in
       // BytesToBytesMap.<init>).
-      // width from the MEASURED fact size (metadata-only parquet
-      // count): slim slices at x100, no extra-task latency tax at
-      // sf0.1 (a fixed 128 cost +7.6s there)
+      // width from the MEASURED fact size. The count is a cheap
+      // columnless parquet scan (answered from row-group counts, but
+      // still a real Spark job) — memoized per fixture signature in
+      // Tables.rowCount so repeated plan builds don't re-run it. Slim
+      // slices at x100, no extra-task latency tax at sf0.1 (a fixed
+      // 128 cost +7.6s there).
       val liScan = t(s, dir, "lineitem")
-      val DedupParts = ShufflePlan.dedupParts(liScan, liScan.count())
+      val DedupParts = ShufflePlan.dedupParts(liScan,
+        graft.Tables.rowCount(s, dir, "lineitem"))
       // the incidence list is reused 2x per round: persist() keeps it
       // as compressed COLUMNAR batches (~5x smaller than a
       // localCheckpoint's deserialized rows), so it doesn't crowd the

@@ -2,12 +2,21 @@ package graft.tools
 
 /** Session-level stability tuning shared by the harness mains
   * (Bench / Verify / ScaleBench), from the round-15 heap-margin
-  * campaign:
+  * campaign — made SCALE-CONDITIONAL in round 16 after the A/B
+  * attribution of the sf0.1 floor slip (SCALE.md "Round-16 floor
+  * attribution"):
   *
-  *  - spill read-ahead OFF: the read-ahead thread allocates its
-  *    buffers inside JNI critical regions; under 32 spilling tasks
-  *    those regions starve the JDK-17 G1 GCLocker (measured
-  *    "Retried waiting for GCLocker too often" → spurious OOM).
+  *  - spill read-ahead: the read-ahead thread allocates its buffers
+  *    inside JNI critical regions; under 32 heavily-spilling tasks
+  *    those regions starve the JDK-17 G1 GCLocker (measured "Retried
+  *    waiting for GCLocker too often" → spurious OOM at the ×100
+  *    fixture). But the SAME read-ahead measurably HELPS the
+  *    spill-heavy dedup queries at small SF (A/B full-registry runs:
+  *    q113 2.82→1.89 s, q163 3.87→2.99, q112/q232/q233 −0.4..−0.8 s
+  *    with read-ahead on at sf0.1, where spills are small and the
+  *    GCLocker never starves). So the off-switch keys on the MEASURED
+  *    fixture size — the GCLocker-starvation regime needs big spills —
+  *    with GRAFT_READ_AHEAD overriding for experiments.
   *  - spark.buffer.pageSize is NOT overridden by default. An
   *    experiment pinning it to 2 MB to avoid humongous G1
   *    allocations backfired: the many-small-pages regime made
@@ -20,10 +29,30 @@ package graft.tools
   * -XX:GCLockerRetryAllocationCount=64.
   */
 object HarnessConf {
-  def tuning: Map[String, String] =
-    Map("spark.unsafe.sorter.spill.read.ahead.enabled" ->
-      sys.env.getOrElse("GRAFT_READ_AHEAD", "false")) ++
+
+  /** Fixture-size threshold above which spill read-ahead is disabled:
+    * the ×100 fixture is ~1.6 GB, sf0.1 is ~18 MB — the starvation
+    * regime sits orders of magnitude above the floor fixtures. */
+  private val ReadAheadOffBytes = 256L * 1024 * 1024
+
+  private def dirBytes(dir: String): Long =
+    try {
+      val d = new java.io.File(dir)
+      if (!d.isDirectory) 0L
+      else d.listFiles().map { f =>
+        if (f.isDirectory) f.listFiles().map(_.length()).sum
+        else f.length()
+      }.sum
+    } catch { case _: Throwable => 0L }
+
+  /** Tuning for a session that will read `sfDir`. */
+  def tuning(sfDir: String): Map[String, String] = {
+    val readAhead = sys.env.get("GRAFT_READ_AHEAD").getOrElse {
+      if (dirBytes(sfDir) > ReadAheadOffBytes) "false" else "true"
+    }
+    Map("spark.unsafe.sorter.spill.read.ahead.enabled" -> readAhead) ++
       sys.env.get("GRAFT_PAGE_SIZE")
         .filter(_ != "default")
         .map("spark.buffer.pageSize" -> _)
+  }
 }

@@ -25,11 +25,21 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, S
 object PeakHeap {
   private val active =
     new java.util.concurrent.ConcurrentHashMap[Int, String]()
-  @volatile private var peakBytes = 0L
-  @volatile private var atPeak: Seq[String] = Nil
-  @volatile private var postGcPeakBytes = 0L
-  @volatile private var atPostGcPeak: Seq[String] = Nil
-  @volatile private var oldGenPeakBytes = 0L
+  // Peak updates arrive from two threads (the 20 ms sampler and the
+  // GC-notification dispatcher); all check-then-act updates and
+  // reset() go through this lock so no peak is lost to a concurrent
+  // write and a reset can't interleave with a half-applied update.
+  private val lock = new Object
+  private var peakBytes = 0L
+  private var atPeak: Seq[String] = Nil
+  private var postGcPeakBytes = 0L
+  private var atPostGcPeak: Seq[String] = Nil
+  private var oldGenPeakBytes = 0L
+  // JVM uptime (ms) at the last reset(): GC notifications describe a
+  // collection that ENDED at GcInfo.endTime; one whose end predates
+  // the reset belongs to the previous query's cleanup System.gc() and
+  // must not be attributed to the new window.
+  private var resetUptimeMs = 0L
   @volatile private var started = false
   private var installedOn: String = ""
 
@@ -62,14 +72,21 @@ object PeakHeap {
                 val after = info.getGcInfo.getMemoryUsageAfterGc.asScala
                   .collect { case (k, v) if heapPoolNames(k) => v.getUsed }
                   .sum
-                if (after > postGcPeakBytes) {
-                  postGcPeakBytes = after
-                  atPostGcPeak = active.values.asScala.toSeq.sorted.take(3)
-                }
                 val old = info.getGcInfo.getMemoryUsageAfterGc.asScala
                   .collect { case (k, v) if k.contains("Old") => v.getUsed }
                   .sum
-                if (old > oldGenPeakBytes) oldGenPeakBytes = old
+                val stages = active.values.asScala.toSeq.sorted.take(3)
+                lock.synchronized {
+                  // drop async notifications for GCs that ended before
+                  // the current window began
+                  if (info.getGcInfo.getEndTime >= resetUptimeMs) {
+                    if (after > postGcPeakBytes) {
+                      postGcPeakBytes = after
+                      atPostGcPeak = stages
+                    }
+                    if (old > oldGenPeakBytes) oldGenPeakBytes = old
+                  }
+                }
               }
           }, null, null)
       case _ => ()
@@ -103,9 +120,12 @@ object PeakHeap {
         val mx = ManagementFactory.getMemoryMXBean
         while (true) {
           val used = mx.getHeapMemoryUsage.getUsed
-          if (used > peakBytes) {
-            peakBytes = used
-            atPeak = active.values.asScala.toSeq.sorted.take(3)
+          val stages = active.values.asScala.toSeq.sorted.take(3)
+          lock.synchronized {
+            if (used > peakBytes) {
+              peakBytes = used
+              atPeak = stages
+            }
           }
           Thread.sleep(20)
         }
@@ -115,24 +135,26 @@ object PeakHeap {
     }
   }
 
-  def reset(): Unit = {
+  def reset(): Unit = lock.synchronized {
     peakBytes = 0L; atPeak = Nil
     postGcPeakBytes = 0L; atPostGcPeak = Nil
     oldGenPeakBytes = 0L
+    resetUptimeMs = ManagementFactory.getRuntimeMXBean.getUptime
   }
   /** Peak old-gen usage after any GC — promoted-survivor footprint
     * (still an over-estimate of live: mixed collections reclaim old
     * regions incrementally). */
-  def oldGenPeakGb: Double = oldGenPeakBytes / 1e9
-  def peakGb: Double = peakBytes / 1e9
+  def oldGenPeakGb: Double = lock.synchronized(oldGenPeakBytes / 1e9)
+  def peakGb: Double = lock.synchronized(peakBytes / 1e9)
   /** Max heap surviving any GC during the window — the live-footprint
     * (OOM-margin) metric. 0.0 when no GC ran in the window (footprint
     * never even forced a collection). */
-  def postGcPeakGb: Double = postGcPeakBytes / 1e9
+  def postGcPeakGb: Double = lock.synchronized(postGcPeakBytes / 1e9)
   /** The stages live at the moment of the peak sample ("" when the
     * peak fell between stages — driver-side work). */
-  def peakStage: String = atPeak.mkString(" | ")
+  def peakStage: String = lock.synchronized(atPeak.mkString(" | "))
   /** The stages live at the worst post-GC snapshot. */
-  def postGcPeakStage: String = atPostGcPeak.mkString(" | ")
+  def postGcPeakStage: String =
+    lock.synchronized(atPostGcPeak.mkString(" | "))
   def xmxGb: Double = Runtime.getRuntime.maxMemory / 1e9
 }

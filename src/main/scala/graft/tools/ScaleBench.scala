@@ -38,9 +38,8 @@ object ScaleBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // stability tuning from the round-15 heap-margin campaign —
-      // see graft.tools.HarnessConf
-      .config(graft.tools.HarnessConf.tuning)
+      // scale-conditional stability tuning — see HarnessConf
+      .config(graft.tools.HarnessConf.tuning(sfDir))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -45,11 +45,16 @@ class RegistrySmokeSpec extends AnyFunSuite {
     // ≤256-row cell-count aggregate (2^8 LSH cells, an algorithm
     // constant); per-cell member selection is the mergeable TopK
     // aggregate, not a window
-    "q271_rrf_fusion" // the three rank windows order post-LIMIT
+    "q271_rrf_fusion", // the three rank windows order post-LIMIT
     // shortlists: the two K=20 TakeOrdered outputs and their ≤40-row
     // full outer join — all bounded by the shortlist constant K; the
     // corpus-scale work is the two scans FEEDING the TakeOrdereds,
     // which are per-partition heaps, never windowed
+    "q275_ltr_rerank" // q271's same three shortlist windows plus ONE
+    // rerank window over the fused candidate set — all frames bounded
+    // by 2·K = 40 rows by construction; the corpus-scale work (two
+    // ranker scans + one feature scan) feeds TakeOrdereds and a
+    // broadcast hash join, never a window
   )
 
   Queries.registry.filterNot(q => slow(q.name)).foreach { q =>

@@ -36,8 +36,7 @@ class FusionCurveSpec extends AnyFunSuite {
     * distractor family; only fusion surfaces the plant. */
   private lazy val plantedDir: String = {
     import spark.implicits._
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_rrf_fixture_").toString
+    val tmp = graft.TestTmp.dir("graft_rrf_fixture_")
     val filler = (1 to 10).map(k => s"filler$k").mkString(" ")
     val docs =
       Seq((0L, s"probe doc $filler")) ++
@@ -109,6 +108,48 @@ class FusionCurveSpec extends AnyFunSuite {
       (-r.getAs[Long]("rrf_u"), r.getAs[Long]("doc_id")))
     sorted.zipWithIndex.foreach { case (r, i) =>
       assert(r.getAs[Long]("fused_rank") == i + 1)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // q275
+  // ------------------------------------------------------------------
+
+  test("q275: reranker beats-or-ties RRF and ranks the full plant on top") {
+    val relevant = (1L to 10L).toSet
+    val rows = q("q275_ltr_rerank").build(spark, plantedDir).collect()
+    assert(rows.nonEmpty)
+    // the contract booleans the registry output carries must hold on
+    // the planted fixture too (they are per-run model facts)
+    assert(rows.forall(_.getAs[Boolean]("rerank_ndcg_ge_rrf")),
+      "reranker NDCG@10 fell below RRF's on the planted fixture")
+    assert(rows.forall(_.getAs[Boolean]("pred_discriminates")))
+    // stronger than beats-or-ties: the reranked order must place ALL
+    // ten planted-relevant docs in its top 10 — they are the only
+    // candidates with BOTH full term overlap and dense-shortlist
+    // corroboration, so a model that learned the features at all
+    // separates them (rel_u = 7 vs 6 for lexical spam, 1 for the probe)
+    val scored = LtrQueries.rerank(LtrQueries.features(spark, plantedDir))
+      .collect()
+    val top10 = scored
+      .sortBy(r => (-r.getAs[Double]("pred"), r.getAs[Long]("doc_id")))
+      .take(10).map(_.getAs[Long]("doc_id"))
+    assert(top10.count(relevant) == 10,
+      s"reranker top-10 = ${top10.mkString(",")}")
+  }
+
+  test("q275: feature table is exact over the fused candidates") {
+    val rows = q("q275_ltr_rerank").build(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 40)
+    rows.foreach { r =>
+      val overlap = r.getAs[Long]("overlap_cnt")
+      val rel = r.getAs[Long]("rel_u")
+      assert(overlap >= 0L && overlap <= 3L)
+      // rel_u = 2*overlap + dense-presence bit
+      assert(rel == 2 * overlap || rel == 2 * overlap + 1,
+        s"doc ${r.getAs[Long]("doc_id")}: rel_u $rel vs overlap $overlap")
+      assert(r.getAs[Double]("bm25f") >= 0.0)
+      assert(r.getAs[Long]("dl") >= 1L)
     }
   }
 

@@ -210,8 +210,7 @@ class UnigramSpec extends AnyFunSuite {
 
   test("unigram artifact round-trips: one training pass, memo + load paths identical") {
     import spark.implicits._
-    val tmpDir = java.nio.file.Files
-      .createTempDirectory("graft_unigram_corpus_").toString
+    val tmpDir = graft.TestTmp.dir("graft_unigram_corpus_")
     Seq((1L, "alpha beta alpha beta gamma", "en", "s1", 27L),
       (2L, "beta gamma beta alpha", "en", "s2", 21L),
       (3L, null.asInstanceOf[String], "en", "s2", 0L))
@@ -230,7 +229,7 @@ class UnigramSpec extends AnyFunSuite {
     assert(UnigramQueries.trainCount.get() == before + 1,
       "first call must train exactly once")
     val base = new org.apache.hadoop.fs.Path(
-      UnigramQueries.artifactPath(spark, tmpDir))
+      graft.TestTmp.register(UnigramQueries.artifactPath(spark, tmpDir)))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(new org.apache.hadoop.fs.Path(base, "_GRAFT_OK")),
       s"artifact not published at $base")
