@@ -848,6 +848,74 @@ object AnalyticQueries {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     """))
 
+  /** SCD2 point-in-time join (the q149 family's consumer): enrich
+    * every fact event with the dimension version VALID AT its
+    * timestamp. Versions and facts both derive deterministically from
+    * events (event_id % 5 picks the version-change stream; the rest
+    * are facts), and "valid at" is the last version whose
+    * (ts, event_id) precedes the fact's in the total order — event_id
+    * uniqueness makes ties impossible by construction, so both
+    * engines resolve identically.
+    *
+    * Scale shape: the textbook PIT formulation joins facts×versions
+    * and filters intervals — per-user-quadratic on hot users. This
+    * runs the SORT-BASED propagation instead: union versions and
+    * facts, ONE shuffle on user_id, and a running
+    * last-non-null-state window carries each version forward to the
+    * facts it governs — O(n log n) per user, no join at all. The
+    * oracle keeps the naive join+arg_max rendering as the independent
+    * derivation (DuckDB arg_max can't order by a struct, so the
+    * oracle collapses (ts, event_id) into one HUGEINT composite —
+    * event_id is fixture-bounded < 1e10). Facts before any version
+    * group under '(none)'. */
+  private val q278 = Q(
+    "q278_scd2_pit_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val dims = ev.filter(col("event_id") % 5 === 0)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("state"),
+          lit(null).cast(DoubleType).as("value"), lit(1).as("is_dim"))
+      val facts = ev.filter(col("event_id") % 5 =!= 0)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast(StringType).as("state"), col("value"),
+          lit(0).as("is_dim"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dims.unionByName(facts)
+        .withColumn("cur_state",
+          last(col("state"), ignoreNulls = true).over(w))
+        .filter(col("is_dim") === 0)
+        .groupBy(coalesce(col("cur_state"), lit("(none)")).as("state"))
+        .agg(asLong(count(lit(1))).as("n_facts"),
+          sum(dec2(col("value"))).cast(DoubleType).as("sum_value"),
+          asLong(countDistinct(col("user_id"))).as("n_users"))
+    },
+    Some("""
+      WITH dims AS (
+        SELECT user_id, ts, event_id, event_type AS state
+        FROM events WHERE event_id % 5 = 0),
+      facts AS (
+        SELECT user_id, ts, event_id, value
+        FROM events WHERE event_id % 5 != 0),
+      pit AS (
+        SELECT f.user_id, f.ts, f.event_id, f.value,
+               arg_max(d.state,
+                 epoch_us(d.ts)::HUGEINT * 10000000000 + d.event_id)
+                 AS state
+        FROM facts f LEFT JOIN dims d
+          ON d.user_id = f.user_id
+             AND (d.ts < f.ts OR (d.ts = f.ts AND d.event_id <= f.event_id))
+        GROUP BY f.user_id, f.ts, f.event_id, f.value)
+      SELECT COALESCE(state, '(none)') AS state,
+             CAST(COUNT(*) AS BIGINT) AS n_facts,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_value,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM pit GROUP BY 1
+    """))
+
   /** Salted equi-join — the skew-mitigation pattern for big-big joins
     * whose key distribution is hot (when AQE's runtime skew split
     * isn't available or the build side is too big to broadcast but
@@ -1308,6 +1376,6 @@ object AnalyticQueries {
 
   val registry: Seq[Q] = Seq(q66, q67, q68, q69, q75, q76, q77, q78,
     q79, q80, q81, q102, q104, q105, q106, q116, q118, q119, q122,
-    q135, q148, q149, q150, q151, q152, q153, q154, q155, q156,
+    q135, q148, q149, q150, q151, q152, q153, q154, q155, q156, q278,
     q158, q159, q203)
 }

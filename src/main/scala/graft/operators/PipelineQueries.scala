@@ -1722,11 +1722,76 @@ object PipelineQueries {
       FROM last WHERE op != 'D' GROUP BY op, asof_seq
     """))
 
+  /** Streaming CDC upsert APPLY with out-of-order shielding, batch-
+    * replay formulation (the q251/q261 discipline: the registry entry
+    * is the deterministic batch replay; graft.streaming.
+    * CdcApplyProcessor is the transformWithState streaming form and
+    * CdcApplySpec pins the two equal on the same log). The change log
+    * (q277's) arrives in micro-batches whose assignment is a
+    * deterministic HASH of the sequence number — deliberately
+    * scrambling arrival order so late-arriving stale changes exist —
+    * and the apply rule is Delta/Debezium's: a change lands iff its
+    * seq exceeds the key's applied high-water mark from EARLIER
+    * batches (same-batch changes all compare against the pre-batch
+    * state, the batch-boundary semantics the processor implements).
+    *
+    * Scale shape: ONE shuffle on the key; the high-water mark is a
+    * RANGE window to the previous batch (frame rows = the key's own
+    * change count, the natural CDC grain), then an 8-row batch
+    * telemetry aggregate. State in the streaming form is one long per
+    * key — the upsert-engine minimum. */
+  private val q279 = Q(
+    "q279_stream_cdc_apply",
+    (s, dir) => {
+      val log = CdcOps.changeLog(t(s, dir, "orders"))
+        .withColumn("batch_id",
+          pmod(md5Int32(col("seq").cast(StringType)), lit(8))
+            .cast(LongType))
+      val w = Window.partitionBy(col("k")).orderBy(col("batch_id"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val tagged = log
+        .withColumn("hwm_before", max(col("seq")).over(w))
+        .withColumn("stale",
+          coalesce(col("seq") < col("hwm_before"), lit(false)))
+      tagged.groupBy(col("batch_id"))
+        .agg(asLong(count(lit(1))).as("n_changes"),
+          asLong(sum(when(col("stale"), 1L).otherwise(0L)))
+            .as("n_stale"),
+          asLong(sum(when(!col("stale"), 1L).otherwise(0L)))
+            .as("n_applied"),
+          asLong(count_distinct(when(!col("stale"), col("k"))))
+            .as("n_keys_updated"))
+        .orderBy(col("batch_id"))
+    },
+    Some(s"""
+      WITH log AS (${CdcOps.changeLogSql}),
+      b AS (SELECT k, seq,
+                   ('0x' || substr(md5(CAST(seq AS VARCHAR)), 1, 8))::BIGINT
+                     % 8 AS batch_id
+            FROM log),
+      t AS (SELECT k, seq, batch_id,
+                   MAX(seq) OVER (PARTITION BY k ORDER BY batch_id
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS hwm_before
+            FROM b),
+      s AS (SELECT batch_id,
+                   COALESCE(seq < hwm_before, FALSE) AS stale, k
+            FROM t)
+      SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_changes,
+             CAST(SUM(CASE WHEN stale THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stale,
+             CAST(SUM(CASE WHEN stale THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_applied,
+             CAST(COUNT(DISTINCT CASE WHEN NOT stale THEN k END)
+               AS BIGINT) AS n_keys_updated
+      FROM s GROUP BY 1 ORDER BY 1
+    """))
+
   val registry: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q100, q107,
       q109, q110, q111, q113, q114, q115, q120, q121, q123, q125,
       q127, q128, q129, q131, q132, q137, q140, q142, q144, q160, q216,
-      q217, q268, q277)
+      q217, q268, q277, q279)
 }
 
 /** The CDC change-log algebra behind q277, factored out so

@@ -999,3 +999,48 @@ class TokenQuotaProcessor(budget: Long)
     out.iterator
   }
 }
+
+/** transformWithState processor for the streaming CDC upsert apply —
+  * q279's streaming form. Key = the CDC key; input = (k, seq);
+  * ValueState holds the key's applied high-water mark (max seq) from
+  * EARLIER micro-batches. Every change in the current batch compares
+  * against that pre-batch mark only (same-batch changes never shadow
+  * each other — state commits at batch boundaries, the batch-replay
+  * semantics q279's oracle checks): a change is STALE iff its seq is
+  * below the mark, else it applies. One emission per change,
+  * (seq, stale), so batch telemetry aggregates downstream. State is
+  * ONE long per key — the upsert-engine minimum — and out-of-order
+  * delivery across batches is shielded exactly the way a Delta /
+  * Debezium sink shields it.
+  */
+class CdcApplyProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long), (Long, Boolean)] {
+
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[Long]("hwm",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Boolean)] = {
+    val hwm = if (st.exists()) Some(st.get()) else None
+    // every row emits, so buffering the batch IS the output; track the
+    // batch max while tagging against the PRE-batch mark
+    var newMax = hwm.getOrElse(Long.MinValue)
+    val out = rows.map { case (_, seq) =>
+      if (seq > newMax) newMax = seq
+      (seq, hwm.exists(seq < _))
+    }.toVector
+    st.update(newMax)
+    out.iterator
+  }
+}

@@ -50,8 +50,8 @@ class StreamDedupGateSpec extends AnyFunSuite {
         Seq(1L -> textA, 2L -> textB),
         Seq(3L -> textA, 4L -> textD, 5L -> textD), // 3 dups 1; 5 dups 4 SAME batch
         Seq(6L -> textB)) // dups 2, two restarts later
-      val dir = java.nio.file.Files.createTempDirectory("graft_gate_").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_gate_ck_").toString
+      val dir = graft.TestTmp.dir("graft_gate_")
+      val ckpt = graft.TestTmp.dir("graft_gate_ck_")
       // one parquet file per micro-batch; each run() consumes the new
       // file as one batch from the same checkpoint (restart per batch)
       def run(): Seq[(Long, Long)] = {
