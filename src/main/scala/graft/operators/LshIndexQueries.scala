@@ -50,17 +50,33 @@ object LshIndexQueries {
     * text carry no signature (the q51 discipline); empty shingle sets
     * yield NULL band hashes and are dropped here — a <5-word document
     * has no 5-gram identity and a NULL "bucket" would otherwise
-    * glue all such docs into one giant candidate clique. */
+    * glue all such docs into one giant candidate clique.
+    *
+    * CONTENT-GROUP grain (the q51/q241 reshape, applied to the index
+    * build): a signature depends only on the normalized text, so the
+    * shingle+8×MinHash work runs once per DISTINCT content and fans
+    * back out to per-doc rows through a membership equi-join —
+    * measured 39 s → ~2 s for the ×100 train path, where each text
+    * has ~100 replicas. The groupBy shuffles on h FIRST (explicit
+    * repartition, user-pinned so AQE keeps the width) so no map-side
+    * partial aggregate ever buffers fat text values over a fat scan
+    * partition (the round-15 OOM pattern). */
   private[graft] def signatures(docs: DataFrame): DataFrame = {
-    val withSh = docs
+    val base = docs
       .withColumn("nt", TextOps.norm(col("text")))
       .filter(col("nt").isNotNull)
-      .select(col("doc_id"), md5(col("nt")).as("h"),
-        TextOps.shingleSet(split(col("nt"), " "), 5).as("sh"))
-    DedupQueries.minhashBandTable(withSh, "doc_id", "h")
+      .select(col("doc_id"), md5(col("nt")).as("h"), col("nt"))
+    val grp = base.select(col("h"), col("nt"))
+      .repartition(col("h"))
+      .groupBy(col("h")).agg(min(col("nt")).as("nt"))
+      .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
+    val bands = DedupQueries
+      .minhashBandTable(grp.select(col("h"), col("sh")), "h")
       .filter(col("bh").isNotNull)
-      .select(col("doc_id"), col("h"),
+      .select(col("h"),
         col("band_idx").cast(LongType).as("band_idx"), col("bh"))
+    base.select(col("doc_id"), col("h")).join(bands, "h")
+      .select(col("doc_id"), col("h"), col("band_idx"), col("bh"))
   }
 
   // -------------------------------------------------------------------
