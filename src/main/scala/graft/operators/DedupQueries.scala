@@ -1134,32 +1134,46 @@ object DedupQueries {
     * transitively or not at all (q45/q46/q51 cover full membership).
     * Oracle: DuckDB recursive CTE computing min reachable id per
     * node over the same capped pair set. */
+  /** The capped near-dup pair set at the q99 threshold (Jaccard ≥
+    * 0.3) — shared by q99's clustering and q281's cluster-closure
+    * split so the two can never disagree on what "near-dup" means. */
+  private[graft] def dupPairs(docs: DataFrame): DataFrame =
+    prunedPairStats(docs)
+      .filter(col("inter").cast(DoubleType) /
+        (col("n1") + col("n2") - col("inter")) >= 0.3)
+      .select(col("d1"), col("d2"))
+
+  /** Min-label propagation over a (d1, d2) pair graph → (id, lbl) for
+    * every doc participating in ≥1 pair (the q99 loop, factored for
+    * q281). Each iteration is one join + one min-aggregate; rounds =
+    * graph diameter, bounded at 20; checkpointed lineage. */
+  private[graft] def dupClusterLabels(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint()
+    var labels = edges.select(col("d1").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var prevSum = Long.MaxValue
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 20) {
+      val prop = edges.join(labels, edges("d1") === labels("id"))
+        .select(edges("d2").as("id"), col("lbl"))
+      labels = labels.unionByName(prop)
+        .groupBy("id").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val lblSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+      converged = lblSum == prevSum
+      prevSum = lblSum
+      iter += 1
+    }
+    labels
+  }
+
   private val q99 = Q(
     "q99_dup_clusters",
     (s, dir) => {
-      val pairs = prunedPairStats(t(s, dir, "documents"))
-        .filter(col("inter").cast(DoubleType) /
-          (col("n1") + col("n2") - col("inter")) >= 0.3)
-        .select(col("d1"), col("d2"))
-      val edges = pairs
-        .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-        .localCheckpoint()
-      var labels = edges.select(col("d1").as("id")).distinct()
-        .withColumn("lbl", col("id")).localCheckpoint()
-      var prevSum = Long.MaxValue
-      var iter = 0
-      var converged = false
-      while (!converged && iter < 20) {
-        val prop = edges.join(labels, edges("d1") === labels("id"))
-          .select(edges("d2").as("id"), col("lbl"))
-        labels = labels.unionByName(prop)
-          .groupBy("id").agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint()
-        val lblSum = labels.agg(sum(col("lbl"))).head().getLong(0)
-        converged = lblSum == prevSum
-        prevSum = lblSum
-        iter += 1
-      }
+      val labels = dupClusterLabels(dupPairs(t(s, dir, "documents")))
       labels.groupBy(col("lbl").as("cluster"))
         .agg(count(lit(1)).as("n_docs"),
           array_join(transform(array_sort(collect_list(col("id"))),
@@ -1180,6 +1194,92 @@ object DedupQueries {
       SELECT cluster, COUNT(*) AS n_docs,
              array_to_string(list_sort(list(id)), ',') AS members
       FROM lbl GROUP BY 1
+    """))
+
+  /** Cluster-closure train/val/test split — the decontamination-aware
+    * split a real training pipeline needs: q89's deterministic hash
+    * split assigns DOCUMENTS to splits, so the two halves of a
+    * near-dup pair can land in train AND test (silent leakage —
+    * exactly what q239 audits for). Here the split unit is the DUP
+    * CLUSTER: every doc inherits its cluster root's (min member id)
+    * hash bucket, so a near-dup pair can never straddle splits — and
+    * the output carries the MEASURED straddle count (computed, not
+    * asserted; the oracle derives it independently and both must say
+    * 0). Singletons are their own root, so the split stays ~80/10/10.
+    *
+    * Scale shape: [[dupPairs]] + [[dupClusterLabels]] are q99's capped
+    * pair machinery (never an uncapped shingle self-join); the closure
+    * itself is one left join + hash bucketing; the leak audit is two
+    * equi-joins of the pair set against the slim (doc_id, split)
+    * assignment. */
+  private val q281 = Q(
+    "q281_cluster_split",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = dupPairs(docs).localCheckpoint()
+      val labels = dupClusterLabels(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val asg = docs.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("root", coalesce(col("lbl"), col("doc_id")))
+        .withColumn("bucket",
+          pmod(graft.functions.Exprs.md5Int32(
+            col("root").cast(StringType)), lit(10)))
+        .withColumn("split",
+          when(col("bucket") <= 7, "train")
+            .when(col("bucket") === 8, "val")
+            .otherwise("test"))
+        .localCheckpoint()
+      val cross = pairs
+        .join(asg.select(col("doc_id").as("d1"), col("split").as("s1")),
+          "d1")
+        .join(asg.select(col("doc_id").as("d2"), col("split").as("s2")),
+          "d2")
+        .agg(coalesce(sum(when(col("s1") =!= col("s2"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_cross_split_pairs"))
+      asg.groupBy(col("split"))
+        .agg(graft.functions.Exprs.asLong(count(lit(1))).as("n_docs"),
+          graft.functions.Exprs.asLong(count_distinct(col("root")))
+            .as("n_clusters"),
+          graft.functions.Exprs.asLong(
+            sum(when(col("lbl").isNotNull, 1L).otherwise(0L)))
+            .as("n_clustered_docs"))
+        .crossJoin(broadcast(cross))
+        .orderBy(col("split"))
+    },
+    Some(s"""
+      WITH RECURSIVE $prunedPairSql,
+      pq AS (SELECT d1, d2 FROM v
+             WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.3),
+      e AS (SELECT d1 AS src, d2 AS dst FROM pq
+            UNION ALL SELECT d2, d1 FROM pq),
+      n AS (SELECT DISTINCT src AS id FROM e),
+      reach(id, m) AS (
+        SELECT id, id FROM n
+        UNION
+        SELECT e.dst, r.m FROM reach r JOIN e ON e.src = r.id),
+      lbl AS (SELECT id, MIN(m) AS lbl FROM reach GROUP BY 1),
+      asg AS (
+        SELECT d.doc_id, l.lbl,
+               COALESCE(l.lbl, d.doc_id) AS root,
+               CASE WHEN ('0x' || substr(md5(CAST(COALESCE(l.lbl, d.doc_id)
+                        AS VARCHAR)), 1, 8))::BIGINT % 10 <= 7 THEN 'train'
+                    WHEN ('0x' || substr(md5(CAST(COALESCE(l.lbl, d.doc_id)
+                        AS VARCHAR)), 1, 8))::BIGINT % 10 = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id),
+      cx AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN a1.split != a2.split
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cross_split_pairs
+        FROM pq
+        JOIN asg a1 ON a1.doc_id = pq.d1
+        JOIN asg a2 ON a2.doc_id = pq.d2)
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT root) AS BIGINT) AS n_clusters,
+             CAST(SUM(CASE WHEN lbl IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clustered_docs,
+             (SELECT n_cross_split_pairs FROM cx) AS n_cross_split_pairs
+      FROM asg GROUP BY 1 ORDER BY 1
     """))
 
   /** Shingle containment (|A∩B| / min(|A|,|B|) >= 0.9): catches a
@@ -2463,5 +2563,6 @@ object DedupQueries {
 
   val registry: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52,
     q82, q84, q85, q99, q112, q124, q130, q133, q136, q196, q232, q235,
+    q281,
     q241, q245, q247, q251, q259, q261, q266, q269)
 }

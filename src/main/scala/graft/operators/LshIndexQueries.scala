@@ -85,12 +85,13 @@ object LshIndexQueries {
 
   /** Thunks, not frames: artifact-backed entries re-read parquet per
     * call so the harness's between-query storage cleanup can't leave a
-    * dangling checkpoint reference. */
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[String, () => DataFrame]
+    * dangling checkpoint reference. Shared by the LSH index (q276) and
+    * the BM25 lexical index (q280) — keys carry the artifact path. */
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[String, Map[String, () => DataFrame]]
 
-  /** Build counter observable by LshIndexSpec: proves the memo and the
-    * artifact load path short-circuit recomputation. */
+  /** Build counter observable by LshIndexSpec/LexIndexSpec: proves the
+    * memo and the artifact load path short-circuit recomputation. */
   private[graft] val buildCount =
     new java.util.concurrent.atomic.AtomicLong
 
@@ -102,35 +103,46 @@ object LshIndexQueries {
     s"$wh/graft_lshidx/${tag}_${BpeQueries.fingerprint(s, dir)}"
   }
 
-  /** Load the artifact at `base` if published, else build it with
-    * `mk`, publish (write-to-tmp + atomic rename, losers of a publish
-    * race keep the winner's identical content), and return the
-    * artifact-backed reader — falling back to the in-memory frame only
-    * if the warehouse is unwritable. */
-  private def loadOrBuild(s: SparkSession, base: String,
-      mk: () => DataFrame): () => DataFrame =
+  /** Load the multi-part artifact at `base` if published, else build
+    * the parts with `mk`, publish (write-to-tmp + atomic rename,
+    * losers of a publish race keep the winner's identical content),
+    * and return artifact-backed readers — falling back to the
+    * in-memory frames only if the warehouse is unwritable. */
+  private[operators] def loadOrBuildParts(s: SparkSession, base: String,
+      partNames: Seq[String], mk: () => Map[String, DataFrame])
+      : Map[String, () => DataFrame] =
     memo.getOrElseUpdate(s"${s.sparkContext.applicationId}|$base", {
       val basePath = new org.apache.hadoop.fs.Path(base)
       val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
       val ok = new org.apache.hadoop.fs.Path(basePath, "_GRAFT_OK")
-      if (fs.exists(ok)) { () => s.read.parquet(s"$base/rows") }
+      def readers: Map[String, () => DataFrame] =
+        partNames.map(p => p -> (() => s.read.parquet(s"$base/$p"))).toMap
+      if (fs.exists(ok)) readers
       else {
         buildCount.incrementAndGet()
-        val rows = mk()
+        val parts = mk()
         val published = try {
           val tmp = new org.apache.hadoop.fs.Path(
             s"$base.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-          rows.write.parquet(s"$tmp/rows")
+          partNames.foreach(p => parts(p).write.parquet(s"$tmp/$p"))
           fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_OK"), true)
             .close()
           if (fs.exists(basePath) || !fs.rename(tmp, basePath))
             fs.delete(tmp, true)
           fs.exists(ok)
         } catch { case scala.util.control.NonFatal(_) => false }
-        if (published) { () => s.read.parquet(s"$base/rows") }
-        else { val fallback = rows.localCheckpoint(); () => fallback }
+        if (published) readers
+        else parts.map { case (p, df) =>
+          val fallback = df.localCheckpoint(); p -> (() => fallback)
+        }
       }
     })
+
+  /** Single-part convenience (the q276 shape). */
+  private def loadOrBuild(s: SparkSession, base: String,
+      mk: () => DataFrame): () => DataFrame =
+    loadOrBuildParts(s, base, Seq("rows"),
+      () => Map("rows" -> mk()))("rows")
 
   /** The standing index: signatures of the history shard, persisted
     * once per corpus fingerprint. */

@@ -50,11 +50,14 @@ class RegistrySmokeSpec extends AnyFunSuite {
     // full outer join — all bounded by the shortlist constant K; the
     // corpus-scale work is the two scans FEEDING the TakeOrdereds,
     // which are per-partition heaps, never windowed
-    "q275_ltr_rerank" // q271's same three shortlist windows plus ONE
+    "q275_ltr_rerank", // q271's same three shortlist windows plus ONE
     // rerank window over the fused candidate set — all frames bounded
     // by 2·K = 40 rows by construction; the corpus-scale work (two
     // ranker scans + one feature scan) feeds TakeOrdereds and a
     // broadcast hash join, never a window
+    "q280_bm25_index_maintain" // one rank window over the K=20
+    // TakeOrdered shortlist (the q271 lex-arm bound); corpus-scale
+    // work is the single tf scan, stats come off the vocab artifact
   )
 
   Queries.registry.filterNot(q => slow(q.name)).foreach { q =>
