@@ -44,7 +44,7 @@ object DedupQueries {
     * membership). */
   private val MaxShingleDf = 32
 
-  private def corpus(docs: DataFrame): DataFrame = {
+  private[operators] def corpus(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     val exact = docs.filter(col("doc_id") < 20)
       .select((col("doc_id") + 200000).as("doc_id"), col("text"))
@@ -72,7 +72,7 @@ object DedupQueries {
     * (5-grams over this small synthetic vocabulary are ~100x more
     * distinctive than 3-grams, keeping the shingle-join candidate set
     * proportional to true near-dups instead of vocabulary collisions.) */
-  private val shingleSql: String =
+  private[operators] val shingleSql: String =
     s"""$corpusSql,
     tok AS (
       SELECT doc_id,
