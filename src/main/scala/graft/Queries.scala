@@ -608,7 +608,8 @@ object Queries {
     graft.operators.UnigramQueries.registry ++
     graft.operators.LshIndexQueries.registry ++
     graft.operators.LexIndexQueries.registry ++
-    graft.operators.SetSimQueries.registry
+    graft.operators.SetSimQueries.registry ++
+    graft.operators.RebalanceQueries.registry
 
   // NO stripMargin here: its margin char is '|', so an oracle line that
   // begins with a '||' concatenation would silently lose a pipe

@@ -55,9 +55,13 @@ class RegistrySmokeSpec extends AnyFunSuite {
     // by 2·K = 40 rows by construction; the corpus-scale work (two
     // ranker scans + one feature scan) feeds TakeOrdereds and a
     // broadcast hash join, never a window
-    "q280_bm25_index_maintain" // one rank window over the K=20
+    "q280_bm25_index_maintain", // one rank window over the K=20
     // TakeOrdered shortlist (the q271 lex-arm bound); corpus-scale
     // work is the single tf scan, stats come off the vocab artifact
+    "q283_shard_rebalance" // cumulative-flow windows order the
+    // per-shard load frame: exactly S = 8 rows (shard count is
+    // deployment config, never data); the only corpus-scale work is
+    // the one tokens-per-shard aggregate feeding it
   )
 
   Queries.registry.filterNot(q => slow(q.name)).foreach { q =>
