@@ -103,9 +103,16 @@ object Bench {
     // GRAFT_FORCE_GC controls the inter-query System.gc(): "always"
     // (round-15 behavior), "off", or "auto" (only after a query whose
     // measured post-GC footprint says broadcast/checkpoint residue is
-    // actually worth collecting — the scale-conditional default).
+    // actually worth collecting). The DEFAULT is scale-conditional
+    // both ways: "auto" on floor fixtures (the per-query Full GC
+    // clears weak/soft codegen+footer caches — measured sf0.1 tax),
+    // "always" on big fixtures (deterministic broadcast reclamation —
+    // auto-mode ×100 sweeps measured +10-16% on shared queries and
+    // the always-GC mode is the round-15 OOM protection).
     val peakHeapOn = sys.env.getOrElse("GRAFT_PEAKHEAP", "on") != "off"
-    val forceGcMode = sys.env.getOrElse("GRAFT_FORCE_GC", "auto")
+    val forceGcMode = sys.env.getOrElse("GRAFT_FORCE_GC",
+      if (graft.tools.HarnessConf.isBigFixture(sfDir)) "always"
+      else "auto")
     var spark = newSession(cpus, sfDir)
     if (peakHeapOn) graft.tools.PeakHeap.install(spark.sparkContext)
     // per-query peak-heap observations for the SCALE.md margin table;

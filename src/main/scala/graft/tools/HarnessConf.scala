@@ -35,6 +35,16 @@ object HarnessConf {
     * regime sits orders of magnitude above the floor fixtures. */
   private val ReadAheadOffBytes = 256L * 1024 * 1024
 
+  /** Same threshold, exported for the harness mains' other
+    * scale-conditional defaults (Bench's inter-query GC policy:
+    * "auto" protects the sf0.1 floor from per-query Full-GC cache
+    * clearing, but at ×100 the deterministic broadcast reclamation is
+    * worth the GC — measured: two auto-mode ×100 sweeps ran +10-16%
+    * over the round-15 always-GC pair on shared queries, with the
+    * broadcast-heavy MinHash family carrying the regression). */
+  def isBigFixture(sfDir: String): Boolean =
+    dirBytes(sfDir) > ReadAheadOffBytes
+
   private def dirBytes(dir: String): Long =
     try {
       val d = new java.io.File(dir)
