@@ -32,18 +32,32 @@ object Tables {
     * signature and recounts; a stable one counts once per JVM. */
   def rowCount(spark: SparkSession, dir: String, name: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    // The settle-window discipline from BpeQueries.fingerprint
+    // (round-16 advice): a part modified within the last few seconds
+    // can be rewritten in place at the same length inside the
+    // filesystem's mtime granularity, so a fresh fixture never enters
+    // the memo — and a FAILED probe must not memoize at all (a sticky
+    // "unknown" key would pin a stale count across a regeneration).
+    val mtimeSettleMs = 5000L
     val sig = try {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val st = fs.getFileStatus(p)
       val parts =
         if (st.isDirectory) fs.listStatus(p).toSeq.filter(_.isFile)
         else Seq(st)
-      parts.map(f =>
-          s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-        .sorted.mkString(",")
-    } catch { case _: Throwable => "unknown" }
-    rowCountMemo.getOrElseUpdate(s"$p|$sig",
-      load(spark, dir, name).count())
+      val settled = parts.forall(f =>
+        System.currentTimeMillis() - f.getModificationTime >= mtimeSettleMs)
+      if (settled)
+        Some(parts.map(f =>
+            s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+          .sorted.mkString(","))
+      else None
+    } catch { case _: Throwable => None }
+    sig match {
+      case Some(k) => rowCountMemo.getOrElseUpdate(s"$p|$k",
+        load(spark, dir, name).count())
+      case None => load(spark, dir, name).count()
+    }
   }
 
   /** Normalize an event-time `ts` column to TimestampType whatever the

@@ -127,6 +127,14 @@ object LshIndexQueries {
           partNames.foreach(p => parts(p).write.parquet(s"$tmp/$p"))
           fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_OK"), true)
             .close()
+          // A basePath WITHOUT the OK marker can only be a crashed
+          // partial publish (the marker is written into tmp BEFORE the
+          // atomic rename, so a successful publish always carries it):
+          // clear the debris and retry the rename instead of silently
+          // degrading to the localCheckpoint fallback forever
+          // (round-16 advice).
+          if (fs.exists(basePath) && !fs.exists(ok))
+            fs.delete(basePath, true)
           if (fs.exists(basePath) || !fs.rename(tmp, basePath))
             fs.delete(tmp, true)
           fs.exists(ok)

@@ -121,7 +121,13 @@ object LtrQueries {
           (col("dcg_rerank") >= col("dcg_fused"))
             .as("rerank_ndcg_ge_rrf"),
           (col("n_lab") <= 1 || col("n_pred") >= 2)
-            .as("pred_discriminates"))
+            .as("pred_discriminates"),
+          // the RRF arm's raw DCG@10, oracle-recomputed exactly
+          // (round-16 advice): if the seeded-GBT contract boolean ever
+          // flips red on an MLlib/JVM upgrade, a still-matching
+          // dcg_fused isolates the failure to model drift, not a
+          // broken NDCG algebra
+          col("dcg_fused").cast(DecimalType(18, 6)).as("dcg_fused"))
       feats.crossJoin(broadcast(contract))
         .orderBy(col("fused_rank"))
     },
@@ -145,7 +151,13 @@ object LtrQueries {
                  f.fused_rank
           FROM fused f JOIN d USING (doc_id))
         SELECT doc_id, bm25f, simf, dl, overlap_cnt, rel_u, fused_rank,
-               TRUE AS rerank_ndcg_ge_rrf, TRUE AS pred_discriminates
+               TRUE AS rerank_ndcg_ge_rrf, TRUE AS pred_discriminates,
+               (SELECT CAST(SUM(CASE WHEN fused_rank <= 10
+                   THEN CAST(round(CAST(rel_u AS DOUBLE) /
+                     (${disc.map(d => f"$d%.6f").mkString("[", ", ", "]")})
+                       [fused_rank], 6) AS DECIMAL(18,6))
+                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6))
+                FROM feats) AS dcg_fused
         FROM feats ORDER BY fused_rank
         """))
 }

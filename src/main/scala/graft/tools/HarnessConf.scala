@@ -47,12 +47,18 @@ object HarnessConf {
 
   private def dirBytes(dir: String): Long =
     try {
+      // full recursive walk (round-16 advice): a nested/partitioned
+      // parquet fixture under-measured by a one-level listing would
+      // be misclassified as small and re-enable spill read-ahead in
+      // exactly the big-spill GCLocker-starvation regime the
+      // scale-conditional default exists to avoid
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) {
+          val kids = f.listFiles()
+          if (kids == null) 0L else kids.map(walk).sum
+        } else f.length()
       val d = new java.io.File(dir)
-      if (!d.isDirectory) 0L
-      else d.listFiles().map { f =>
-        if (f.isDirectory) f.listFiles().map(_.length()).sum
-        else f.length()
-      }.sum
+      if (!d.isDirectory) 0L else walk(d)
     } catch { case _: Throwable => 0L }
 
   /** Tuning for a session that will read `sfDir`. */

@@ -157,4 +157,13 @@ object PeakHeap {
   def postGcPeakStage: String =
     lock.synchronized(atPostGcPeak.mkString(" | "))
   def xmxGb: Double = Runtime.getRuntime.maxMemory / 1e9
+  /** Instantaneous used heap — read by Bench right after its forced
+    * inter-query System.gc() to record the post-forced-GC FLOOR next
+    * to the post-GC PEAK (round-16 advice #3): the peak includes
+    * everything that survived any GC mid-query (to-be-freed caches,
+    * unpersist backlog), while the floor is what is STILL live once
+    * the harness has collected everything collectable — a saturated
+    * peak with a low floor is elastic pressure, not OOM risk. */
+  def heapUsedNowGb: Double =
+    ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed / 1e9
 }
