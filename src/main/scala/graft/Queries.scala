@@ -609,7 +609,8 @@ object Queries {
     graft.operators.LshIndexQueries.registry ++
     graft.operators.LexIndexQueries.registry ++
     graft.operators.SetSimQueries.registry ++
-    graft.operators.RebalanceQueries.registry
+    graft.operators.RebalanceQueries.registry ++
+    graft.operators.ClusterIndexQueries.registry
 
   // NO stripMargin here: its margin char is '|', so an oracle line that
   // begins with a '||' concatenation would silently lose a pipe

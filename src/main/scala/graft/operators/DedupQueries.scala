@@ -56,7 +56,7 @@ object DedupQueries {
   }
 
   /** The same corpus as a DuckDB CTE. */
-  private val corpusSql: String = {
+  private[operators] val corpusSql: String = {
     val w = """string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ')"""
     s"""corpus AS (
       SELECT doc_id, text FROM documents

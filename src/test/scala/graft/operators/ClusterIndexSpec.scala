@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q284 (maintained dup-cluster labels) invariants: the
+  * merge-equivalence contract merge(labels(A), shard B) ≡
+  * labels(A ∪ B) — the q276/q140 incremental-maintenance identity
+  * applied to connected components — plus the artifact lifecycle
+  * (build once, memo/load paths never recompute) and the frontier
+  * semantics (an untouched history cluster keeps its label; a new
+  * content with an edge into history re-labels exactly its touched
+  * component). Fresh temp fixture per run, like LshIndexSpec. */
+class ClusterIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // 50 base words -> 46 shingles per doc; suffix/prefix variants tune
+  // exact Jaccard levels (comments give the closed-form values).
+  private val W: Seq[String] = Seq(
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+    "victor", "whiskey", "xray", "yankee", "zulu", "one", "two",
+    "three", "four", "five", "six", "seven", "eight", "nine", "ten",
+    "eleven", "twelve", "thirteen", "fourteen", "fifteen", "sixteen",
+    "seventeen", "eighteen", "nineteen", "twenty", "apple", "banana",
+    "cherry", "damson")
+  private val V: Seq[String] = Seq(
+    "red", "orange", "yellow", "green", "blue", "indigo", "violet",
+    "black", "white", "gray", "pink", "brown", "teal", "cyan",
+    "magenta", "maroon", "navy", "olive", "lime", "silver")
+  private def txt(ws: Seq[String]) = ws.mkString(" ")
+
+  /** History component P: g1 and g1b differ in the last word only
+    * (jac = 45/47 ≈ .957 — collides in every band with near
+    * certainty). History singleton-content Q: unrelated vocabulary,
+    * no edges. Arriving bridge g3 replaces W's first 10 words with
+    * V's (jac(g3, g1) = 36/56 ≈ .643). Arriving far content g2
+    * replaces W's first 20 (jac(g2, g1) = 26/66 ≈ .394 — under
+    * threshold; jac(g2, g3) = 32/60 ≈ .533 — a candidate only if a
+    * band collides, which the equivalence assertion tolerates either
+    * way). Exact-dup replicas of g1 land in BOTH shards. */
+  private lazy val fixtureDir: String = {
+    import spark.implicits._
+    val tmp = graft.TestTmp.dir("graft_clustidx_fixture_")
+    val g1 = txt(W)
+    val g1last = txt(W.init :+ "grape")
+    val g3 = txt(V.take(10) ++ W.drop(10))
+    val g2 = txt(V.take(20) ++ W.drop(20))
+    val q = txt(V ++ V.reverse ++ V.take(10)) // 50 words, V-vocabulary
+    // ids ≥ 20 so DedupQueries.corpus() plants no +100000/+200000
+    // copies (those would entangle the expected cluster memberships)
+    val docs: Seq[(Long, String)] = Seq(
+      20L -> g1, // history (20%4=0)
+      21L -> g1last, // history: near-dup of g1 -> component P
+      22L -> q, // history: unrelated content, no edges
+      24L -> g1, // history: exact replica of g1 (same content)
+      23L -> g3, // ARRIVING: bridge, edge to g1 (and maybe g2)
+      27L -> g2, // ARRIVING: far variant
+      31L -> g1, // ARRIVING: exact replica of old content g1
+      35L -> "tiny doc", // arriving, <5 words: no shingles
+      39L -> null.asInstanceOf[String])
+    docs.map { case (id, text) =>
+      (id, text, "en", "s1",
+        Option(text).map(_.length.toLong).getOrElse(0L))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  private def docs() =
+    spark.read.parquet(s"$fixtureDir/documents.parquet")
+
+  private def registerArtifacts(): Unit = {
+    graft.TestTmp.register(
+      ClusterIndexQueries.artifactPath(spark, fixtureDir, "hist"))
+    graft.TestTmp.register(
+      ClusterIndexQueries.artifactPath(spark, fixtureDir, "merged"))
+  }
+
+  private def labelSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("h", "lbl").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+
+  test("merge-equivalence: merge(labels(A), shard B) == labels(A ∪ B)") {
+    LshIndexQueries.resetMemoForTest()
+    registerArtifacts()
+    val merged = labelSet(
+      ClusterIndexQueries.mergedParts(spark, fixtureDir)("labels")())
+    val scratch = labelSet(
+      ClusterIndexQueries.fromScratchLabels(docs()))
+    assert(merged == scratch,
+      s"diff: ${(merged.diff(scratch) ++ scratch.diff(merged)).take(8)}")
+    assert(merged.nonEmpty)
+  }
+
+  test("frontier semantics: bridge touches P; exact replica joins without an edge") {
+    LshIndexQueries.resetMemoForTest()
+    registerArtifacts()
+    val spark2 = spark
+    import spark2.implicits._
+    val labels = ClusterIndexQueries
+      .mergedParts(spark, fixtureDir)("labels")()
+      .select("h", "lbl").as[(String, String)].collect().toMap
+    def h(text: String): String = {
+      import org.apache.spark.sql.functions.{col, md5}
+      Seq(text).toDF("t")
+        .select(md5(graft.functions.TextOps.norm(col("t"))))
+        .head().getString(0)
+    }
+    val g1 = txt(W)
+    val g1last = txt(W.init :+ "grape")
+    val g3 = txt(V.take(10) ++ W.drop(10))
+    // g1/g1b formed a history component; the arriving bridge g3 has
+    // exact jac .643 with g1 — IF its bands collide (deterministic
+    // for these texts) it must share their cluster in the MERGED
+    // labels; either way g1 and g1b share one
+    assert(labels.contains(h(g1)) && labels(h(g1)) == labels(h(g1last)),
+      "history component P lost its internal edge")
+    if (labels.contains(h(g3)))
+      assert(labels(h(g3)) == labels(h(g1)),
+        "bridge collided but did not join P")
+    // doc 11 carries old content g1: membership, not a new content —
+    // cluster must still be keyed by content min-hash
+    val q284 = graft.Queries.registry
+      .find(_.name == "q284_cluster_index_maintain").get
+    val out = q284.build(spark, fixtureDir).collect()
+    val pCluster = out.find(_.getString(0) == labels(h(g1)))
+    assert(pCluster.isDefined, "P's cluster missing from q284 output")
+    // P's docs: 20, 21, 24, 31 (+ 23 iff the bridge's bands collided)
+    val nDocs = pCluster.get.getAs[Long]("n_docs")
+    assert(nDocs == 4L || nDocs == 5L, s"unexpected P size $nDocs")
+    assert(pCluster.get.getAs[Long]("min_doc") == 20L)
+  }
+
+  test("artifact lifecycle: one build per artifact; memo and load paths identical") {
+    LshIndexQueries.resetMemoForTest()
+    registerArtifacts()
+    // a prior test in this suite may already have published the
+    // artifacts — consume one load to settle, then count
+    ClusterIndexQueries.mergedParts(spark, fixtureDir)("labels")()
+      .collect()
+    LshIndexQueries.resetMemoForTest()
+    val before = LshIndexQueries.buildCount.get()
+    val first = ClusterIndexQueries.mergedParts(spark, fixtureDir)(
+      "labels")().collect().map(_.toString).sorted
+    assert(LshIndexQueries.buildCount.get() == before,
+      "artifact load path rebuilt")
+    val again = ClusterIndexQueries.mergedParts(spark, fixtureDir)(
+      "labels")().collect().map(_.toString).sorted
+    assert(LshIndexQueries.buildCount.get() == before,
+      "memo path rebuilt")
+    assert(first.sameElements(again))
+    assert(first.nonEmpty)
+  }
+}
