@@ -1787,11 +1787,63 @@ object PipelineQueries {
       FROM s GROUP BY 1 ORDER BY 1
     """))
 
+  /** CDC checkpoint-then-truncate — the production LOG-RETENTION
+    * contract (round-16 advice #5): q277 proves replay(snapshot(k),
+    * tail) ≡ snapshot(max) over the FULL log, but a deployment that
+    * materializes snapshot(k) then DROPS the log prefix ≤ k (retention)
+    * must still be able to reconstruct any later point j > k from
+    * checkpoint + truncated tail alone. The Spark side reconstructs
+    * snapshot(j) from {checkpoint(k)} ∪ {log : k < seq ≤ j} — it never
+    * reads the dropped prefix — while the oracle computes snapshot(j)
+    * from the full log from scratch; equality IS the truncation
+    * identity (CdcSnapshotSpec additionally pins it in-engine at four
+    * (k, j) pairs).
+    *
+    * Scale shape: two 1-row broadcast cut frames, the q277 max_by hash
+    * aggregate twice (checkpoint, then replay) — ONE shuffle on the
+    * key each, no windows, no sort. */
+  private val q285 = Q(
+    "q285_cdc_checkpoint_truncate",
+    (s, dir) => {
+      val log = CdcOps.changeLog(t(s, dir, "orders"))
+      val cuts = log.agg(
+        expr("max(seq) * 2 div 5").as("ck_seq"),
+        expr("max(seq) * 4 div 5").as("asof_seq"))
+        .localCheckpoint()
+      val ck = CdcOps.snapshotAsOf(log,
+        cuts.select(col("ck_seq").as("asof_seq")))
+      val tail = log.crossJoin(broadcast(cuts))
+        .filter(col("seq") > col("ck_seq") &&
+          col("seq") <= col("asof_seq"))
+        .select(col("k"), col("seq"), col("op"), col("price"))
+      CdcOps.replay(ck, tail)
+        .crossJoin(broadcast(cuts))
+        .groupBy(col("op"), col("ck_seq"), col("asof_seq"))
+        .agg(asLong(count(lit(1))).as("n_keys"),
+          sum(col("price")).cast(DoubleType).as("sum_price"),
+          max(col("at_seq")).as("max_at_seq"))
+        .orderBy(col("op"))
+    },
+    Some(s"""
+      WITH log AS (${CdcOps.changeLogSql}),
+      pt AS (SELECT MAX(seq) * 2 // 5 AS ck_seq,
+                    MAX(seq) * 4 // 5 AS asof_seq FROM log),
+      last AS (
+        SELECT k, ck_seq, asof_seq, MAX(seq) AS at_seq,
+               arg_max(op, seq) AS op, arg_max(price, seq) AS price
+        FROM log, pt WHERE seq <= asof_seq GROUP BY k, ck_seq, asof_seq)
+      SELECT op, ck_seq, asof_seq, COUNT(*) AS n_keys,
+             CAST(SUM(price) AS DOUBLE) AS sum_price,
+             MAX(at_seq) AS max_at_seq
+      FROM last WHERE op != 'D' GROUP BY op, ck_seq, asof_seq
+      ORDER BY op
+    """))
+
   val registry: Seq[Q] =
     Seq(q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q100, q107,
       q109, q110, q111, q113, q114, q115, q120, q121, q123, q125,
       q127, q128, q129, q131, q132, q137, q140, q142, q144, q160, q216,
-      q217, q268, q277, q279)
+      q217, q268, q277, q279, q285)
 }
 
 /** The CDC change-log algebra behind q277, factored out so

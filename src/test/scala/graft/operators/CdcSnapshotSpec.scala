@@ -87,4 +87,38 @@ class CdcSnapshotSpec extends AnyFunSuite {
       assert(r.getAs[Long]("max_at_seq") <= r.getAs[Long]("asof_seq"))
     }
   }
+
+  test("truncation identity: checkpoint(k) + truncated tail reaches any j > k (q285)") {
+    val l = log()
+    val maxSeq = l.agg(max(col("seq"))).head().getLong(0)
+    for ((kf, jf) <- Seq((0.0, 0.5), (0.25, 0.6), (0.4, 0.8),
+        (0.6, 1.0))) {
+      val k = (maxSeq * (kf * 100).toInt) / 100
+      val j = (maxSeq * (jf * 100).toInt) / 100
+      val ck = CdcOps.snapshotAsOf(l,
+        spark.sql(s"SELECT CAST($k AS BIGINT) AS asof_seq"))
+      // the retention scenario: the prefix <= k is GONE — only the
+      // checkpoint and the (k, j] slice remain
+      val truncTail = l.filter(col("seq") > k && col("seq") <= j)
+      val fromCheckpoint = stateSet(CdcOps.replay(ck, truncTail))
+      val fromFullLog = stateSet(CdcOps.snapshotAsOf(l,
+        spark.sql(s"SELECT CAST($j AS BIGINT) AS asof_seq")))
+      assert(fromCheckpoint == fromFullLog,
+        s"truncation at k=$kf, j=$jf diverges: ${
+          (fromCheckpoint.diff(fromFullLog) ++
+            fromFullLog.diff(fromCheckpoint)).take(3)}")
+    }
+  }
+
+  test("q285 registry output matches q277's summary shape at the later cut") {
+    val r285 = Queries.registry
+      .find(_.name == "q285_cdc_checkpoint_truncate")
+      .get.build(spark, dir).collect()
+    assert(r285.nonEmpty)
+    r285.foreach { r =>
+      assert(r.getAs[Long]("ck_seq") < r.getAs[Long]("asof_seq"))
+      assert(r.getAs[Long]("n_keys") > 0)
+      assert(r.getAs[Long]("max_at_seq") <= r.getAs[Long]("asof_seq"))
+    }
+  }
 }
