@@ -610,7 +610,8 @@ object Queries {
     graft.operators.LexIndexQueries.registry ++
     graft.operators.SetSimQueries.registry ++
     graft.operators.RebalanceQueries.registry ++
-    graft.operators.ClusterIndexQueries.registry
+    graft.operators.ClusterIndexQueries.registry ++
+    graft.operators.LtrHoldoutQueries.registry
 
   // NO stripMargin here: its margin char is '|', so an oracle line that
   // begins with a '||' concatenation would silently lose a pipe
