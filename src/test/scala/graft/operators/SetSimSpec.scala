@@ -88,4 +88,23 @@ class SetSimSpec extends AnyFunSuite {
       s"banding invented pairs the exact join rejects: ${
         banded.diff(exact).take(5)}")
   }
+
+  test("q287 telemetry funnel is consistent with q282's output mass") {
+    for (d <- Seq(fixtureDir, "/root/testdata/sf0.001")) {
+      val t = q("q287_ppjoin_telemetry").build(spark, d).head()
+      // funnel shape: tokens ⊇ active, candidates ⊇ verified
+      assert(t.getAs[Long]("n_prefix_tokens") >=
+        t.getAs[Long]("n_active_tokens"))
+      assert(t.getAs[Long]("n_cand_pairs") >=
+        t.getAs[Long]("n_verified"))
+      assert(t.getAs[Long]("n_prefix_rows") >=
+        t.getAs[Long]("n_groups"))
+      // the doc-pair masses (computed from group sizes, never
+      // materialized) must equal the exact join's actual output
+      val nOut = q("q282_ppjoin_setsim").build(spark, d).count()
+      assert(t.getAs[Long]("n_cross_doc_pairs") +
+        t.getAs[Long]("n_intra_doc_pairs") == nOut,
+        s"telemetry mass != q282 output at $d")
+    }
+  }
 }
