@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming maintenance of the q276 index (LshIndexStream): across
+  * checkpointed restarts the maintained index must equal the
+  * batch-built signatures of the full corpus (the q276
+  * merge-equivalence, now under streaming delivery), and a
+  * redelivered batch (foreachBatch's at-least-once contract after a
+  * crash) must land idempotently. */
+class StreamingLshIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog again and again"
+
+  private def rowSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "h", "band_idx", "bh").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSet
+
+  test("index equals batch-built signatures across restarts; replays are no-ops") {
+    import spark.implicits._
+    val srcDir = graft.TestTmp.dir("graft_lshstream_src_")
+    val idxDir = graft.TestTmp.dir("graft_lshstream_idx_")
+    val ckpt = graft.TestTmp.dir("graft_lshstream_ck_")
+    // three micro-batches; batch 1 repeats batch-0 content (exact
+    // dup arriving later), batch 2 adds a near-dup and a no-shingle doc
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq(20L -> (base + " family zero"),
+        21L -> "completely unrelated content number one with many words"),
+      Seq(22L -> (base + " family zero"),
+        23L -> (base + " family one")),
+      Seq(24L -> (base + " family zero variant"),
+        25L -> "tiny doc"))
+    def writeBatch(b: Seq[(Long, String)]): Unit =
+      b.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    // restart-per-batch: each start() resumes from the same
+    // checkpoint and drains only the new file
+    batches.foreach { b =>
+      writeBatch(b)
+      LshIndexStream.start(spark, srcDir, idxDir, ckpt)
+        .awaitTermination()
+    }
+    val allDocs = batches.flatten.toDF("doc_id", "text")
+    val streamed = rowSet(LshIndexStream.index(spark, idxDir))
+    val batchBuilt = rowSet(
+      graft.operators.LshIndexQueries.signatures(allDocs))
+    assert(streamed == batchBuilt,
+      s"diff: ${(streamed.diff(batchBuilt) ++
+        batchBuilt.diff(streamed)).take(5)}")
+    assert(streamed.nonEmpty)
+    // crash-redelivery: foreachBatch may replay a committed batch
+    // with the SAME batchId after a failure — simulate it by
+    // re-invoking the merge directly; the work re-runs (counter
+    // moves) but the index is unchanged (overwrite under the stable
+    // batch id), i.e. exactly-once at the artifact
+    val before = LshIndexStream.batchCount.get()
+    LshIndexStream.mergeBatch(idxDir)(
+      batches(1).toDF("doc_id", "text"), 1L)
+    assert(LshIndexStream.batchCount.get() == before + 1)
+    assert(rowSet(LshIndexStream.index(spark, idxDir)) == batchBuilt,
+      "replayed batch changed the index")
+    // a FRESH document after the replay still folds in — the replay
+    // did not poison the checkpoint lineage
+    writeBatch(Seq(26L -> (base + " family one")))
+    LshIndexStream.start(spark, srcDir, idxDir, ckpt).awaitTermination()
+    val withNew = rowSet(LshIndexStream.index(spark, idxDir))
+    val expected = rowSet(graft.operators.LshIndexQueries.signatures(
+      (batches.flatten :+ (26L -> (base + " family one")))
+        .toDF("doc_id", "text")))
+    assert(withNew == expected)
+  }
+}
