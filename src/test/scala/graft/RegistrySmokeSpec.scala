@@ -58,10 +58,17 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "q280_bm25_index_maintain", // one rank window over the K=20
     // TakeOrdered shortlist (the q271 lex-arm bound); corpus-scale
     // work is the single tf scan, stats come off the vocab artifact
-    "q283_shard_rebalance" // cumulative-flow windows order the
+    "q283_shard_rebalance", // cumulative-flow windows order the
     // per-shard load frame: exactly S = 8 rows (shard count is
     // deployment config, never data); the only corpus-scale work is
     // the one tokens-per-shard aggregate feeding it
+    "q286_ltr_heldout" // q275's bound, three queries wide: per query,
+    // two rank windows order the K=20 TakeOrdered shortlists and one
+    // fusion window orders their ≤2K-row outer join; the held-out
+    // rerank window orders ONE query's ≤2K-row shortlist. All frames
+    // ≤ 2·K = 40 rows by construction. The corpus-scale work — one
+    // 9-term tokenize pass and one 3-probe embeddings pass — feeds
+    // slim checkpoints and TakeOrdereds, never a window
   )
 
   Queries.registry.filterNot(q => slow(q.name)).foreach { q =>
