@@ -611,7 +611,8 @@ object Queries {
     graft.operators.SetSimQueries.registry ++
     graft.operators.RebalanceQueries.registry ++
     graft.operators.ClusterIndexQueries.registry ++
-    graft.operators.LtrHoldoutQueries.registry
+    graft.operators.LtrHoldoutQueries.registry ++
+    graft.operators.RepeatBudgetQueries.registry
 
   // NO stripMargin here: its margin char is '|', so an oracle line that
   // begins with a '||' concatenation would silently lose a pipe

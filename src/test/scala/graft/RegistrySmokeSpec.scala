@@ -62,6 +62,12 @@ class RegistrySmokeSpec extends AnyFunSuite {
     // per-shard load frame: exactly S = 8 rows (shard count is
     // deployment config, never data); the only corpus-scale work is
     // the one tokens-per-shard aggregate feeding it
+    "q288_repeat_budget", // every window (cumulative caps, lead,
+    // totals) orders the per-source config frame: |sources| rows
+    // (20 here; a production source registry is thousands at most —
+    // the q218/q249 bound). The only corpus-scale work is the one
+    // tokenize + per-source sum feeding it, which is a map-side-
+    // combinable hash aggregate, never windowed
     "q286_ltr_heldout" // q275's bound, three queries wide: per query,
     // two rank windows order the K=20 TakeOrdered shortlists and one
     // fusion window orders their ≤2K-row outer join; the held-out
