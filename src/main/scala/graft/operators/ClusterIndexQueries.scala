@@ -154,9 +154,12 @@ object ClusterIndexQueries {
       // bit_xor, not sum: order-independent over the unique (h, lbl)
       // rows and immune to Long overflow whatever the session's ANSI
       // setting (a sum of xxhash64 values overflows under ANSI)
-      val fp = labels
+      val fpRow = labels
         .agg(bit_xor(xxhash64(concat_ws("|", col("h"), col("lbl")))))
-        .head().getLong(0)
+        .head()
+      // bit_xor over an EMPTY label frame (a batch that adds no new
+      // edges — the streaming path hits this) aggregates to NULL
+      val fp = if (fpRow.isNullAt(0)) 0L else fpRow.getLong(0)
       converged = prevFp.contains(fp)
       prevFp = Some(fp)
       iter += 1
@@ -190,72 +193,91 @@ object ClusterIndexQueries {
         Map("sigs" -> sigs, "labels" -> labels)
       })
 
+  /** The shared incremental-merge core (the batch shard merge AND the
+    * streaming per-batch fold route through this one function, the
+    * q276/LshIndexStream discipline): fold a set of arriving content
+    * groups into standing (sigs, labels) state by frontier
+    * propagation — never re-shingle history, never re-label untouched
+    * clusters.
+    *
+    * @param oldSigs   standing (h, band_idx, bh)
+    * @param oldLabels standing (h, lbl)
+    * @param arrivingGrp arriving content groups (h, sh, n); contents
+    *   already present in oldSigs are dropped here (their signatures
+    *   and labels already stand)
+    * @param oldGrpFor re-shingles a given h-set of OLD contents —
+    *   (h) frame → (h, sh, n); called with the bounded candidate
+    *   contact set only
+    */
+  private[graft] def mergeCore(
+      oldSigs: DataFrame, oldLabels: DataFrame, arrivingGrp: DataFrame,
+      oldGrpFor: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val newGrp = arrivingGrp
+      .join(oldSigs.select(col("h")).distinct(), Seq("h"), "left_anti")
+      .localCheckpoint()
+    val newSigs = sigsOf(newGrp).localCheckpoint()
+    val mergedSigs = oldSigs.unionByName(newSigs)
+    // complete new-edge candidates: every edge of E(A∪B) \ E(A)
+    // has a new-content endpoint, and banding is per-content pure
+    val cand = newSigs.alias("a")
+      .join(mergedSigs.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.bh") === col("b.bh") && col("a.h") =!= col("b.h"))
+      .select(least(col("a.h"), col("b.h")).as("g1"),
+        greatest(col("a.h"), col("b.h")).as("g2"))
+      .distinct()
+      .localCheckpoint()
+    // re-shingle ONLY the old contents that actually collide with
+    // the arriving contents (equi-join on candidate hashes) — the
+    // bounded contact set, never the whole history
+    val candH = cand.select(col("g1").as("h"))
+      .unionByName(cand.select(col("g2").as("h"))).distinct()
+    val oldCandGrp = oldGrpFor(candH)
+    val shTab = newGrp.unionByName(oldCandGrp).localCheckpoint()
+    val newEdges = verify(cand, shTab).localCheckpoint()
+    // frontier propagation: touched components re-labelled over
+    // {new edges} ∪ {star edges of touched components};
+    // untouched labels pass through verbatim
+    val ends = newEdges.select(col("g1").as("h"))
+      .unionByName(newEdges.select(col("g2").as("h"))).distinct()
+    val touchedRoots = oldLabels.join(ends, Seq("h"), "left_semi")
+      .select(col("lbl")).distinct()
+    val touched = oldLabels.join(touchedRoots, Seq("lbl"), "left_semi")
+    val stars = touched
+      .filter(col("h") =!= col("lbl"))
+      .select(col("h").as("g1"), col("lbl").as("g2"))
+    val prop = propagateMinLabels(newEdges.unionByName(stars))
+    // join on lbl reorders columns (join key first) — pin the
+    // published schema to (h, lbl) explicitly
+    val untouched = oldLabels.join(touchedRoots, Seq("lbl"), "left_anti")
+    (mergedSigs,
+      untouched.unionByName(prop).select(col("h"), col("lbl")))
+  }
+
   /** The maintained merged artifact: fold the arriving shard into the
-    * history parts by frontier propagation — never re-shingle history,
-    * never re-label untouched clusters. */
+    * history parts through [[mergeCore]]. */
   private[graft] def mergedParts(s: SparkSession, dir: String)
       : Map[String, () => DataFrame] =
     LshIndexQueries.loadOrBuildParts(
       s, artifactPath(s, dir, "merged"), Seq("sigs", "labels"), () => {
         val hist = historyParts(s, dir)
         val docs = t(s, dir, "documents")
-        val memb = membership(docs).localCheckpoint()
-        // contents whose every replica lives in the arriving shard —
-        // contents already seen in history are already signed/labelled
-        val histH = memb.filter(isHistory(col("doc_id")))
-          .select(col("h")).distinct()
-        val newGrp = withShingles(
-          contentGroups(docs.filter(!isHistory(col("doc_id"))))
-            .join(histH, Seq("h"), "left_anti"))
-          .localCheckpoint()
-        val newSigs = sigsOf(newGrp).localCheckpoint()
-        val histSigs = hist("sigs")()
-        val mergedSigs = histSigs.unionByName(newSigs)
-        // complete new-edge candidates: every edge of E(A∪B) \ E(A)
-        // has a new-content endpoint, and banding is per-content pure
-        val cand = newSigs.alias("a")
-          .join(mergedSigs.alias("b"),
-            col("a.band_idx") === col("b.band_idx") &&
-              col("a.bh") === col("b.bh") && col("a.h") =!= col("b.h"))
-          .select(least(col("a.h"), col("b.h")).as("g1"),
-            greatest(col("a.h"), col("b.h")).as("g2"))
-          .distinct()
-          .localCheckpoint()
-        // re-shingle ONLY the old contents that actually collide with
-        // the arriving shard (equi-join on candidate hashes) — the
-        // bounded contact set, never the whole history
-        val candH = cand.select(col("g1").as("h"))
-          .unionByName(cand.select(col("g2").as("h"))).distinct()
-        val oldCandGrp = withShingles(
-          contentGroups(docs.filter(isHistory(col("doc_id"))))
-            .join(candH, Seq("h"), "left_semi"))
-        val shTab = newGrp.unionByName(oldCandGrp).localCheckpoint()
-        val newEdges = verify(cand, shTab).localCheckpoint()
-        // frontier propagation: touched components re-labelled over
-        // {new edges} ∪ {star edges of touched components};
-        // untouched labels pass through verbatim
-        val oldLabels = hist("labels")().localCheckpoint()
-        val ends = newEdges.select(col("g1").as("h"))
-          .unionByName(newEdges.select(col("g2").as("h"))).distinct()
-        val touchedRoots = oldLabels.join(ends, Seq("h"), "left_semi")
-          .select(col("lbl")).distinct()
-        val touched = oldLabels.join(touchedRoots, Seq("lbl"), "left_semi")
-        val stars = touched
-          .filter(col("h") =!= col("lbl"))
-          .select(col("h").as("g1"), col("lbl").as("g2"))
-        val prop = propagateMinLabels(newEdges.unionByName(stars))
-        // join on lbl reorders columns (join key first) — pin the
-        // published schema to (h, lbl) explicitly
-        val untouched = oldLabels.join(touchedRoots, Seq("lbl"), "left_anti")
-        Map("sigs" -> mergedSigs,
-          "labels" -> untouched.unionByName(prop)
-            .select(col("h"), col("lbl")))
+        val arrivingGrp = withShingles(
+          contentGroups(docs.filter(!isHistory(col("doc_id")))))
+        val (mergedSigs, labels) = mergeCore(
+          hist("sigs")().localCheckpoint(),
+          hist("labels")().localCheckpoint(),
+          arrivingGrp,
+          candH => withShingles(
+            contentGroups(docs.filter(isHistory(col("doc_id"))))
+              .join(candH, Seq("h"), "left_semi")))
+        Map("sigs" -> mergedSigs, "labels" -> labels)
       })
 
   /** From-scratch labels over the full corpus — the reference the
     * merge path must equal exactly (ClusterIndexSpec; the registry
     * oracle re-derives the same thing in DuckDB). */
-  private[operators] def fromScratchLabels(docs: DataFrame): DataFrame = {
+  private[graft] def fromScratchLabels(docs: DataFrame): DataFrame = {
     val shGrp = withShingles(contentGroups(docs)).localCheckpoint()
     val sigs = sigsOf(shGrp).localCheckpoint()
     val cand = sigs.alias("a")

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming maintenance of the q284 cluster-label artifact
+  * (ClusterIndexStream): across checkpointed restarts the latest
+  * versioned state must equal from-scratch labels of the accumulated
+  * corpus (the mergeCore equivalence, now under streaming delivery
+  * where clusters GROW and MERGE across batches), and a redelivered
+  * batch must land idempotently (state is versioned by batchId, so
+  * the replay re-reads untouched state N−1 and overwrites its own
+  * version). */
+class StreamingClusterIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog again and again"
+
+  private def labelSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("h", "lbl").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+
+  test("streamed labels equal from-scratch across restarts; replays are no-ops") {
+    import spark.implicits._
+    val srcDir = graft.TestTmp.dir("graft_clstream_src_")
+    val stateDir = graft.TestTmp.dir("graft_clstream_state_")
+    val ckpt = graft.TestTmp.dir("graft_clstream_ck_")
+    // batch 0 plants a 2-doc near-dup component; batch 1 adds an
+    // exact dup of old content plus an unrelated content; batch 2's
+    // near-dup of batch-0 content must GROW the standing component
+    // (cross-batch frontier merge, the interesting path)
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq(20L -> (base + " family zero"),
+        21L -> (base + " family zero variant")),
+      Seq(22L -> (base + " family zero"),
+        23L -> "completely unrelated content number one with many words"),
+      Seq(24L -> (base + " family zero second variant"),
+        25L -> "tiny doc"))
+    def writeBatch(b: Seq[(Long, String)]): Unit =
+      b.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    batches.foreach { b =>
+      writeBatch(b)
+      ClusterIndexStream.start(spark, srcDir, stateDir, ckpt)
+        .awaitTermination()
+    }
+    val allDocs = batches.flatten.toDF("doc_id", "text")
+    val streamed = labelSet(ClusterIndexStream.labels(spark, stateDir))
+    val scratch = labelSet(
+      graft.operators.ClusterIndexQueries.fromScratchLabels(allDocs))
+    // fromScratchLabels plants corpus() copies for doc_id < 20; the
+    // fixture ids are all >= 20 so both sides see the same corpus
+    assert(streamed == scratch,
+      s"diff: ${(streamed.diff(scratch) ++
+        scratch.diff(streamed)).take(5)}")
+    assert(streamed.nonEmpty)
+    // the batch-2 variant must have joined the standing component
+    val lbls = streamed.toMap
+    def h(text: String): String = {
+      import org.apache.spark.sql.functions.{col, md5}
+      Seq(text).toDF("t")
+        .select(md5(graft.functions.TextOps.norm(col("t"))))
+        .head().getString(0)
+    }
+    assert(lbls.contains(h(base + " family zero second variant")) &&
+      lbls(h(base + " family zero second variant")) ==
+        lbls(h(base + " family zero")),
+      "cross-batch frontier merge failed to grow the component")
+    // crash-redelivery of batch 1 with its stable id: state(0) is
+    // untouched, batch=1 overwrites itself, the LATEST state is
+    // byte-identical
+    ClusterIndexStream.mergeBatch(srcDir, stateDir)(
+      batches(1).toDF("doc_id", "text"), 1L)
+    assert(labelSet(ClusterIndexStream.labels(spark, stateDir))
+      == streamed, "replayed batch changed the latest state")
+  }
+}
