@@ -90,6 +90,27 @@ object ClusterIndexStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** State retention (the q285 checkpoint-truncate contract, applied
+    * to the versioned stream state): drop all versions older than the
+    * newest `keep`. Safe floor is keep = 2 — the latest version
+    * serves reads, and a crash-redelivery of the latest batchId needs
+    * its PREDECESSOR intact; anything older is only history.
+    * StreamingClusterIndexSpec proves reads and redelivery survive a
+    * prune to that floor. */
+  def pruneVersions(stateDir: String, keep: Int = 2): Unit = {
+    val d = new java.io.File(stateDir)
+    val versions = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .sortBy(_.getName.stripPrefix("batch=").toLong)
+    versions.dropRight(keep.max(2)).foreach { f =>
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete(); ()
+      }
+      rm(f)
+    }
+  }
+
   /** The live labels: the HIGHEST published batch version. */
   def labels(spark: SparkSession, stateDir: String): DataFrame = {
     val d = new java.io.File(stateDir)

@@ -138,6 +138,35 @@ class ClusterIndexSpec extends AnyFunSuite {
     assert(pCluster.get.getAs[Long]("min_doc") == 20L)
   }
 
+  test("merged sigs part equals from-scratch content-grain signatures") {
+    LshIndexQueries.resetMemoForTest()
+    registerArtifacts()
+    def sigSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("h", "band_idx", "bh").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val merged = sigSet(
+      ClusterIndexQueries.mergedParts(spark, fixtureDir)("sigs")())
+    // from-scratch content-grain signatures over the full corpus:
+    // distinct content of every doc, banded once
+    import org.apache.spark.sql.functions._
+    val scratch = sigSet {
+      val c = DedupQueries.corpus(docs())
+        .withColumn("nt", graft.functions.TextOps.norm(col("text")))
+        .filter(col("nt").isNotNull)
+        .select(md5(col("nt")).as("h"), col("nt"))
+        .groupBy("h").agg(min("nt").as("nt"))
+        .withColumn("sh", graft.functions.TextOps.shingleSet(
+          split(col("nt"), " "), 5))
+      DedupQueries.minhashBandTable(c.select(col("h"), col("sh")), "h")
+        .filter(col("bh").isNotNull)
+        .select(col("h"), col("band_idx").cast("long").as("band_idx"),
+          col("bh"))
+    }
+    assert(merged == scratch,
+      s"diff: ${(merged.diff(scratch) ++ scratch.diff(merged)).take(5)}")
+    assert(merged.nonEmpty)
+  }
+
   test("artifact lifecycle: one build per artifact; memo and load paths identical") {
     LshIndexQueries.resetMemoForTest()
     registerArtifacts()

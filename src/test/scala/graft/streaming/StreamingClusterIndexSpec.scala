@@ -79,5 +79,19 @@ class StreamingClusterIndexSpec extends AnyFunSuite {
       batches(1).toDF("doc_id", "text"), 1L)
     assert(labelSet(ClusterIndexStream.labels(spark, stateDir))
       == streamed, "replayed batch changed the latest state")
+    // state retention: prune to the keep=2 floor; reads serve the
+    // same labels, and a redelivery of the LATEST batch (which reads
+    // its predecessor) still lands identically
+    ClusterIndexStream.pruneVersions(stateDir)
+    val remaining = new java.io.File(stateDir).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(remaining.sameElements(Array("batch=1", "batch=2")),
+      s"prune kept ${remaining.mkString(",")}")
+    assert(labelSet(ClusterIndexStream.labels(spark, stateDir))
+      == streamed, "prune changed the latest state")
+    ClusterIndexStream.mergeBatch(srcDir, stateDir)(
+      batches(2).toDF("doc_id", "text"), 2L)
+    assert(labelSet(ClusterIndexStream.labels(spark, stateDir))
+      == streamed, "post-prune redelivery changed the latest state")
   }
 }
