@@ -164,6 +164,11 @@ object ClusterIndexQueries {
       prevFp = Some(fp)
       iter += 1
     }
+    // stderr diagnostic for the large-star/small-star decision
+    // (round-16 advice #2 tail): iterations = diameter + 1
+    // convergence check; star-alternation only pays when this is
+    // large (long chains), so the number is worth watching
+    System.err.println(s"[graft] propagateMinLabels iterations=$iter")
     labels
   }
 

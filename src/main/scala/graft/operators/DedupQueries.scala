@@ -1167,6 +1167,9 @@ object DedupQueries {
       prevSum = lblSum
       iter += 1
     }
+    // stderr diagnostic (round-16 advice #2 tail) — see
+    // ClusterIndexQueries.propagateMinLabels
+    System.err.println(s"[graft] dupClusterLabels iterations=$iter")
     labels
   }
 
