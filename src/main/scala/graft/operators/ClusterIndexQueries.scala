@@ -169,6 +169,12 @@ object ClusterIndexQueries {
     // convergence check; star-alternation only pays when this is
     // large (long chains), so the number is worth watching
     System.err.println(s"[graft] propagateMinLabels iterations=$iter")
+    // A component with diameter > cap-1 would otherwise return
+    // silently-truncated labels into the maintained artifact and the
+    // streaming state — fail loudly instead (round-17 advice)
+    if (!converged) throw new IllegalStateException(
+      s"propagateMinLabels did not converge within $iter iterations " +
+        "(component diameter exceeds the cap); labels would be wrong")
     labels
   }
 
@@ -234,9 +240,14 @@ object ClusterIndexQueries {
       .localCheckpoint()
     // re-shingle ONLY the old contents that actually collide with
     // the arriving contents (equi-join on candidate hashes) — the
-    // bounded contact set, never the whole history
+    // bounded contact set, never the whole history; contents already
+    // shingled in newGrp are excluded from the fetch (the streaming
+    // caller's lake includes the just-delivered batch — without this
+    // anti-join their shingles would be fetched AND computed, and the
+    // shingle table would carry duplicate rows into verify)
     val candH = cand.select(col("g1").as("h"))
       .unionByName(cand.select(col("g2").as("h"))).distinct()
+      .join(newGrp.select(col("h")), Seq("h"), "left_anti")
     val oldCandGrp = oldGrpFor(candH)
     val shTab = newGrp.unionByName(oldCandGrp).localCheckpoint()
     val newEdges = verify(cand, shTab).localCheckpoint()

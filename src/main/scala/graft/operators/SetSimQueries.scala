@@ -197,8 +197,9 @@ object SetSimQueries {
         .agg(
           graft.functions.Exprs.asLong(count(lit(1)))
             .as("n_cand_pairs"),
-          graft.functions.Exprs.asLong(
-            sum(when(col("ok"), 1L).otherwise(0L))).as("n_verified"),
+          coalesce(graft.functions.Exprs.asLong(
+            sum(when(col("ok"), 1L).otherwise(0L))), lit(0L))
+            .as("n_verified"),
           coalesce(sum(when(col("ok"), col("nd1") * col("nd2")))
             .cast(LongType), lit(0L)).as("n_cross_doc_pairs"))
       val grpStats = sorted.agg(

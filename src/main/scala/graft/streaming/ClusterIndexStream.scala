@@ -20,11 +20,15 @@ import graft.operators.ClusterIndexQueries
   * (LshIndexStream, where per-batch OVERWRITE publication suffices),
   * labels are a READ-MODIFY-WRITE over prior state — so the state is
   * VERSIONED BY BATCH ID: state(N) is computed from state(N−1) and
-  * published with mode=overwrite under `{stateDir}/batch=N/{sigs,
-  * labels}`. A crash-redelivery of batch N re-reads the untouched
-  * state(N−1) and overwrites its own version directory — idempotent
-  * with no transaction log, because foreachBatch batchIds are stable
-  * and dense from one checkpoint. StreamingClusterIndexSpec proves
+  * published under `{stateDir}/batch=N/{sigs,labels}` through the
+  * tmp-dir + _GRAFT_OK-marker + rename lifecycle (the batch-artifact
+  * protocol, LshIndexQueries.loadOrBuildParts) — readers only ever
+  * see versions carrying the marker, so a crash between the two
+  * parquet writes can never surface a half-written state. A
+  * crash-redelivery of batch N re-reads the untouched state(N−1) and
+  * republishes its own version directory — idempotent with no
+  * transaction log, because foreachBatch batchIds are stable and
+  * dense from one checkpoint. StreamingClusterIndexSpec proves
   * streamed labels ≡ ClusterIndexQueries.fromScratchLabels of the
   * accumulated corpus across checkpointed restarts, and that a
   * redelivered batch is a no-op.
@@ -41,6 +45,22 @@ object ClusterIndexStream {
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("h", StringType),
         StructField("lbl", StringType))))
+
+  /** A version directory counts as published ONLY with its _GRAFT_OK
+    * marker — written last, so a crash between the sigs and labels
+    * parquet writes (or mid-write) leaves a version that every reader
+    * skips (round-17 advice: the LshIndexQueries marker lifecycle,
+    * applied to the versioned stream state). */
+  private def isComplete(v: java.io.File): Boolean =
+    new java.io.File(v, "_GRAFT_OK").isFile
+
+  private def completeVersions(stateDir: String): Array[Long] =
+    Option(new java.io.File(stateDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        isComplete(f))
+      .map(_.getName.stripPrefix("batch=").toLong)
+      .sorted
 
   private def readState(s: SparkSession, stateDir: String,
       batchId: Long): (DataFrame, DataFrame) =
@@ -68,14 +88,38 @@ object ClusterIndexStream {
       batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     val (oldSigs, oldLabels) = readState(s, stateDir, batchId - 1)
+    // The accumulated lake already contains the just-delivered batch;
+    // mergeCore anti-joins the contact set against its own new-content
+    // hashes before this fetch runs, so new contents are shingled
+    // once, in newGrp — not a second time through the lake read
+    // (round-17 advice; the filter lives in mergeCore because the
+    // batch may ALSO carry exact dups of OLD contents, whose shingles
+    // genuinely must come from this fetch)
     val (sigs, labels) = ClusterIndexQueries.mergeCore(
       oldSigs.localCheckpoint(), oldLabels.localCheckpoint(),
       groupsOf(batch),
       candH => groupsOf(s.read.parquet(srcDir))
         .join(candH, Seq("h"), "left_semi"))
-    sigs.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId/sigs")
-    labels.write.mode("overwrite")
-      .parquet(s"$stateDir/batch=$batchId/labels")
+    // Publish version batchId atomically: both parquet parts + the
+    // _GRAFT_OK marker land in a tmp dir, then ONE rename exposes it.
+    // A crash at any point leaves either the intact predecessor as the
+    // newest complete version (readers skip marker-less debris) or the
+    // fully-published version; redelivery clears debris and retries.
+    val base = new org.apache.hadoop.fs.Path(s"$stateDir/batch=$batchId")
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$stateDir/.tmp-batch=$batchId-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    sigs.write.parquet(s"$tmp/sigs")
+    labels.write.parquet(s"$tmp/labels")
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_OK"), true)
+      .close()
+    if (fs.exists(base)) fs.delete(base, true)
+    if (!fs.rename(tmp, base)) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"cluster-index state publish failed for batch=$batchId")
+    }
     ()
   }
 
@@ -99,28 +143,33 @@ object ClusterIndexStream {
     * prune to that floor. */
   def pruneVersions(stateDir: String, keep: Int = 2): Unit = {
     val d = new java.io.File(stateDir)
-    val versions = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .sortBy(_.getName.stripPrefix("batch=").toLong)
-    versions.dropRight(keep.max(2)).foreach { f =>
-      def rm(x: java.io.File): Unit = {
-        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-        x.delete(); ()
-      }
-      rm(f)
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+      x.delete(); ()
     }
+    val complete = completeVersions(stateDir)
+    val keepFloor = complete.dropRight(keep.max(2)).lastOption
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .foreach { f =>
+        val v = f.getName.stripPrefix("batch=").toLong
+        // Only COMPLETE versions count toward `keep`; a marker-less
+        // directory is deleted ONLY when a newer complete version
+        // exists (crash debris, already superseded) — a marker-less
+        // dir NEWER than every complete version may be a publish in
+        // flight and is never touched (prune-race safety). Note the
+        // rename publish makes this window ~zero on a local fs; this
+        // guard covers object-store style non-atomic renames.
+        val stale = keepFloor.exists(v <= _) ||
+          (!isComplete(f) && complete.nonEmpty && v <= complete.last)
+        if (stale) rm(f)
+      }
   }
 
-  /** The live labels: the HIGHEST published batch version. */
-  def labels(spark: SparkSession, stateDir: String): DataFrame = {
-    val d = new java.io.File(stateDir)
-    val latest = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .map(_.getName.stripPrefix("batch=").toLong)
-      .sorted.lastOption
-    latest match {
+  /** The live labels: the HIGHEST COMPLETE batch version. */
+  def labels(spark: SparkSession, stateDir: String): DataFrame =
+    completeVersions(stateDir).lastOption match {
       case Some(b) => spark.read.parquet(s"$stateDir/batch=$b/labels")
       case None => emptyLabels(spark)
     }
-  }
 }

@@ -38,7 +38,13 @@ class StreamingClusterIndexSpec extends AnyFunSuite {
     val batches: Seq[Seq[(Long, String)]] = Seq(
       Seq(20L -> (base + " family zero"),
         21L -> (base + " family zero variant")),
+      // 22 is an exact dup of OLD content and 26 a NEW near-dup of
+      // that same old content, in the SAME batch: the candidate pair
+      // (old-h, new-h) needs old-h's shingles from the contact-set
+      // fetch even though old-h is among the batch's own hashes —
+      // pins mergeCore's candH anti-join to the right frame
       Seq(22L -> (base + " family zero"),
+        26L -> (base + " family zero third variant"),
         23L -> "completely unrelated content number one with many words"),
       Seq(24L -> (base + " family zero second variant"),
         25L -> "tiny doc"))
@@ -93,5 +99,47 @@ class StreamingClusterIndexSpec extends AnyFunSuite {
       batches(2).toDF("doc_id", "text"), 2L)
     assert(labelSet(ClusterIndexStream.labels(spark, stateDir))
       == streamed, "post-prune redelivery changed the latest state")
+  }
+
+  test("half-written versions are invisible to readers and safe under prune") {
+    import spark.implicits._
+    val srcDir = graft.TestTmp.dir("graft_clcrash_src_")
+    val stateDir = graft.TestTmp.dir("graft_clcrash_state_")
+    val docs = Seq(30L -> (base + " crash family"),
+      31L -> (base + " crash family variant")).toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("append").parquet(srcDir)
+    ClusterIndexStream.mergeBatch(srcDir, stateDir)(docs, 0L)
+    val good = labelSet(ClusterIndexStream.labels(spark, stateDir))
+    assert(good.nonEmpty)
+    // simulate a crash mid-publish of batch=1: a version directory
+    // with data but NO _GRAFT_OK marker (the pre-rename window, or a
+    // non-atomic object-store rename caught halfway)
+    val crashed = new java.io.File(stateDir, "batch=1")
+    new java.io.File(crashed, "labels").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(crashed.getPath, "labels", "part-junk"),
+      Array[Byte](1, 2, 3))
+    // readers must skip the marker-less version, not fail on it
+    assert(labelSet(ClusterIndexStream.labels(spark, stateDir)) == good,
+      "reader served a half-written version")
+    // prune racing the in-flight write: batch=1 is NEWER than every
+    // complete version, so prune must not touch it — and must not
+    // count it toward keep (batch=0, the only complete version, stays)
+    ClusterIndexStream.pruneVersions(stateDir)
+    assert(crashed.isDirectory, "prune deleted an in-flight version")
+    assert(new java.io.File(stateDir, "batch=0/_GRAFT_OK").isFile,
+      "prune deleted the only complete version")
+    // redelivery of the crashed batch repairs it in place (new content
+    // is an exact dup of standing content — labels must not change)
+    ClusterIndexStream.mergeBatch(srcDir, stateDir)(
+      Seq(32L -> (base + " crash family")).toDF("doc_id", "text"), 1L)
+    assert(new java.io.File(stateDir, "batch=1/_GRAFT_OK").isFile)
+    assert(labelSet(ClusterIndexStream.labels(spark, stateDir)) == good)
+    // once superseded by a newer complete version, marker-less debris
+    // IS reclaimed: plant stale debris below the complete frontier
+    val debris = new java.io.File(stateDir, "batch=0")
+    new java.io.File(debris, "_GRAFT_OK").delete()
+    ClusterIndexStream.pruneVersions(stateDir)
+    assert(!debris.exists(), "prune kept superseded marker-less debris")
   }
 }
