@@ -290,10 +290,85 @@ object ClusterIndexQueries {
         Map("sigs" -> mergedSigs, "labels" -> labels)
       })
 
-  /** From-scratch labels over the full corpus — the reference the
-    * merge path must equal exactly (ClusterIndexSpec; the registry
-    * oracle re-derives the same thing in DuckDB). */
-  private[graft] def fromScratchLabels(docs: DataFrame): DataFrame = {
+  /** Retraction predicate shared by the deletion queries (q289–q291):
+    * corpus doc_ids with doc_id % 7 == 3 are tombstoned. Mod 7 is
+    * coprime to the corpus-plant offsets (+100000, +200000 — both
+    * ≡ 0 mod 8 but not mod 7), so the tombstone set hits replicas of
+    * a content independently: some contents lose EVERY doc (the
+    * content leaves the graph), others only some (the content — and
+    * its cluster membership — must survive). */
+  private[operators] def isRetracted(c: org.apache.spark.sql.Column) =
+    c % 7 === 3
+
+  /** The deletion dual of [[mergeCore]] (round-17 advice #1): remove a
+    * set of CONTENTS from standing (sigs, labels) state by
+    * recomputing only the touched components — never re-shingle
+    * history at large, never re-label untouched clusters.
+    *
+    * Why deletion is the hard half: a removed node can SPLIT its
+    * component, and the standing label (the component's min member
+    * hash) can DANGLE when the minimum member itself is deleted — so
+    * labels cannot be patched edge-locally the way additions can.
+    * The saving fact is component CLOSURE: every surviving edge
+    * incident to a touched component's member has its other endpoint
+    * in the SAME component (else the two components would already be
+    * one). So the touched components' surviving members form a
+    * self-contained subgraph, and re-deriving candidates (band join
+    * of their standing signature rows — banding is per-content pure)
+    * + exact verify + min-label propagation over JUST that subgraph
+    * reproduces exactly what a from-scratch run on corpus-minus-
+    * deleted would compute for those nodes. Untouched labels pass
+    * through verbatim; survivors left with no edge drop out of the
+    * label table (the from-scratch convention). Cross-touched-
+    * component candidate pairs the band join resurfaces are rejected
+    * by the same verify that rejected them originally.
+    *
+    * Signatures are per-content pure, so sigs' is a plain tombstone
+    * anti-join.
+    *
+    * @param delH contents to remove — ONLY contents with no surviving
+    *   doc (doc-grain tombstones fold to content grain at the caller,
+    *   where membership lives)
+    * @param survGrpFor re-shingles a given h-set of SURVIVING
+    *   contents — called with the touched components' survivors only
+    */
+  private[graft] def delCore(
+      oldSigs: DataFrame, oldLabels: DataFrame, delH: DataFrame,
+      survGrpFor: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val del = delH.select(col("h")).distinct().localCheckpoint()
+    val sigsOut = oldSigs.join(del, Seq("h"), "left_anti")
+      .localCheckpoint()
+    // touched components: any component with a deleted member; a
+    // deleted content with no edges never appears in oldLabels and
+    // needs no label work at all
+    val delRoots = oldLabels.join(del, Seq("h"), "left_semi")
+      .select(col("lbl")).distinct()
+    val touchedSurv = oldLabels
+      .join(delRoots, Seq("lbl"), "left_semi")
+      .join(del, Seq("h"), "left_anti")
+      .select(col("h")).localCheckpoint()
+    val survGrp = survGrpFor(touchedSurv).localCheckpoint()
+    // candidate pairs among the touched survivors, off the STANDING
+    // signature artifact (restricted, never recomputed)
+    val survSigs = sigsOut.join(touchedSurv, Seq("h"), "left_semi")
+    val cand = survSigs.alias("a")
+      .join(survSigs.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.bh") === col("b.bh") && col("a.h") < col("b.h"))
+      .select(col("a.h").as("g1"), col("b.h").as("g2"))
+      .distinct()
+    val relbl = propagateMinLabels(verify(cand, survGrp))
+    val untouched = oldLabels.join(delRoots, Seq("lbl"), "left_anti")
+    (sigsOut,
+      untouched.unionByName(relbl).select(col("h"), col("lbl")))
+  }
+
+  /** From-scratch (sigs, labels) over the full corpus — the reference
+    * both the merge path and the deletion path must equal exactly
+    * (ClusterIndexSpec; the registry oracles re-derive the same thing
+    * in DuckDB). */
+  private[graft] def fromScratchState(docs: DataFrame)
+      : (DataFrame, DataFrame) = {
     val shGrp = withShingles(contentGroups(docs)).localCheckpoint()
     val sigs = sigsOf(shGrp).localCheckpoint()
     val cand = sigs.alias("a")
@@ -302,8 +377,16 @@ object ClusterIndexQueries {
           col("a.bh") === col("b.bh") && col("a.h") < col("b.h"))
       .select(col("a.h").as("g1"), col("b.h").as("g2"))
       .distinct()
-    propagateMinLabels(verify(cand, shGrp))
+    (sigs, propagateMinLabels(verify(cand, shGrp)))
   }
+
+  private[graft] def fromScratchLabels(docs: DataFrame): DataFrame =
+    fromScratchState(docs)._2
+
+  /** Shingled content groups of a doc frame — the spec-side fetch for
+    * [[delCore]]/[[mergeCore]] callbacks. */
+  private[graft] def groupsFor(docs: DataFrame): DataFrame =
+    withShingles(contentGroups(docs))
 
   /** Per-cluster summary off the MAINTAINED label artifact, expanded
     * to doc grain through the membership pass: cluster id (min content
@@ -311,20 +394,11 @@ object ClusterIndexQueries {
     * recomputes all of it from the raw corpus from scratch (banding,
     * exact verify, recursive-CTE components) — artifact path and
     * from-scratch path must agree bit-for-bit. */
-  private val q284 = Q(
-    "q284_cluster_index_maintain",
-    (s, dir) => {
-      val labels = mergedParts(s, dir)("labels")()
-      membership(t(s, dir, "documents"))
-        .join(labels, "h")
-        .groupBy(col("lbl").as("cluster"))
-        .agg(graft.functions.Exprs.asLong(count(lit(1))).as("n_docs"),
-          graft.functions.Exprs.asLong(count_distinct(col("h")))
-            .as("n_contents"),
-          min(col("doc_id")).as("min_doc"))
-        .orderBy(col("cluster"))
-    },
-    Some {
+  /** The q284 from-scratch DuckDB derivation, parameterized by a
+    * membership filter so q289 can grade deletion against a
+    * from-scratch run on corpus-minus-deleted — the SAME recursive-CTE
+    * component algebra, never a patched artifact. */
+  private def clusterSummarySql(membFilter: String): String = {
       val mins = (0 until 8).map(i =>
         s"list_min([md5('$i|'||s) FOR s IN sh]) AS m$i").mkString(", ")
       val bandSelects = (0 until 4).map(j =>
@@ -338,7 +412,7 @@ object ClusterIndexQueries {
         FROM (SELECT doc_id,
                      regexp_replace(trim(lower(text)),'\\s+',' ','g') AS nt
               FROM corpus)
-        WHERE nt IS NOT NULL),
+        WHERE nt IS NOT NULL$membFilter),
       grp AS (SELECT h, MIN(nt) AS nt FROM memb GROUP BY 1),
       gsh AS (
         SELECT h,
@@ -374,7 +448,69 @@ object ClusterIndexQueries {
       FROM memb m JOIN lbl l ON l.h = m.h
       GROUP BY 1 ORDER BY 1
       """
-    })
+  }
 
-  val registry: Seq[Q] = Seq(q284)
+  /** The maintained-cluster summary shape shared by q284 and q289:
+    * label artifact → doc grain through a membership frame. */
+  private def clusterSummary(memb: DataFrame, labels: DataFrame)
+      : DataFrame =
+    memb.join(labels, "h")
+      .groupBy(col("lbl").as("cluster"))
+      .agg(graft.functions.Exprs.asLong(count(lit(1))).as("n_docs"),
+        graft.functions.Exprs.asLong(count_distinct(col("h")))
+          .as("n_contents"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("cluster"))
+
+  /** Per-cluster summary off the MAINTAINED label artifact, expanded
+    * to doc grain through the membership pass: cluster id (min content
+    * hash), content count, doc count, min member doc_id. The oracle
+    * recomputes all of it from the raw corpus from scratch (banding,
+    * exact verify, recursive-CTE components) — artifact path and
+    * from-scratch path must agree bit-for-bit. */
+  private val q284 = Q(
+    "q284_cluster_index_maintain",
+    (s, dir) =>
+      clusterSummary(membership(t(s, dir, "documents")),
+        mergedParts(s, dir)("labels")()),
+    Some(clusterSummarySql("")))
+
+  /** q289 — DELETION/RETRACTION for the maintained cluster-label
+    * artifact (round-17 advice #1, the maintained-artifact tier's
+    * missing half): tombstone the doc_ids under [[isRetracted]],
+    * fold doc-grain tombstones to content grain (a content leaves
+    * the graph only when its LAST doc is retracted), and repair the
+    * standing artifact through [[delCore]] — signatures by tombstone
+    * anti-join, labels by recompute-only-touched-components (a
+    * deletion can SPLIT a component and dangle its min-hash label,
+    * which no edge-local patch can fix). Corpus-scale work: the one
+    * membership pass every dedup query pays; shingles are recomputed
+    * ONLY for surviving members of components that actually lost a
+    * content. The oracle knows nothing of the artifact or the repair
+    * algebra — it re-derives components from scratch over
+    * corpus-minus-deleted, so the repaired artifact must equal a
+    * from-scratch world with no deletion history at all. */
+  private val q289 = Q(
+    "q289_cluster_index_delete",
+    (s, dir) => {
+      val parts = mergedParts(s, dir)
+      val docs = t(s, dir, "documents")
+      val memb = membership(docs).localCheckpoint()
+      // content grain: deleted iff NO surviving member doc
+      val delH = memb
+        .groupBy(col("h"))
+        .agg(max(when(!isRetracted(col("doc_id")), 1L).otherwise(0L))
+          .as("alive"))
+        .filter(col("alive") === 0).select(col("h"))
+      val (_, labels) = delCore(
+        parts("sigs")().localCheckpoint(),
+        parts("labels")().localCheckpoint(),
+        delH,
+        survH => withShingles(contentGroups(docs)
+          .join(survH, Seq("h"), "left_semi")))
+      clusterSummary(memb.filter(!isRetracted(col("doc_id"))), labels)
+    },
+    Some(clusterSummarySql(" AND doc_id % 7 <> 3")))
+
+  val registry: Seq[Q] = Seq(q284, q289)
 }

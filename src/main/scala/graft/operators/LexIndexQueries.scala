@@ -153,5 +153,124 @@ object LexIndexQueries {
         """))
   }
 
-  val registry: Seq[Q] = Seq(q280)
+  /** Exact subtraction of a retracted doc set from maintained BM25
+    * stats: only the retracted docs are tokenized; per-term df and the
+    * (n_docs, sum_dl) meta row subtract componentwise, and terms whose
+    * df reaches zero leave the vocabulary (from-scratch stats on the
+    * surviving corpus never saw them — LexIndexSpec pins the
+    * equality). */
+  private[graft] def subtractStats(dfA: DataFrame, metaA: DataFrame,
+      retractedDocs: DataFrame): (DataFrame, DataFrame) = {
+    val (dfD, metaD) = stats(retractedDocs)
+    val df = dfA.withColumnRenamed("df", "df_a")
+      .join(dfD.withColumnRenamed("df", "df_d"), Seq("term"),
+        "left_outer")
+      .select(col("term"),
+        (col("df_a") - coalesce(col("df_d"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    val meta = metaA
+      .crossJoin(broadcast(metaD
+        .withColumnRenamed("n_docs", "n_d")
+        .withColumnRenamed("sum_dl", "dl_d")))
+      .select((col("n_docs") - col("n_d")).as("n_docs"),
+        (col("sum_dl") - col("dl_d")).as("sum_dl"))
+    (df, meta)
+  }
+
+  /** q291 — DELETION for the maintained BM25 index (round-17 advice
+    * #1): the corpus state (per-term df, n_docs, sum_dl) is additive
+    * over disjoint shards, and addition in ℤ has an inverse — so
+    * retraction is EXACT SUBTRACTION: tokenize ONLY the retracted
+    * docs, subtract their df/n/dl contributions from the maintained
+    * artifact, drop terms whose df reaches zero. No surviving text is
+    * re-tokenized (the maintained-artifact family is closed under a
+    * GROUP, not just a merge monoid). Scoring from the repaired
+    * stats over the surviving corpus must equal a from-scratch BM25
+    * run on corpus-minus-deleted — the oracle is exactly that
+    * derivation, with no knowledge of the artifact or the
+    * subtraction. Tombstones follow the shared
+    * [[ClusterIndexQueries.isRetracted]] predicate. */
+  private val q291 = {
+    val terms = RetrievalQueries.terms
+    val k1 = 1.2
+    val b = 0.75
+    Q(
+      "q291_bm25_index_delete",
+      (s, dir) => {
+        val parts = mergedStats(s, dir)
+        val docs = t(s, dir, "documents")
+        val retracted = ClusterIndexQueries.isRetracted(col("doc_id"))
+        val (df, meta) =
+          subtractStats(parts("df")(), parts("meta")(),
+            docs.filter(retracted))
+        val tk = tok(docs.filter(!retracted))
+          .withColumn("dl", col("dl").cast(DoubleType))
+        val tf = terms.zipWithIndex.foldLeft(tk) { case (d, (term, i)) =>
+          d.withColumn(s"tf$i",
+            size(filter(col("w"), x => x === term)).cast(DoubleType))
+        }.drop("w")
+        val dfAggs = terms.zipWithIndex.map { case (tm, i) =>
+          coalesce(max(when(col("term") === tm, col("df"))), lit(0L))
+            .cast(DoubleType).as(s"df$i")
+        }
+        val dfRow = df
+          .filter(col("term").isin(terms: _*))
+          .agg(dfAggs.head, dfAggs.tail: _*)
+        val statsRow = dfRow.crossJoin(broadcast(meta))
+          .select(col("n_docs").cast(DoubleType).as("n") +:
+            (col("sum_dl").cast(DoubleType) /
+              col("n_docs").cast(DoubleType)).as("avgdl") +:
+            terms.indices.map(i => col(s"df$i")): _*)
+        val score = terms.indices.map { i =>
+          val idf = log(lit(1.0) +
+            (col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+          idf * (col(s"tf$i") * lit(k1 + 1)) /
+            (col(s"tf$i") +
+              lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+        }.reduce(_ + _)
+        tf.crossJoin(broadcast(statsRow))
+          .select(col("doc_id"), round(score, 4).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+          .withColumn("lex_rank",
+            row_number().over(
+              Window.orderBy(col("bm25").desc, col("doc_id")))
+              .cast(LongType))
+          .select(col("doc_id"), col("lex_rank"), col("bm25"))
+          .orderBy(col("lex_rank"))
+      },
+      Some {
+        val w =
+          """string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ')"""
+        val tfCols = terms.zipWithIndex.map { case (term, i) =>
+          s"CAST(len(list_filter(w, x -> x = '$term')) AS DOUBLE) AS tf$i"
+        }.mkString(", ")
+        val dfCols = terms.indices.map(i =>
+          s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE)" +
+            s" AS df$i")
+          .mkString(", ")
+        val score = terms.indices.map(i =>
+          s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * " +
+            s"(tf$i * ${k1 + 1}) / " +
+            s"(tf$i + $k1 * (${1.0 - b} + $b * dl / avgdl))")
+          .mkString(" + ")
+        s"""
+        WITH tok AS (SELECT doc_id, $w AS w FROM documents
+                     WHERE text IS NOT NULL AND doc_id % 7 <> 3),
+        tf AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, $tfCols
+               FROM tok),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                         SUM(dl) / COUNT(*) AS avgdl, $dfCols FROM tf),
+        lex_top AS (
+          SELECT doc_id, round($score, 4) AS bm25
+          FROM tf, stats
+          ORDER BY round($score, 4) DESC, doc_id LIMIT 20)
+        SELECT doc_id, CAST(row_number() OVER
+          (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank, bm25
+        FROM lex_top ORDER BY lex_rank
+        """
+      })
+  }
+
+  val registry: Seq[Q] = Seq(q280, q291)
 }

@@ -231,5 +231,71 @@ object LshIndexQueries {
       """
     })
 
-  val registry: Seq[Q] = Seq(q276)
+  /** q290 — DELETION for the maintained LSH signature index
+    * (round-17 advice #1, the per-row-pure half): a doc's signature
+    * rows depend only on its own text, so retraction is a tombstone
+    * ANTI-JOIN — no text is ever re-read, no signature recomputed,
+    * and the repaired index equals from-scratch signatures of the
+    * surviving corpus as sets (LshIndexSpec pins that equality; the
+    * oracle re-derives the band statistics from the raw surviving
+    * corpus). Tombstones follow the shared
+    * [[ClusterIndexQueries.isRetracted]] predicate (doc_id % 7 == 3).
+    * At 100 TB the anti-join is a broadcast or shuffle join against a
+    * tombstone set many orders smaller than the index — the index
+    * row count is the only scan. */
+  private val q290 = Q(
+    "q290_lsh_index_delete",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tombs = docs
+        .filter(ClusterIndexQueries.isRetracted(col("doc_id")))
+        .select(col("doc_id"))
+      val idx = mergedIndex(s, dir)()
+        .join(tombs, Seq("doc_id"), "left_anti")
+      idx.groupBy(col("band_idx"), col("bh"))
+        .agg(count(lit(1)).as("m"),
+          count_distinct(col("h")).as("g"))
+        .groupBy(col("band_idx"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("m") > 1, 1L).otherwise(0L)).as("n_multi_buckets"),
+          sum(expr("m * (m - 1) div 2")).as("n_cand_pairs"),
+          sum(when(col("g") > 1, 1L).otherwise(0L)).as("n_mixed_buckets"),
+          max(col("m")).as("max_bucket"))
+        .orderBy(col("band_idx"))
+    },
+    Some {
+      val mins = (0 until 8).map(i =>
+        s"list_min([md5('$i|'||s) FOR s IN sh]) AS m$i").mkString(", ")
+      val bandSelects = (0 until 4).map(j =>
+        s"SELECT doc_id, h, CAST($j AS BIGINT) AS band_idx, " +
+          s"md5(m${2 * j}||m${2 * j + 1}) AS bh FROM mh")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH c AS (
+        SELECT doc_id, md5(nt) AS h,
+               list_distinct([array_to_string(w[i+1:i+5],' ')
+                              FOR i IN range(len(w)-4)]) AS sh
+        FROM (SELECT doc_id, nt, string_split(nt, ' ') AS w
+              FROM (SELECT doc_id,
+                           regexp_replace(trim(lower(text)),'\\s+',' ','g')
+                             AS nt
+                    FROM documents
+                    WHERE doc_id % 7 <> 3)
+              WHERE nt IS NOT NULL)),
+      mh AS (SELECT doc_id, h, $mins FROM c),
+      bands AS ($bandSelects),
+      b AS (SELECT band_idx, bh, COUNT(*) AS m, COUNT(DISTINCT h) AS g
+            FROM bands WHERE bh IS NOT NULL GROUP BY 1, 2)
+      SELECT band_idx, COUNT(*) AS n_buckets,
+             CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_multi_buckets,
+             CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS n_cand_pairs,
+             CAST(SUM(CASE WHEN g > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mixed_buckets,
+             MAX(m) AS max_bucket
+      FROM b GROUP BY 1 ORDER BY 1
+      """
+    })
+
+  val registry: Seq[Q] = Seq(q276, q290)
 }

@@ -68,6 +68,10 @@ class RegistrySmokeSpec extends AnyFunSuite {
     // the q218/q249 bound). The only corpus-scale work is the one
     // tokenize + per-source sum feeding it, which is a map-side-
     // combinable hash aggregate, never windowed
+    "q291_bm25_index_delete", // q280's exact bound: one rank window
+    // over the K=20 TakeOrdered shortlist; the corpus-scale work is
+    // the surviving-docs tf scan, df/meta come off the repaired
+    // (subtracted) artifact stats
     "q286_ltr_heldout" // q275's bound, three queries wide: per query,
     // two rank windows order the K=20 TakeOrdered shortlists and one
     // fusion window orders their ≤2K-row outer join; the held-out

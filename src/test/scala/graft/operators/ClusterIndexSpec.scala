@@ -167,6 +167,105 @@ class ClusterIndexSpec extends AnyFunSuite {
     assert(merged.nonEmpty)
   }
 
+  test("deletion equals from-scratch on corpus-minus-deleted; partial retraction keeps the content") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val all = docs()
+    // tombstone 21 (g1last's ONLY doc — its content leaves the graph,
+    // touching component P) and 24, 31 (two of g1's three replicas —
+    // content g1 must SURVIVE with doc 20 and keep its membership)
+    val tombs = Set(21L, 24L, 31L)
+    val surviving = all.filter(!col("doc_id").isin(tombs.toSeq: _*))
+    val corpus = DedupQueries.corpus(all)
+    val memb = corpus
+      .withColumn("nt", graft.functions.TextOps.norm(col("text")))
+      .filter(col("nt").isNotNull)
+      .select(col("doc_id"), md5(col("nt")).as("h"))
+    val delH = memb
+      .groupBy(col("h"))
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.when(
+          !col("doc_id").isin(tombs.toSeq: _*), 1L).otherwise(0L))
+        .as("alive"))
+      .filter(col("alive") === 0).select(col("h"))
+    val (sigs0, labels0) = ClusterIndexQueries.fromScratchState(all)
+    val (sigs1, labels1) = ClusterIndexQueries.delCore(
+      sigs0, labels0, delH,
+      h => ClusterIndexQueries.groupsFor(surviving)
+        .join(h, Seq("h"), "left_semi"))
+    val (sigsS, labelsS) = ClusterIndexQueries.fromScratchState(surviving)
+    assert(labelSet(labels1) == labelSet(labelsS),
+      s"label diff: ${(labelSet(labels1).diff(labelSet(labelsS)) ++
+        labelSet(labelsS).diff(labelSet(labels1))).take(8)}")
+    def sigSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("h", "band_idx", "bh").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(sigSet(sigs1) == sigSet(sigsS), "sigs diff after deletion")
+    // the partially-retracted content g1 must still be labelled (its
+    // doc 20 survives, and so does its edge to... g1last is gone, but
+    // the bridge g3 may hold it) — at minimum it must not be treated
+    // as deleted: its h must appear in sigs1
+    val spark2 = spark
+    import spark2.implicits._
+    val hG1 = Seq(txt(W)).toDF("t")
+      .select(md5(graft.functions.TextOps.norm(col("t"))))
+      .head().getString(0)
+    assert(sigSet(sigs1).exists(_._1 == hG1),
+      "partially-retracted content lost its signatures")
+  }
+
+  test("deletion splits a planted chain component into two") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.{col, md5}
+    // 33-word chain c0..c4: step k swaps ONE word at interior position
+    // 5k (positions 5,10,15,20 — ≥5 apart so killed shingle windows
+    // are disjoint, and ≥5 from both text ends so each swap kills a
+    // full 5 windows). K = 29 shingles; adjacent pairs differ in 1
+    // word → jac = 24/34 ≈ .706 ≥ .5 (edges, given band collision —
+    // asserted below); pairs ≥2 apart differ in ≥2 → jac ≤ 19/39 ≈
+    // .487 < .5, so exact verify REJECTS them deterministically even
+    // when a band collides. The component is a path; deleting the
+    // middle content c2 must split it into {c0,c1} and {c3,c4} — and
+    // c2's label was potentially the component min (dangling-label
+    // case), which no edge-local patch could repair.
+    val base = W.take(33)
+    def chain(k: Int): String =
+      txt(base.zipWithIndex.map { case (w, i) =>
+        val step = i / 5
+        if (i % 5 == 0 && i >= 5 && i <= 20 && step <= k) V(step) else w
+      })
+    val texts = (0 to 4).map(chain)
+    val docsDf = texts.zipWithIndex.map { case (t, i) =>
+      (40L + i, t, "en", "s1", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    def h(text: String): String =
+      Seq(text).toDF("t")
+        .select(md5(graft.functions.TextOps.norm(col("t"))))
+        .head().getString(0)
+    val hs = texts.map(h)
+    val (sigs0, labels0) = ClusterIndexQueries.fromScratchState(docsDf)
+    val lbl0 = labelSet(labels0).toMap
+    assert(hs.forall(lbl0.contains) && hs.map(lbl0).distinct.size == 1,
+      s"chain did not form one component: ${hs.map(lbl0.get)}")
+    // delete the middle content c2 (its only doc, 42)
+    val surviving = docsDf.filter(col("doc_id") =!= 42L)
+    val delH = Seq(hs(2)).toDF("h")
+    val (_, labels1) = ClusterIndexQueries.delCore(
+      sigs0, labels0, delH,
+      hh => ClusterIndexQueries.groupsFor(surviving)
+        .join(hh, Seq("h"), "left_semi"))
+    val lbl1 = labelSet(labels1).toMap
+    assert(!lbl1.contains(hs(2)), "deleted content kept a label")
+    assert(lbl1(hs(0)) == lbl1(hs(1)), "left half broke apart")
+    assert(lbl1(hs(3)) == lbl1(hs(4)), "right half broke apart")
+    assert(lbl1(hs(0)) != lbl1(hs(3)),
+      "deletion failed to split the chain")
+    // and the repaired labels equal a from-scratch world that never
+    // saw c2
+    assert(labelSet(labels1) ==
+      labelSet(ClusterIndexQueries.fromScratchLabels(surviving)))
+  }
+
   test("artifact lifecycle: one build per artifact; memo and load paths identical") {
     LshIndexQueries.resetMemoForTest()
     registerArtifacts()

@@ -57,6 +57,32 @@ class LexIndexSpec extends AnyFunSuite {
     assert(a.sameElements(b) && a.nonEmpty)
   }
 
+  test("deletion: merged ⊖ stats(retracted) == stats(surviving); zero-df terms drop") {
+    LshIndexQueries.resetMemoForTest()
+    graft.TestTmp.register(
+      LshIndexQueries.artifactPath(spark, dir, "lexhist"))
+    graft.TestTmp.register(
+      LshIndexQueries.artifactPath(spark, dir, "lexmerged"))
+    val merged = LexIndexQueries.mergedStats(spark, dir)
+    val retr = col("doc_id") % 7 === 3
+    val (dfR, metaR) = LexIndexQueries.subtractStats(
+      merged("df")(), merged("meta")(), docs().filter(retr))
+    val (dfS, metaS) = LexIndexQueries.stats(docs().filter(!retr))
+    def dfSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val a = dfSet(dfR)
+    val b = dfSet(dfS)
+    assert(a == b, s"df diff: ${(a.diff(b) ++ b.diff(a)).take(5)}")
+    assert(a.nonEmpty)
+    // zero-df drop: no term may survive with df <= 0, and the
+    // surviving vocabulary must be exactly the from-scratch one
+    assert(a.forall(_._2 > 0))
+    val rMeta = metaR.head()
+    val sMeta = metaS.head()
+    assert(rMeta.getLong(0) == sMeta.getLong(0), "n_docs diverges")
+    assert(rMeta.getLong(1) == sMeta.getLong(1), "sum_dl diverges")
+  }
+
   test("scoring from the maintained artifact == q271's from-scratch lexical arm") {
     val fromArtifact = Queries.registry
       .find(_.name == "q280_bm25_index_maintain").get

@@ -70,6 +70,32 @@ class LshIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("deletion: index ⊖ tombstones == signatures(surviving) as row sets") {
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "h", "band_idx", "bh").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).toSet
+    LshIndexQueries.resetMemoForTest()
+    graft.TestTmp.register(
+      LshIndexQueries.artifactPath(spark, fixtureDir, "hist"))
+    graft.TestTmp.register(
+      LshIndexQueries.artifactPath(spark, fixtureDir, "merged"))
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.col
+    // tombstone one exact-dup replica (its siblings keep the content)
+    // and one whole singleton doc — signature rows are per-doc pure,
+    // so repair is a bare anti-join, no text ever re-read
+    val tombs = Seq(12L, 17L).toDF("doc_id")
+    val repaired = rowSet(LshIndexQueries.mergedIndex(spark, fixtureDir)()
+      .join(tombs, Seq("doc_id"), "left_anti"))
+    val scratch = rowSet(LshIndexQueries.signatures(
+      docs().filter(!col("doc_id").isin(12L, 17L))))
+    assert(repaired == scratch,
+      s"diff: ${(repaired.diff(scratch) ++ scratch.diff(repaired)).take(5)}")
+    assert(repaired.nonEmpty)
+  }
+
   test("artifact lifecycle: one build per shard artifact; memo and load paths identical") {
     LshIndexQueries.resetMemoForTest()
     val before = LshIndexQueries.buildCount.get()
