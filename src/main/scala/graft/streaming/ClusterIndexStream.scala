@@ -46,6 +46,11 @@ object ClusterIndexStream {
       StructType(Seq(StructField("h", StringType),
         StructField("lbl", StringType))))
 
+  private def emptyMemb(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("h", StringType))))
+
   /** A version directory counts as published ONLY with its _GRAFT_OK
     * marker — written last, so a crash between the sigs and labels
     * parquet writes (or mid-write) leaves a version that every reader
@@ -63,10 +68,20 @@ object ClusterIndexStream {
       .sorted
 
   private def readState(s: SparkSession, stateDir: String,
-      batchId: Long): (DataFrame, DataFrame) =
-    if (batchId < 0) (emptySigs(s), emptyLabels(s))
+      batchId: Long): (DataFrame, DataFrame, DataFrame) =
+    if (batchId < 0) (emptySigs(s), emptyLabels(s), emptyMemb(s))
     else (s.read.parquet(s"$stateDir/batch=$batchId/sigs"),
-      s.read.parquet(s"$stateDir/batch=$batchId/labels"))
+      s.read.parquet(s"$stateDir/batch=$batchId/labels"),
+      s.read.parquet(s"$stateDir/batch=$batchId/memb"))
+
+  /** Insert rows of a batch or lake frame: rows with no `op` column,
+    * or op = 'I' (CDC sources carry op ∈ {I, D}; plain document
+    * streams carry none). */
+  private def inserts(df: DataFrame): DataFrame =
+    if (df.columns.contains("op"))
+      df.filter(col("op").isNull || col("op") === "I")
+        .select(col("doc_id"), col("text"))
+    else df.select(col("doc_id"), col("text"))
 
   /** Content groups (h, sh, n) of a raw (doc_id, text) frame — the
     * q284 grain, no corpus planting (streams carry real docs). */
@@ -81,13 +96,29 @@ object ClusterIndexStream {
       .withColumn("n", size(col("sh")).cast(LongType))
       .drop("nt")
 
+  /** (doc_id, h) membership rows of an insert frame. */
+  private def membOf(docs: DataFrame): DataFrame =
+    docs.withColumn("nt", TextOps.norm(col("text")))
+      .filter(col("nt").isNotNull)
+      .select(col("doc_id"), md5(col("nt")).as("h"))
+
   /** Fold one delivered batch into versioned state — idempotent under
     * redelivery of the same batchId. `srcDir` is the accumulated
-    * source lake, read back ONLY for the candidate contact set. */
+    * source lake, read back ONLY for candidate-contact and
+    * touched-survivor re-shingles. Batches may carry an `op` column
+    * (CDC): inserts apply first, deletes last — end-of-batch snapshot
+    * semantics. A doc-grain delete retracts its CONTENT only when no
+    * member doc survives, decided entirely from the maintained
+    * (doc_id, h) memb state part — the lake is never re-hashed. */
   private[streaming] def mergeBatch(srcDir: String, stateDir: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
-    val (oldSigs, oldLabels) = readState(s, stateDir, batchId - 1)
+    val (oldSigs, oldLabels, oldMemb) =
+      readState(s, stateDir, batchId - 1)
+    val lakeGrpFor = (candH: DataFrame) =>
+      groupsOf(inserts(s.read.parquet(srcDir)))
+        .join(candH, Seq("h"), "left_semi")
+    val ins = inserts(batch).localCheckpoint()
     // The accumulated lake already contains the just-delivered batch;
     // mergeCore anti-joins the contact set against its own new-content
     // hashes before this fetch runs, so new contents are shingled
@@ -95,12 +126,34 @@ object ClusterIndexStream {
     // (round-17 advice; the filter lives in mergeCore because the
     // batch may ALSO carry exact dups of OLD contents, whose shingles
     // genuinely must come from this fetch)
-    val (sigs, labels) = ClusterIndexQueries.mergeCore(
-      oldSigs.localCheckpoint(), oldLabels.localCheckpoint(),
-      groupsOf(batch),
-      candH => groupsOf(s.read.parquet(srcDir))
-        .join(candH, Seq("h"), "left_semi"))
-    // Publish version batchId atomically: both parquet parts + the
+    val (sigs1, labels1) =
+      if (ins.isEmpty) (oldSigs.localCheckpoint(),
+        oldLabels.localCheckpoint())
+      else ClusterIndexQueries.mergeCore(
+        oldSigs.localCheckpoint(), oldLabels.localCheckpoint(),
+        groupsOf(ins), lakeGrpFor)
+    val memb1 = oldMemb.unionByName(membOf(ins)).distinct()
+    val delIds =
+      if (batch.columns.contains("op"))
+        batch.filter(col("op") === "D").select(col("doc_id")).distinct()
+          .localCheckpoint()
+      else emptyMemb(s).select(col("doc_id"))
+    val memb2 = memb1.join(delIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // content grain: retracted iff every member doc is gone; the
+    // decision reads only the memb state part, never the lake
+    val delH = memb1.join(delIds, Seq("doc_id"), "left_semi")
+      .select(col("h"))
+      .join(memb2.select(col("h")), Seq("h"), "left_anti")
+      .distinct()
+    // pure-insert batches (or deletes that retract no content) skip
+    // the delete path entirely — no extra lake pass
+    val (sigs, labels) =
+      if (delIds.isEmpty || delH.isEmpty) (sigs1, labels1)
+      else ClusterIndexQueries.delCore(
+        sigs1.localCheckpoint(), labels1.localCheckpoint(),
+        delH, lakeGrpFor)
+    // Publish version batchId atomically: all parquet parts + the
     // _GRAFT_OK marker land in a tmp dir, then ONE rename exposes it.
     // A crash at any point leaves either the intact predecessor as the
     // newest complete version (readers skip marker-less debris) or the
@@ -112,6 +165,7 @@ object ClusterIndexStream {
         java.util.UUID.randomUUID().toString.take(8))
     sigs.write.parquet(s"$tmp/sigs")
     labels.write.parquet(s"$tmp/labels")
+    memb2.write.parquet(s"$tmp/memb")
     fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_OK"), true)
       .close()
     if (fs.exists(base)) fs.delete(base, true)
@@ -127,6 +181,23 @@ object ClusterIndexStream {
       checkpoint: String): StreamingQuery =
     spark.readStream
       .schema("doc_id LONG, text STRING")
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch(mergeBatch(srcDir, stateDir) _)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** CDC variant of [[start]]: rows carry op ∈ {I, D}. 'I' rows fold
+    * in through mergeCore; 'D' rows tombstone doc_ids, folding to
+    * content-grain retraction through [[ClusterIndexQueries.delCore]]
+    * when the last member doc goes (a retraction can SPLIT a standing
+    * component — the spec proves streamed ≡ from-scratch over the
+    * NET corpus, inserts minus deletes, across restarts). */
+  def startCdc(spark: SparkSession, srcDir: String, stateDir: String,
+      checkpoint: String): StreamingQuery =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, op STRING")
       .parquet(srcDir)
       .writeStream
       .foreachBatch(mergeBatch(srcDir, stateDir) _)

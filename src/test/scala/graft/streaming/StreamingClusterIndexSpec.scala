@@ -101,6 +101,80 @@ class StreamingClusterIndexSpec extends AnyFunSuite {
       == streamed, "post-prune redelivery changed the latest state")
   }
 
+  test("CDC deletes: streamed state equals from-scratch on the net corpus; a delete splits a standing component") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5}
+    val srcDir = graft.TestTmp.dir("graft_clcdc_src_")
+    val stateDir = graft.TestTmp.dir("graft_clcdc_state_")
+    val ckpt = graft.TestTmp.dir("graft_clcdc_ck_")
+    // the ClusterIndexSpec 33-word chain: adjacent contents near-dup
+    // (jac ≈ .706), ≥2-apart under threshold — a path component
+    val W = Seq(
+      "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+      "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+      "victor", "whiskey", "xray", "yankee", "zulu", "one", "two",
+      "three", "four", "five", "six", "seven", "eight", "nine", "ten",
+      "eleven")
+    val V = Seq("red", "orange", "yellow", "green", "blue")
+    val baseW = W.take(33)
+    def chain(k: Int): String =
+      baseW.zipWithIndex.map { case (w, i) =>
+        val step = i / 5
+        if (i % 5 == 0 && i >= 5 && i <= 20 && step <= k) V(step) else w
+      }.mkString(" ")
+    // batch 0 builds the left half + middle; batch 1 completes the
+    // chain (cross-batch component merge) and adds a REPLICA of the
+    // middle content; batch 2 deletes one middle replica (content
+    // survives — labels must NOT change); batch 3 deletes the other
+    // (content retracts — the component must SPLIT)
+    val batches: Seq[Seq[(Long, String, String)]] = Seq(
+      (0 to 2).map(k => (50L + k, chain(k), "I")),
+      Seq((53L, chain(3), "I"), (54L, chain(4), "I"),
+        (55L, chain(2), "I")),
+      Seq((52L, null.asInstanceOf[String], "D")),
+      Seq((55L, null.asInstanceOf[String], "D")))
+    def runBatch(b: Seq[(Long, String, String)]): Unit = {
+      b.toDF("doc_id", "text", "op").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      ClusterIndexStream.startCdc(spark, srcDir, stateDir, ckpt)
+        .awaitTermination()
+    }
+    def h(text: String): String =
+      Seq(text).toDF("t")
+        .select(md5(graft.functions.TextOps.norm(col("t"))))
+        .head().getString(0)
+    val hs = (0 to 4).map(k => h(chain(k)))
+    runBatch(batches(0)); runBatch(batches(1))
+    val joinedSet = labelSet(ClusterIndexStream.labels(spark, stateDir))
+    val joined = joinedSet.toMap
+    assert(hs.forall(joined.contains) &&
+      hs.map(joined).distinct.size == 1,
+      s"chain did not form one component: ${hs.map(joined.get)}")
+    // delete ONE replica of the middle content: content survives,
+    // labels must be exactly the pre-delete labels
+    runBatch(batches(2))
+    assert(labelSet(ClusterIndexStream.labels(spark, stateDir))
+      == joinedSet, "partial retraction changed labels")
+    // delete the LAST replica: the middle content retracts and the
+    // path component must split into {c0,c1} and {c3,c4}
+    runBatch(batches(3))
+    val split = labelSet(ClusterIndexStream.labels(spark, stateDir))
+      .toMap
+    assert(!split.contains(hs(2)), "retracted content kept a label")
+    assert(split(hs(0)) == split(hs(1)) &&
+      split(hs(3)) == split(hs(4)) && split(hs(0)) != split(hs(3)),
+      s"delete did not split the component: $split")
+    // and the streamed state equals a from-scratch world over the NET
+    // corpus (inserts minus deletes)
+    val net = Seq(50L -> chain(0), 51L -> chain(1), 53L -> chain(3),
+      54L -> chain(4)).toDF("doc_id", "text")
+    assert(split.toSet ==
+      labelSet(graft.operators.ClusterIndexQueries
+        .fromScratchLabels(net)),
+      "streamed CDC state diverged from from-scratch on the net corpus")
+  }
+
   test("half-written versions are invisible to readers and safe under prune") {
     import spark.implicits._
     val srcDir = graft.TestTmp.dir("graft_clcrash_src_")
