@@ -130,6 +130,12 @@ object Bench {
     // floor GB — -1 when the inter-query GC was skipped).
     val heapObs = scala.collection.mutable.ArrayBuffer
       .empty[(String, Double, String, Double)]
+    // fixture vintage marker: the documents.parquet footer-tail
+    // fingerprint (BpeQueries's artifact key) — regenerated fixtures
+    // change it even at identical logical content
+    val fixtureFp =
+      try graft.operators.BpeQueries.fingerprint(spark, sfDir)
+      catch { case _: Throwable => "unknown" }
     val warmT0 = System.nanoTime()
     warmup(spark, sfDir)
     val warmupS = (System.nanoTime() - warmT0) / 1e9
@@ -274,6 +280,18 @@ object Bench {
         s""""failed":$failed,"warmup_s":${fmt(warmupS, dp)},""" +
         s""""canary_pre_s":${fmt(canaryPre, dp)},""" +
         s""""canary_post_s":${fmt(canaryPost, dp)},""" +
+        // measurement protocol + fixture vintage, recorded IN the
+        // artifact (round-17 advice #3): cross-round comparisons are
+        // only like-for-like when repeats mode, pass count, and the
+        // fixture file/row-group layout all match — the round-17
+        // experiments measured an 18% protocol effect and a 15-50%
+        // fixture-vintage effect on the slow tail, both invisible
+        // without these fields
+        s""""protocol":{"repeats":$repeats,""" +
+        s""""repeat_threshold_s":$repeatThreshold,""" +
+        s""""passes":$passes,"recycle_every":$recycleEvery,""" +
+        s""""force_gc":"$forceGcMode","cpus":"$cpus"},""" +
+        s""""fixture_fp":"$fixtureFp",""" +
         s""""value":${fmt(total, dp)},"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(

@@ -164,7 +164,7 @@ object BpeQueries {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val mtimeSettleMs = 5000L
 
-  private[operators] def fingerprint(s: SparkSession, dir: String): String = {
+  private[graft] def fingerprint(s: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
