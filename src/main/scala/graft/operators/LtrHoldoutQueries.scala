@@ -154,11 +154,13 @@ object LtrHoldoutQueries {
         .cast(DecimalType(18, 6)))
       .otherwise(lit(0).cast(DecimalType(18, 6))))
 
-  /** Fit on queries ≠ 0, predict + rerank on the held-out query 0 —
-    * factored so the LtrHoldoutSpec planted-fixture claim runs the
-    * exact code the registry query runs. Deterministic: seeded GBT
-    * over a materialized deterministic frame. */
-  private[graft] def heldoutRerank(feats: DataFrame): DataFrame = {
+  /** Fit on queries ≠ fold, predict + rerank on the held-out query
+    * `fold` — factored so the LtrHoldoutSpec planted-fixture claim
+    * runs the exact code the registry queries run (q286 grades fold
+    * 0; q292 rotates all three). Deterministic: seeded GBT over a
+    * materialized deterministic frame. */
+  private[graft] def heldoutRerank(feats: DataFrame,
+      fold: Long = 0L): DataFrame = {
     val labeled = feats
       .withColumn("rel_d", col("rel_u").cast(DoubleType))
       .localCheckpoint()
@@ -170,9 +172,9 @@ object LtrHoldoutQueries {
       .setLabelCol("rel_d").setFeaturesCol("fv")
       .setMaxIter(10).setSeed(7L)
     val model = gbt.fit(
-      assembler.transform(labeled.filter(col("qid") =!= 0)))
+      assembler.transform(labeled.filter(col("qid") =!= fold)))
     model
-      .transform(assembler.transform(labeled.filter(col("qid") === 0)))
+      .transform(assembler.transform(labeled.filter(col("qid") === fold)))
       .withColumnRenamed("prediction", "pred")
       .withColumn("rerank_rank",
         row_number().over(
@@ -286,5 +288,122 @@ object LtrHoldoutQueries {
         """
     })
 
-  val registry: Seq[Q] = Seq(q286)
+  /** q292 — k-FOLD rotation of the held-out contract (round-17 advice
+    * #5): q286 grades ONE fixed fold (fit on queries 1–2, grade on
+    * 0); a lucky fold could hide a reranker that fails to generalize
+    * from other training pairs. Here all three folds rotate — fit on
+    * the other two, grade on the held-out one — and EVERY fold's
+    * held-out DCG@10 must meet the RRF baseline, with the per-fold
+    * raw DCG decimals and their exact sum emitted for
+    * drift-vs-algebra diagnosis (the q275/q286 discipline). The
+    * features are fold-independent, computed ONCE off the same two
+    * fat scans as q286 — rotating folds adds two more GBT fits on
+    * ≤ 2K-row frames, never another corpus pass. */
+  private val q292 = Q(
+    "q292_ltr_kfold",
+    (s, dir) => {
+      val feats = features(s, dir).localCheckpoint()
+      val discLit = typedlit(disc)
+      val folds = (0L until qterms.size.toLong).map { f =>
+        heldoutRerank(feats, f).agg(
+          dcgTerm(col("rerank_rank"), discLit).as("dcg_rerank"),
+          dcgTerm(col("fused_rank"), discLit).as("dcg_fused"),
+          count_distinct(col("pred")).as("n_pred"),
+          count_distinct(col("rel_u")).as("n_lab"))
+          .select(lit(f).as("fold"),
+            (col("dcg_rerank") >= col("dcg_fused"))
+              .as("heldout_rerank_ge_rrf"),
+            (col("n_lab") <= 1 || col("n_pred") >= 2)
+              .as("pred_discriminates"),
+            col("dcg_fused").cast(DecimalType(18, 6))
+              .as("dcg_fused_heldout"))
+      }
+      val perFold = folds.reduce(_.unionByName(_)).localCheckpoint()
+      val total = perFold.agg(
+        sum(col("dcg_fused_heldout")).cast(DecimalType(18, 6))
+          .as("sum_dcg_fused"))
+      perFold.crossJoin(broadcast(total)).orderBy(col("fold"))
+    },
+    Some {
+      val w =
+        """string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ')"""
+      val tfCols = allTerms.zipWithIndex.map { case (term, i) =>
+        s"CAST(len(list_filter(w, x -> x = '$term')) AS DOUBLE) AS tf$i"
+      }.mkString(", ")
+      val dfCols = allTerms.indices.map(i =>
+        s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+        .mkString(", ")
+      val duckCos = "list_dot_product(v, pv) / " +
+        "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv)))"
+      val perQ = qterms.zipWithIndex.map { case (terms, q) =>
+        val idx = terms.map(allTerms.indexOf)
+        val score = idx.map(i =>
+          s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * ${k1 + 1}) / " +
+            s"(tf$i + $k1 * (${1.0 - b} + $b * dl / avgdl))")
+          .mkString(" + ")
+        val overlap = idx.map(i =>
+          s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+        s"""
+        lex_top$q AS (
+          SELECT doc_id, round($score, 4) AS bm25
+          FROM tf, stats
+          ORDER BY round($score, 4) DESC, doc_id LIMIT $K),
+        lex$q AS (
+          SELECT doc_id, CAST(row_number() OVER
+            (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank, bm25
+          FROM lex_top$q),
+        p$q AS (SELECT v AS pv FROM e WHERE vec_id = $q),
+        dense_top$q AS (
+          SELECT vec_id, $duckCos AS sim
+          FROM e, p$q
+          ORDER BY $duckCos DESC, vec_id ASC LIMIT $K),
+        dense$q AS (
+          SELECT vec_id AS doc_id, CAST(row_number() OVER
+            (ORDER BY sim DESC, vec_id) AS BIGINT) AS dense_rank, sim
+          FROM dense_top$q),
+        fused$q AS (
+          SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+                 d.dense_rank,
+                 CAST(row_number() OVER (ORDER BY
+                   COALESCE(1000000 // (60 + l.lex_rank), 0) +
+                     COALESCE(1000000 // (60 + d.dense_rank), 0) DESC,
+                   COALESCE(l.doc_id, d.doc_id)) AS BIGINT) AS fused_rank
+          FROM lex$q l FULL OUTER JOIN dense$q d ON l.doc_id = d.doc_id),
+        rel$q AS (
+          SELECT CAST($q AS BIGINT) AS qid, f.fused_rank,
+                 CAST(($overlap) * 2 +
+                   CASE WHEN f.dense_rank IS NOT NULL THEN 1 ELSE 0 END
+                   AS BIGINT) AS rel_u
+          FROM fused$q f JOIN tf t USING (doc_id))"""
+      }.mkString(",")
+      val discSql = disc.map(d => f"$d%.6f").mkString("[", ", ", "]")
+      s"""
+        WITH tok AS (SELECT doc_id, $w AS w FROM documents
+                     WHERE text IS NOT NULL),
+        tf AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, $tfCols
+               FROM tok),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+                         $dfCols FROM tf),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        $perQ,
+        rel AS (SELECT * FROM rel0 UNION ALL
+                SELECT * FROM rel1 UNION ALL
+                SELECT * FROM rel2),
+        folddcg AS (
+          SELECT qid AS fold,
+                 CAST(SUM(CASE WHEN fused_rank <= 10
+                   THEN CAST(round(CAST(rel_u AS DOUBLE) /
+                     ($discSql)[fused_rank], 6) AS DECIMAL(18,6))
+                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6))
+                   AS dcg_fused_heldout
+          FROM rel GROUP BY qid)
+        SELECT fold, TRUE AS heldout_rerank_ge_rrf,
+               TRUE AS pred_discriminates, dcg_fused_heldout,
+               (SELECT CAST(SUM(dcg_fused_heldout) AS DECIMAL(18,6))
+                FROM folddcg) AS sum_dcg_fused
+        FROM folddcg ORDER BY fold
+        """
+    })
+
+  val registry: Seq[Q] = Seq(q286, q292)
 }

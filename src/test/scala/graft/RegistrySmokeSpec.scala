@@ -72,6 +72,11 @@ class RegistrySmokeSpec extends AnyFunSuite {
     // over the K=20 TakeOrdered shortlist; the corpus-scale work is
     // the surviving-docs tf scan, df/meta come off the repaired
     // (subtracted) artifact stats
+    "q292_ltr_kfold", // q286's exact window bound, rotated three
+    // ways: the fold loop re-filters the SAME constant-bounded
+    // feature frame (≤ 3·2K rows) and each fold's rerank window
+    // orders one query's ≤2K-row shortlist; the two fat scans are
+    // shared with q286's features() and never windowed
     "q286_ltr_heldout" // q275's bound, three queries wide: per query,
     // two rank windows order the K=20 TakeOrdered shortlists and one
     // fusion window orders their ≤2K-row outer join; the held-out

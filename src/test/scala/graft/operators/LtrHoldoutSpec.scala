@@ -118,4 +118,33 @@ class LtrHoldoutSpec extends AnyFunSuite {
       assert(r.getAs[Long]("dl") >= 1L)
     }
   }
+
+  test("q292: every rotated fold beats RRF and surfaces its own plant") {
+    val rows = q("q292_ltr_kfold").build(spark, plantedDir).collect()
+    assert(rows.map(_.getAs[Long]("fold")).sorted.sameElements(
+      Array(0L, 1L, 2L)))
+    assert(rows.forall(_.getAs[Boolean]("heldout_rerank_ge_rrf")),
+      "a fold's held-out NDCG@10 fell below the RRF baseline")
+    assert(rows.forall(_.getAs[Boolean]("pred_discriminates")))
+    // per-fold decimals sum to the emitted total exactly
+    val sum = rows.map(r =>
+      r.getAs[java.math.BigDecimal]("dcg_fused_heldout"))
+      .reduce(_.add(_))
+    rows.foreach(r => assert(
+      r.getAs[java.math.BigDecimal]("sum_dcg_fused")
+        .compareTo(sum) == 0, "sum_dcg_fused != Σ per-fold dcg"))
+    // generalization per fold: fit on the other two queries only, the
+    // held-out query's full plant (rel_u = 7) must fill the top 10
+    val feats = LtrHoldoutQueries.features(spark, plantedDir)
+      .localCheckpoint()
+    (0L to 2L).foreach { f =>
+      val relevant = ((f + 1) * 100L + 1L to (f + 1) * 100L + 10L).toSet
+      val top10 = LtrHoldoutQueries.heldoutRerank(feats, f)
+        .collect()
+        .sortBy(_.getAs[Int]("rerank_rank"))
+        .take(10).map(_.getAs[Long]("doc_id"))
+      assert(top10.count(relevant) == 10,
+        s"fold $f top-10 = ${top10.mkString(",")}")
+    }
+  }
 }
