@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming maintenance of the q265 IVF shard index
+  * (IvfIndexStream): across checkpointed restarts the maintained
+  * index must equal a batch-built assignment of the accumulated
+  * corpus under the SAME frozen centroids; a redelivered batch lands
+  * idempotently (per-doc-pure rows, overwrite under the stable
+  * batchId); centroids train once — from the first delivered batch,
+  * never again. */
+class StreamingIvfSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dim = 8
+
+  /** Deterministic synthetic vectors: id i points mostly along axis
+    * i % dim with an id-dependent wobble — assignments are exact and
+    * reproducible. */
+  private def vec(i: Long): Array[Float] = {
+    val a = Array.fill(dim)(0.0f)
+    a((i % dim).toInt) = 1.0f
+    a(((i + 3) % dim).toInt) = (0.001f * (i % 97))
+    a
+  }
+
+  private def rows(ids: Seq[Long]) = {
+    val spark2 = spark
+    import spark2.implicits._
+    ids.map(i => (i, vec(i), i % 5)).toDF("vec_id", "embedding", "label")
+  }
+
+  private def idxSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("vec_id", "cell", "csim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("streamed IVF index equals batch-built across restarts; replays and retrains are no-ops") {
+    val srcDir = graft.TestTmp.dir("graft_ivfstream_src_")
+    val idxDir = graft.TestTmp.dir("graft_ivfstream_idx_")
+    val ckpt = graft.TestTmp.dir("graft_ivfstream_ck_")
+    // batch 0 is wide enough to train all 32 centroids; later batches
+    // only assign
+    val batches = Seq(0L until 40L, 40L until 70L, 70L until 100L)
+      .map(_.toSeq)
+    batches.foreach { ids =>
+      rows(ids).coalesce(1).write.mode("append").parquet(srcDir)
+      IvfIndexStream.start(spark, srcDir, idxDir, ckpt)
+        .awaitTermination()
+    }
+    // centroids published once, marker present
+    assert(new java.io.File(s"$idxDir/centroids/_GRAFT_OK").isFile)
+    val cents = IvfIndexStream
+      .centroids(spark, idxDir, sys.error("must not retrain"))
+    val centIds = cents.select("cid").collect().map(_.getLong(0)).toSet
+    assert(centIds.size == 32)
+    // centroids came from batch 0 only — frozen, never widened by
+    // later batches
+    assert(centIds.forall(_ < 40L), s"centroids leaked: $centIds")
+    // streamed == batch-built under the same frozen centroids
+    val streamed = idxSet(IvfIndexStream.index(spark, idxDir))
+    val direct = idxSet(
+      IvfIndexStream.assignTo(cents, rows(batches.flatten)))
+    assert(streamed == direct,
+      s"diff: ${(streamed.diff(direct) ++ direct.diff(streamed)).take(5)}")
+    assert(streamed.map(_._1) == (0L until 100L).toSet)
+    // redelivery of batch 1 with its stable id: index unchanged, work
+    // NOT skipped (idempotency comes from the sink layout)
+    val before = IvfIndexStream.batchCount.get()
+    IvfIndexStream.mergeBatch(idxDir)(rows(batches(1)), 1L)
+    assert(IvfIndexStream.batchCount.get() == before + 1)
+    assert(idxSet(IvfIndexStream.index(spark, idxDir)) == streamed,
+      "replayed batch changed the index")
+    // the per-cell summary covers every assigned vector
+    val total = IvfIndexStream.cells(spark, idxDir)
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(total == 100L)
+  }
+}
