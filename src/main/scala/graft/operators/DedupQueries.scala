@@ -44,7 +44,7 @@ object DedupQueries {
     * membership). */
   private val MaxShingleDf = 32
 
-  private[operators] def corpus(docs: DataFrame): DataFrame = {
+  private[graft] def corpus(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     val exact = docs.filter(col("doc_id") < 20)
       .select((col("doc_id") + 200000).as("doc_id"), col("text"))
@@ -2038,11 +2038,23 @@ object DedupQueries {
     Q(
       "q251_streaming_dedup_gate",
       (s, dir) => {
-        val c = corpus(t(s, dir, "documents"))
-          .withColumn("sh",
-            TextOps.shingleSet(TextOps.words(col("text")), 5))
-          .localCheckpoint()
-        val bands = minhashBandTable(c, "doc_id")
+        // CONTENT-GROUP grain for the signature pass (round-18: the
+        // q241/q276 reshape this query never received). A signature
+        // depends only on the normalized text, so shingle + 8×MinHash
+        // runs once per DISTINCT content and fans back out to per-doc
+        // band rows through a membership equi-join —
+        // LshIndexQueries.signatures IS that kernel (same banding,
+        // null-text and null-bh rows dropped; a null bh never
+        // equi-joined into the output here anyway). The round-18
+        // stage breakdown (tools/Q251Prof) measured the old per-DOC
+        // pass at 38-50 s of the query's 39-51 s total at ×100 —
+        // ~100 replicas per content, ~100× redundant minhash — and
+        // its multi-GB doc-grain shingle lineage was also the
+        // storage-pressure variance source behind q251's 18-44 s
+        // cross-protocol spread (SCALE.md round-18 note).
+        val bands = LshIndexQueries
+          .signatures(corpus(t(s, dir, "documents")))
+          .select(col("doc_id"), col("band_idx"), col("bh"))
           .withColumn("batch_id", expr(s"doc_id div $BatchSize"))
           .localCheckpoint()
         // Scale shape: NEVER the naive band self-join — on a corpus
