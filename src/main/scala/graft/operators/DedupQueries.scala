@@ -281,12 +281,49 @@ object DedupQueries {
       .select(col("p").getField("_2").as("doc_id"), col("s"))
   }
 
-  private[graft] def prunedCandParts(docs: DataFrame): (DataFrame, DataFrame) = {
-    val c = corpus(docs)
-      .withColumn("sh",
-        TextOps.shingleSet(TextOps.words(col("text")), 5))
+  /** CONTENT-GROUP internals of the capped-posting pair machinery
+    * (round-18: the q241/q276/q251 reshape applied to the q50/q99
+    * family). Shingles and signatures depend only on normalized text,
+    * so the shingle table is built once per DISTINCT content and
+    * per-doc frames derive through a (doc_id, h) membership join.
+    * The posting cap stays EXACT at doc grain via cap-first algebra:
+    * a doc among a shingle's [[MaxShingleDf]] lowest ids is
+    * necessarily among its own content's MaxShingleDf lowest members
+    * (any smaller member also carries the shingle), so capping each
+    * content's member list first, fanning out, and re-capping per
+    * shingle reproduces the old doc-grain TopK byte-for-byte while
+    * the explode volume drops from corpus-docs×shingles to
+    * contents×shingles(×cap). */
+  private case class PrunedParts(cand: DataFrame, memb: DataFrame,
+    grp: DataFrame)
+
+  private def prunedParts(docs: DataFrame): PrunedParts = {
+    val s0 = docs.sparkSession
+    import s0.implicits._
+    val base = corpus(docs)
+      .withColumn("nt", TextOps.norm(col("text")))
+      .filter(col("nt").isNotNull)
+      .select(col("doc_id"), md5(col("nt")).as("h"), col("nt"))
+    val memb = base.select(col("doc_id"), col("h")).localCheckpoint()
+    // shuffle on h FIRST so no map-side partial buffers fat text
+    // (the q276/q284 discipline)
+    val grp = base.select(col("h"), col("nt"))
+      .repartition(col("h"))
+      .groupBy(col("h")).agg(min(col("nt")).as("nt"))
+      .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
+      .select(col("h"), col("sh"), size(col("sh")).as("nsh"))
       .localCheckpoint()
-    val ex = c.select(col("doc_id"), explode(col("sh")).as("s"))
+    // per-content MaxShingleDf lowest member ids (the cap-first step)
+    val hTop = memb.select(col("h"), col("doc_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (-r._2, r._2))
+      .agg(new graft.functions.TopK(MaxShingleDf).toColumn.name("top"))
+      .toDF("h", "top")
+      .select(col("h"),
+        transform(col("top"), t => t.getField("_2")).as("ids"))
+    val ex = grp.select(col("h"), explode(col("sh")).as("s"))
+      .join(hTop, "h")
+      .select(col("s"), explode(col("ids")).as("doc_id"))
     // cap each shingle's posting list at the MaxShingleDf lowest
     // doc_ids: bounded candidates (cap^2 per shingle) without erasing
     // replicated clusters the way dropping the whole shingle would.
@@ -306,20 +343,40 @@ object DedupQueries {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val shTab = c.select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
-    (cand, shTab)
+    PrunedParts(cand, memb, grp)
+  }
+
+  private[graft] def prunedCandParts(docs: DataFrame): (DataFrame, DataFrame) = {
+    val p = prunedParts(docs)
+    // doc-grain shingle table via membership fan-out — no per-doc
+    // shingle recompute (null-text docs carry no row; they never had
+    // postings or candidates)
+    (p.cand, p.memb.join(p.grp, "h")
+      .select(col("doc_id"), col("sh"), col("nsh")))
   }
 
   private def prunedPairStats(docs: DataFrame): DataFrame = {
-    val (cand, shTab) = prunedCandParts(docs)
-    cand
-      .join(shTab.select(col("doc_id").as("d1"), col("sh").as("sh1"),
-        col("nsh").as("n1")), "d1")
-      .join(shTab.select(col("doc_id").as("d2"), col("sh").as("sh2"),
-        col("nsh").as("n2")), "d2")
-      .select(col("d1"), col("d2"),
+    val p = prunedParts(docs)
+    // verify at CONTENT-pair grain: inter/n1/n2 depend only on the
+    // two contents, so each distinct content pair intersects once and
+    // the result fans back to the candidate doc pairs — on a
+    // replicated corpus this removes ~replication² redundant
+    // array_intersects
+    val candH = p.cand
+      .join(p.memb.select(col("doc_id").as("d1"), col("h").as("h1")),
+        "d1")
+      .join(p.memb.select(col("doc_id").as("d2"), col("h").as("h2")),
+        "d2")
+    val cstats = candH.select(col("h1"), col("h2")).distinct()
+      .join(p.grp.select(col("h").as("h1"), col("sh").as("sh1"),
+        col("nsh").as("n1")), "h1")
+      .join(p.grp.select(col("h").as("h2"), col("sh").as("sh2"),
+        col("nsh").as("n2")), "h2")
+      .select(col("h1"), col("h2"),
         size(array_intersect(col("sh1"), col("sh2"))).as("inter"),
         col("n1"), col("n2"))
+    candH.join(cstats, Seq("h1", "h2"))
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"))
   }
 
   /** The same machinery as DuckDB CTEs, ending in
