@@ -230,39 +230,47 @@ object LmQueries {
   private val q253 = Q(
     "q253_dsir_selection",
     (s, dir) => {
-      val feats = t(s, dir, "documents")
-        .withColumn("ws", graft.functions.TextOps.words(col("text")))
+      // CONTENT-GROUP grain (round-18, the q251/q276 reshape): the
+      // hashed n-gram histogram depends only on the normalized text,
+      // so it is built once per DISTINCT content and every doc-grain
+      // statistic derives through the slim (doc_id, source, h)
+      // membership frame — the corpus-scale doc×bucket histogram
+      // (50M rows, multi-GB persisted, the round-15 OOM surface)
+      // never exists. Bucket totals weight each content histogram by
+      // its tier member counts (exact integers); the per-doc weight
+      // IS the per-content weight, fanned out at the very end into a
+      // TakeOrdered over slim rows.
+      val base = t(s, dir, "documents")
+        .withColumn("nt", graft.functions.TextOps.norm(col("text")))
+        .filter(col("nt").isNotNull)
+        .select(col("doc_id"), col("source"), md5(col("nt")).as("h"),
+          col("nt"))
+      val memb = base.select(col("doc_id"), col("source"), col("h"))
+        .localCheckpoint()
+      val hb = base.select(col("h"), col("nt"))
+        .repartition(col("h"))
+        .groupBy(col("h")).agg(min(col("nt")).as("nt"))
+        .withColumn("ws", split(col("nt"), " "))
         // bigrams as zip_with over the array and its tail — never
         // element_at inside a lambda, which re-evaluates the inlined
-        // split(norm(text)) per element (see tokensWithContext)
+        // lineage per element (see tokensWithContext)
         .withColumn("ngs", expr(
           "concat(ws, CASE WHEN size(ws) >= 2 THEN " +
             "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), " +
             "(x, y) -> concat(x, ' ', y)) " +
             "ELSE slice(ws, 1, 0) END)"))
-        .select(col("doc_id"), col("source"), explode(col("ngs")).as("ng"))
-        .select(col("doc_id"), col("source"),
-          (md5Int32(col("ng")) % 1024).as("b"))
-      val docB = feats
-        // shuffle-first aggregate (round-15 heap hardening): the
-        // doc×bucket histogram has ~100 groups per document, so the
-        // map-side maps over fat explode partitions held most of the
-        // corpus at ×100 and OOMed the 4 GiB margin probe; shuffling
-        // the skinny feature rows first bounds every map to a slim
-        // key slice. Width from the measured doc count × ~128
-        // unigram+bigram features per fixture doc.
-        .repartition(ShufflePlan.dedupParts(feats,
-          t(s, dir, "documents").count() * 128),
-          col("doc_id"), col("b"))
-        .groupBy(col("doc_id"), col("source"), col("b"))
+        .select(col("h"), explode(col("ngs")).as("ng"))
+        .select(col("h"), (md5Int32(col("ng")) % 1024).as("b"))
+        .groupBy(col("h"), col("b"))
         .agg(count(lit(1)).as("cnt"))
-        // columnar persist, not localCheckpoint: the histogram is
-        // ~100 rows/doc (multi-GB deserialized at ×100) and is read
-        // twice (bucket totals + weight join)
-        .persist()
-      val stats = docB.groupBy(col("b"))
-        .agg(sum(when(col("source").isin(RefTier: _*), col("cnt"))
-          .otherwise(lit(0L))).as("ct"), sum(col("cnt")).as("cr"))
+        .localCheckpoint()
+      val membCounts = memb.groupBy(col("h"))
+        .agg(sum(when(col("source").isin(RefTier: _*), 1L)
+          .otherwise(0L)).as("n_ref"), count(lit(1)).as("n_all"))
+      val stats = hb.join(membCounts, "h")
+        .groupBy(col("b"))
+        .agg(sum(col("cnt") * col("n_ref")).as("ct"),
+          sum(col("cnt") * col("n_all")).as("cr"))
       val totals = stats.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
       val ratio = stats.crossJoin(broadcast(totals))
         .select(col("b"), round(log(
@@ -271,10 +279,12 @@ object LmQueries {
             ((col("cr").cast(DoubleType) + lit(0.5)) /
               (col("nr").cast(DoubleType) + lit(512.0)))), 6)
           .cast(DecimalType(18, 6)).as("r"))
-      docB.join(broadcast(ratio), Seq("b"))
-        .groupBy(col("doc_id"), col("source"))
+      val hw = hb.join(broadcast(ratio), Seq("b"))
+        .groupBy(col("h"))
         .agg(asLong(sum(col("cnt"))).as("n_feats"),
           round(sum(col("cnt") * col("r")).cast(DoubleType), 4).as("weight"))
+      memb.join(hw, "h")
+        .select(col("doc_id"), col("source"), col("n_feats"), col("weight"))
         .orderBy(col("weight").desc, col("doc_id").asc)
         .limit(20)
     },

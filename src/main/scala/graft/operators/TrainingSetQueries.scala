@@ -847,12 +847,27 @@ object TrainingSetQueries {
     Q(
       "q231_token_budget_select",
       (s, dir) => {
-        val scored = t(s, dir, "documents")
-          .withColumn("w", regexp_extract_all(TextOps.norm(col("text")),
-            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        // CONTENT-GROUP grain for the regex tokenize (round-18, the
+        // q251/q253 reshape): n_tok/n_types depend only on the
+        // normalized text, so the BPE-ish regexp runs once per
+        // DISTINCT content and fans out to (lang, doc_id) rows
+        // through a slim membership join — norm is idempotent, so
+        // tokenizing the group's nt is byte-identical to the old
+        // per-doc regexp_extract_all(norm(text)).
+        val base = t(s, dir, "documents")
           .select(col("lang"), col("doc_id"),
-            size(col("w")).cast(LongType).as("n_tok"),
+            TextOps.norm(col("text")).as("nt"))
+          .filter(col("nt").isNotNull)
+        val hstats = base.select(md5(col("nt")).as("h"), col("nt"))
+          .repartition(col("h"))
+          .groupBy(col("h")).agg(min(col("nt")).as("nt"))
+          .withColumn("w", regexp_extract_all(col("nt"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .select(col("h"), size(col("w")).cast(LongType).as("n_tok"),
             size(array_distinct(col("w"))).cast(LongType).as("n_types"))
+        val scored = base
+          .select(col("lang"), col("doc_id"), md5(col("nt")).as("h"))
+          .join(hstats, "h")
           .filter(col("n_tok") > 0)
           .withColumn("score", expr("(n_types * 1000000) div n_tok"))
           .withColumn("tok_dec", col("n_tok").cast(DecimalType(20, 0)))
