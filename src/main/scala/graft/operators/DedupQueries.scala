@@ -313,29 +313,19 @@ object DedupQueries {
       .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
       .select(col("h"), col("sh"), size(col("sh")).as("nsh"))
       .localCheckpoint()
-    // per-content MaxShingleDf lowest member ids (the cap-first step)
-    val hTop = memb.select(col("h"), col("doc_id")).as[(String, Long)]
-      .groupByKey(_._1)
-      .mapValues(r => (-r._2, r._2))
-      .agg(new graft.functions.TopK(MaxShingleDf).toColumn.name("top"))
-      .toDF("h", "top")
-      .select(col("h"),
-        transform(col("top"), t => t.getField("_2")).as("ids"))
-    val ex = grp.select(col("h"), explode(col("sh")).as("s"))
-      .join(hTop, "h")
-      .select(col("s"), explode(col("ids")).as("doc_id"))
     // cap each shingle's posting list at the MaxShingleDf lowest
-    // doc_ids: bounded candidates (cap^2 per shingle) without erasing
-    // replicated clusters the way dropping the whole shingle would.
-    // The explicit repartition keeps the capped index at full
-    // parallelism: the TopK aggregate's output is small enough that
-    // AQE coalesces it to a handful of partitions, and everything
-    // q99 checkpoints downstream of the pair fan-out then lands in a
-    // few multi-GB cache blocks (measured: heap OOM at the ×100
-    // fixture in BlockManager.doPut; a partition must fit in a
-    // task's memory — same discipline as the bench's
+    // doc_ids (cap-first through the content grain — see
+    // cappedPostingsGrouped): bounded candidates (cap^2 per shingle)
+    // without erasing replicated clusters the way dropping the whole
+    // shingle would. The explicit repartition keeps the capped index
+    // at full parallelism: the TopK aggregate's output is small
+    // enough that AQE coalesces it to a handful of partitions, and
+    // everything q99 checkpoints downstream of the pair fan-out then
+    // lands in a few multi-GB cache blocks (measured: heap OOM at
+    // the ×100 fixture in BlockManager.doPut; a partition must fit
+    // in a task's memory — same discipline as the bench's
     // maxPartitionBytes note)
-    val exKept = cappedPostings(ex)
+    val exKept = cappedPostingsGrouped(memb, grp)
       .repartition(col("s"))
       .localCheckpoint()
     val cand = exKept.alias("a")
@@ -999,43 +989,92 @@ object DedupQueries {
     * and feeds the LSH and containment arms from the same checkpoint
     * (round-14 advice #3: the verdict was paying the corpus
     * tokenize+shingle pass and its checkpoint twice). */
-  private[graft] def decontamShingleTable(side: DataFrame): DataFrame =
-    side
-      .withColumn("sh", TextOps.shingleSet(TextOps.words(col("text")), 5))
-      .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+  /** CONTENT-GROUP shingle parts of one corpus side (round-18, the
+    * q251/q253 reshape applied to the decontam family): memb =
+    * (doc_id, h), grp = (h, sh, nsh) — shingles built once per
+    * DISTINCT normalized text, every doc-grain frame derived through
+    * the slim membership join. Docs with NULL text carry no row (they
+    * never had bands or postings, so kernel outputs are unchanged). */
+  private[graft] def decontamShingleParts(side: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val base = side
+      .withColumn("nt", TextOps.norm(col("text")))
+      .filter(col("nt").isNotNull)
+      .select(col("doc_id"), md5(col("nt")).as("h"), col("nt"))
+    val memb = base.select(col("doc_id"), col("h")).localCheckpoint()
+    val grp = base.select(col("h"), col("nt"))
+      .repartition(col("h"))
+      .groupBy(col("h")).agg(min(col("nt")).as("nt"))
+      .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
+      .select(col("h"), col("sh"), size(col("sh")).as("nsh"))
       .localCheckpoint()
+    (memb, grp)
+  }
+
+  /** Doc-grain capped shingle postings off content parts — the
+    * prunedParts cap-first algebra (a doc among a shingle's
+    * MaxShingleDf lowest ids is among its own content's MaxShingleDf
+    * lowest members), shared by the containment kernel and the q50
+    * family. */
+  private[graft] def cappedPostingsGrouped(
+      memb: DataFrame, grp: DataFrame): DataFrame = {
+    val s0 = memb.sparkSession
+    import s0.implicits._
+    val hTop = memb.select(col("h"), col("doc_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (-r._2, r._2))
+      .agg(new graft.functions.TopK(MaxShingleDf).toColumn.name("top"))
+      .toDF("h", "top")
+      .select(col("h"),
+        transform(col("top"), t => t.getField("_2")).as("ids"))
+    cappedPostings(grp.select(col("h"), explode(col("sh")).as("s"))
+      .join(hTop, "h")
+      .select(col("s"), explode(col("ids")).as("doc_id")))
+  }
 
   private[graft] def containmentDecontamParts(
       train: DataFrame, evalDocs: DataFrame, tau: Double = 0.8)
-      : (DataFrame, DataFrame) =
-    containmentDecontamPartsOn(
-      decontamShingleTable(train.select(col("doc_id"), col("text"))),
-      decontamShingleTable(evalDocs.select(col("doc_id"), col("text"))),
-      tau)
-
-  /** Containment kernel over PRE-BUILT shingle tables (see
-    * [[decontamShingleTable]]); identical plan to the text entry. */
-  private[graft] def containmentDecontamPartsOn(
-      shT: DataFrame, shE: DataFrame, tau: Double = 0.8)
       : (DataFrame, DataFrame) = {
-    def postings(c: DataFrame): DataFrame =
-      cappedPostings(c.select(col("doc_id"), explode(col("sh")).as("s")))
-    val (exT, exE) = (postings(shT), postings(shE))
+    val (tm, tg) = decontamShingleParts(
+      train.select(col("doc_id"), col("text")))
+    val (em, eg) = decontamShingleParts(
+      evalDocs.select(col("doc_id"), col("text")))
+    containmentDecontamPartsOn(tm, tg, em, eg, tau)
+  }
+
+  /** Containment kernel over PRE-BUILT content-grain parts (see
+    * [[decontamShingleParts]]): candidates at doc grain (the posting
+    * cap is doc-grain semantics, reproduced exactly via cap-first),
+    * containment verified once per DISTINCT content pair and fanned
+    * back to the candidate doc pairs — identical rows to the old
+    * doc-grain plan at ~replication² less intersect work. */
+  private[graft] def containmentDecontamPartsOn(
+      tm: DataFrame, tg: DataFrame, em: DataFrame, eg: DataFrame,
+      tau: Double = 0.8)
+      : (DataFrame, DataFrame) = {
+    val (exT, exE) =
+      (cappedPostingsGrouped(tm, tg), cappedPostingsGrouped(em, eg))
     val cand = exT.alias("t")
       .join(exE.alias("e"), col("t.s") === col("e.s"))
       .select(col("t.doc_id").as("train_id"), col("e.doc_id").as("eval_id"))
       .distinct()
-    val flagged = cand
-      .join(shT.select(col("doc_id").as("train_id"), col("sh").as("sh1")),
+    val candH = cand
+      .join(tm.select(col("doc_id").as("train_id"), col("h").as("ht")),
         "train_id")
-      .join(shE.select(col("doc_id").as("eval_id"), col("sh").as("sh2"),
-        col("nsh").as("n2")), "eval_id")
+      .join(em.select(col("doc_id").as("eval_id"), col("h").as("he")),
+        "eval_id")
+    val cstats = candH.select(col("ht"), col("he")).distinct()
+      .join(tg.select(col("h").as("ht"), col("sh").as("sh1")), "ht")
+      .join(eg.select(col("h").as("he"), col("sh").as("sh2"),
+        col("nsh").as("n2")), "he")
       .withColumn("containment",
         size(array_intersect(col("sh1"), col("sh2"))).cast(DoubleType) /
           col("n2"))
       .filter(col("containment") >= tau)
-      .select(col("train_id"), col("eval_id"),
+      .select(col("ht"), col("he"),
         round(col("containment"), 6).as("containment"))
+    val flagged = candH.join(cstats, Seq("ht", "he"))
+      .select(col("train_id"), col("eval_id"), col("containment"))
     (cand, flagged)
   }
 
@@ -1763,19 +1802,25 @@ object DedupQueries {
   private[graft] def lshDecontamParts(
       train: DataFrame, evalDocs: DataFrame,
       bands: Int = 4, rowsPerBand: Int = 2, tau: Double = 0.5)
-      : (DataFrame, DataFrame) =
-    lshDecontamPartsOn(
-      decontamShingleTable(train.select(col("doc_id"), col("text"))),
-      decontamShingleTable(evalDocs.select(col("doc_id"), col("text"))),
-      bands, rowsPerBand, tau)
+      : (DataFrame, DataFrame) = {
+    val (tm, tg) = decontamShingleParts(
+      train.select(col("doc_id"), col("text")))
+    val (em, eg) = decontamShingleParts(
+      evalDocs.select(col("doc_id"), col("text")))
+    lshDecontamPartsOn(tm, tg, em, eg, bands, rowsPerBand, tau)
+  }
 
-  /** LSH kernel over PRE-BUILT shingle tables (see
-    * [[decontamShingleTable]]); identical plan to the text entry. */
+  /** LSH kernel over PRE-BUILT content-grain parts (see
+    * [[decontamShingleParts]]): banding and verification run once per
+    * DISTINCT content (signatures depend only on the text — the
+    * q251/q276 fact), and both outputs fan back to doc grain through
+    * the membership joins — identical rows to the old doc-grain
+    * plan. */
   private[graft] def lshDecontamPartsOn(
-      shT: DataFrame, shE: DataFrame,
+      tm: DataFrame, tg: DataFrame, em: DataFrame, eg: DataFrame,
       bands: Int, rowsPerBand: Int, tau: Double)
       : (DataFrame, DataFrame) = {
-    // concat, NOT concat_ws: a doc with < 5 words has an empty
+    // concat, NOT concat_ws: a content with < 5 words has an empty
     // shingle set and NULL minhash components, and concat_ws would
     // collapse those to md5('') — one shared constant bucket that
     // cross-products every short train doc with every short eval
@@ -1789,30 +1834,36 @@ object DedupQueries {
       .withColumn("bands", array((0 until bands).map(j =>
         md5(concat((0 until rowsPerBand).map(r =>
           element_at(col("ms"), rowsPerBand * j + r + 1)): _*))): _*))
-      .select(col("doc_id"),
+      .select(col("h"),
         posexplode(col("bands")).as(Seq("band_idx", "bh")))
-    val (bandsT, bandsE0) = (bandsOf(shT), bandsOf(shE))
-    // measurement is free: shE is localCheckpoint'd, so this count
-    // reads cached blocks; bands are exactly `bands` rows per eval doc
-    val bandsE = GatedBroadcast(bandsE0, shE.count() * bands)
-    val cand = bandsT.alias("t")
+    val (bandsT, bandsE0) = (bandsOf(tg), bandsOf(eg))
+    // measurement is free: eg is localCheckpoint'd, so this count
+    // reads cached blocks; bands are exactly `bands` rows per eval
+    // CONTENT — an even smaller broadcast than the old per-doc table
+    val bandsE = GatedBroadcast(bandsE0, eg.count() * bands)
+    val candG = bandsT.alias("t")
       .join(bandsE.alias("e"),
         col("t.band_idx") === col("e.band_idx") &&
           col("t.bh") === col("e.bh"))
-      .select(col("t.doc_id").as("train_id"),
-        col("e.doc_id").as("eval_id"))
+      .select(col("t.h").as("ht"), col("e.h").as("he"))
       .distinct()
-    val flagged = cand
-      .join(shT.select(col("doc_id").as("train_id"), col("sh").as("sh1"),
-        col("nsh").as("n1")), "train_id")
-      .join(shE.select(col("doc_id").as("eval_id"), col("sh").as("sh2"),
-        col("nsh").as("n2")), "eval_id")
+      .localCheckpoint()
+    val flaggedG = candG
+      .join(tg.select(col("h").as("ht"), col("sh").as("sh1"),
+        col("nsh").as("n1")), "ht")
+      .join(eg.select(col("h").as("he"), col("sh").as("sh2"),
+        col("nsh").as("n2")), "he")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= tau)
-      .select(col("train_id"), col("eval_id"),
-        round(col("jaccard"), 6).as("jac"))
+      .select(col("ht"), col("he"), round(col("jaccard"), 6).as("jac"))
+    val tmR = tm.select(col("doc_id").as("train_id"), col("h").as("ht"))
+    val emR = em.select(col("doc_id").as("eval_id"), col("h").as("he"))
+    val cand = candG.join(tmR, "ht").join(emR, "he")
+      .select(col("train_id"), col("eval_id"))
+    val flagged = flaggedG.join(tmR, "ht").join(emR, "he")
+      .select(col("train_id"), col("eval_id"), col("jac"))
     (cand, flagged)
   }
 
@@ -1933,17 +1984,16 @@ object DedupQueries {
         .localCheckpoint()
       val evalDocs = nearCopy.unionByName(embedded)
         .unionByName(para.select(col("eval_id").as("doc_id"), col("text")))
-      // shared-kernel discipline, round 15: each side's corpus-scale
-      // tokenize+shingle pass materializes ONCE and feeds both
-      // lexical arms (previously each arm re-built and re-checkpointed
-      // both sides — two full corpus passes and twice the pinned
-      // checkpoint blocks for identical frames)
-      val shT = decontamShingleTable(docs.select(col("doc_id"), col("text")))
-      val shE = decontamShingleTable(
+      // shared-kernel discipline, round 15 (content-grain since round
+      // 18): each side's tokenize+shingle pass materializes ONCE — at
+      // one row per DISTINCT content — and feeds both lexical arms
+      val (tm, tg) = decontamShingleParts(
+        docs.select(col("doc_id"), col("text")))
+      val (em, eg) = decontamShingleParts(
         evalDocs.select(col("doc_id"), col("text")))
-      val lsh = lshDecontamPartsOn(shT, shE,
+      val lsh = lshDecontamPartsOn(tm, tg, em, eg,
         bands = 8, rowsPerBand = 1, tau = 0.5)._2
-      val con = containmentDecontamPartsOn(shT, shE)._2
+      val con = containmentDecontamPartsOn(tm, tg, em, eg)._2
       val sem = SimilarityQueries.semanticDecontamParts(
         t(s, dir, "embeddings").select(col("vec_id"),
           transform(col("embedding"), x => x.cast(DoubleType)).as("v")),
