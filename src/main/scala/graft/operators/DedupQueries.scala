@@ -561,22 +561,33 @@ object DedupQueries {
     * parity for documents with null text. */
   private def simhashTable(
       docs: DataFrame, hexDigits: Int, bits: Int): DataFrame = {
-    val words = docs
-      .select(col("doc_id"),
+    // CONTENT-GROUP grain (round-18): the signature is a pure
+    // function of the RAW text (this family never normalized), so
+    // the word explode + per-bit majority vote runs once per
+    // DISTINCT text and fans out through a (doc_id, text-hash)
+    // membership join. NULL-text docs keep their sh = 0 row via the
+    // same left join + coalesce as before (null never equi-joins).
+    val base = docs.select(col("doc_id"), md5(col("text")).as("th"))
+    val grp = docs.filter(col("text").isNotNull)
+      .select(md5(col("text")).as("th"), col("text"))
+      .repartition(col("th"))
+      .groupBy(col("th")).agg(min(col("text")).as("text"))
+    val words = grp
+      .select(col("th"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
-      .select(col("doc_id"),
+      .select(col("th"),
         expr(s"cast(conv(substring(md5(w),1,$hexDigits),16,10) as bigint)")
           .as("h"))
     val aggs = (0 until bits).map(b =>
       sum(expr(s"(h div ${1L << b}) % 2")).as(s"c$b")) :+
       count(lit(1)).as("nw")
-    val sigs = words.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
+    val sigs = words.groupBy(col("th")).agg(aggs.head, aggs.tail: _*)
+      .select(col("th"),
         (0 until bits).map(b =>
           when(lit(2L) * col(s"c$b") > col("nw"), lit(1L << b))
             .otherwise(lit(0L)))
           .reduce(_ + _).as("sh"))
-    docs.select(col("doc_id")).join(sigs, Seq("doc_id"), "left")
+    base.join(sigs, Seq("th"), "left")
       .select(col("doc_id"), coalesce(col("sh"), lit(0L)).as("sh"))
   }
 

@@ -576,36 +576,52 @@ object PipelineQueries {
         def positions(gram: org.apache.spark.sql.Column) =
           array((0 until k).map(i =>
             md5Int32(concat(lit(s"$i|"), gram)) % m): _*)
-        // materialize once: the exploded shingle table feeds both the
-        // bitmap build and the probe side
-        val ex = t(s, dir, "documents")
-          .select(col("doc_id"),
-            TextOps.shingleSet(TextOps.words(col("text")), 8).as("sh"))
-          .select(col("doc_id"), asLong(size(col("sh"))).as("n_sh"),
+        // CONTENT-GROUP grain (round-18, the q251/q253 reshape): the
+        // shingle set, every probe position, and therefore n_sh /
+        // n_hit / ratio are pure functions of the normalized text —
+        // built once per DISTINCT content and fanned out to doc rows
+        // at the very end. The bitmap side filters at MEMBERSHIP
+        // grain first (grams of any content with a doc_id ≡ 0 mod
+        // 97), so bitmap contents are exactly the old per-doc set.
+        val base = t(s, dir, "documents")
+          .withColumn("nt", TextOps.norm(col("text")))
+          .filter(col("nt").isNotNull)
+          .select(col("doc_id"), md5(col("nt")).as("h"), col("nt"))
+        val memb = base.select(col("doc_id"), col("h")).localCheckpoint()
+        val ex = base.select(col("h"), col("nt"))
+          .repartition(col("h"))
+          .groupBy(col("h")).agg(min(col("nt")).as("nt"))
+          .withColumn("sh",
+            TextOps.shingleSet(split(col("nt"), " "), 8))
+          .select(col("h"), asLong(size(col("sh"))).as("n_sh"),
             explode(col("sh")).as("gram"))
           .localCheckpoint()
-        val bitmap = ex.filter(col("doc_id") % 97 === 0)
+        val seedH = memb.filter(col("doc_id") % 97 === 0)
+          .select(col("h")).distinct()
+        val bitmap = ex.join(seedH, Seq("h"), "left_semi")
           .select(explode(positions(col("gram"))).as("pos"))
           .select(expr("pos div 63").as("word_idx"),
             expr("shiftleft(cast(1 as bigint), cast(pos % 63 as int))")
               .as("bit"))
           .groupBy(col("word_idx"))
           .agg(expr("bit_or(bit)").as("bits"))
-        ex.select(col("doc_id"), col("n_sh"), col("gram"),
+        val perContent = ex
+          .select(col("h"), col("n_sh"), col("gram"),
             explode(positions(col("gram"))).as("pos"))
           .withColumn("word_idx", expr("pos div 63"))
           .join(broadcast(bitmap), Seq("word_idx"), "left")
           .withColumn("hit", coalesce(
             expr("(bits & shiftleft(cast(1 as bigint), cast(pos % 63 as int))) != 0"),
             lit(false)))
-          .groupBy(col("doc_id"), col("n_sh"), col("gram"))
+          .groupBy(col("h"), col("n_sh"), col("gram"))
           .agg(expr("bool_and(hit)").as("maybe"))
           .filter(col("maybe"))
-          .groupBy(col("doc_id"), col("n_sh"))
+          .groupBy(col("h"), col("n_sh"))
           .agg(count(lit(1)).as("n_hit"))
           .withColumn("ratio",
             round(col("n_hit").cast(DoubleType) / col("n_sh"), 6))
           .filter(col("ratio") >= 0.5)
+        memb.join(perContent, "h")
           .select(col("doc_id"), col("n_sh"), col("n_hit"), col("ratio"))
       },
       Some {
