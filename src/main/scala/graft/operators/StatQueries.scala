@@ -37,12 +37,26 @@ object StatQueries {
   private val q176 = Q(
     "q176_bpe_pairs",
     (s, dir) => {
-      val words = t(s, dir, "documents")
-        .select(explode(split(
+      // CONTENT-GROUP grain (round-18): per-word counts are a pure
+      // function of the raw text, so the regexp + explode runs once
+      // per DISTINCT text and global counts weight each content's
+      // counts by its replica count — exact integers, identical
+      // totals, ~replication× less explode volume.
+      val base = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(md5(col("text")).as("th"), col("text"))
+      val reps = base.groupBy(col("th")).agg(count(lit(1)).as("n"))
+      val grpWords = base
+        .repartition(col("th"))
+        .groupBy(col("th")).agg(min(col("text")).as("text"))
+        .select(col("th"), explode(split(
           regexp_replace(col("text"), "[^A-Za-z ]+", " "), " ")).as("w"))
         .filter(length(col("w")) >= 2)
-        .groupBy(lower(col("w")).as("word"))
-        .agg(count(lit(1)).as("wc"))
+        .groupBy(col("th"), lower(col("w")).as("word"))
+        .agg(count(lit(1)).as("wcc"))
+      val words = grpWords.join(reps, "th")
+        .groupBy(col("word"))
+        .agg(sum(col("wcc") * col("n")).as("wc"))
       words
         .select(col("wc"), explode(expr(
           "transform(sequence(1, length(word) - 1)," +
