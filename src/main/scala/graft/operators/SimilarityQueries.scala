@@ -1945,7 +1945,83 @@ object SimilarityQueries {
       ORDER BY b.cell
     """))
 
-  val registry: Seq[Q] = Seq(q53, q54, q55, q56, q57, q58, q59, q101,
+  /** q293 — DELETION for the maintained IVF assignment index
+    * (completing the round-18 retraction family across all four
+    * maintained artifacts: cluster labels q289, LSH signatures q290,
+    * BM25 stats q291, IVF assignments here). Given FROZEN centroids
+    * (q265's contract — a centroid is a point in space, so a
+    * retracted vector may keep serving as one; standard IVF
+    * practice), an assignment row depends only on its own vector:
+    * retraction is a per-row-pure tombstone anti-join, no
+    * re-clustering, no re-scoring. Output: per-cell occupancy before
+    * and after the retraction wave plus the exact removed count —
+    * the drift evidence a deployment watches to decide a retrain.
+    * Tombstones follow the shared
+    * [[ClusterIndexQueries.isRetracted]] predicate on vec_id; the
+    * oracle re-derives centroids, assignments, and both occupancy
+    * sides from scratch in DuckDB. */
+  private val q293 = Q(
+    "q293_ivf_index_delete",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .localCheckpoint()
+      val cents = e
+        .orderBy(md5(col("vec_id").cast(StringType).cast(BinaryType)),
+          col("vec_id"))
+        .limit(32)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          cosine(col("v"), col("cv")).as("csim"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("csim"),
+          (lit(0L) - col("cid")).as("ncid"))).as("best"))
+        .select(col("vec_id"),
+          (lit(0L) - col("best.ncid")).as("cell"))
+        .localCheckpoint()
+      val tombs = e
+        .filter(graft.operators.ClusterIndexQueries
+          .isRetracted(col("vec_id")))
+        .select(col("vec_id"))
+      val after = assigned.join(tombs, Seq("vec_id"), "left_anti")
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_after"))
+      assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_before"))
+        .join(after, Seq("cell"), "left")
+        .select(col("cell"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          (col("n_before") - coalesce(col("n_after"), lit(0L)))
+            .as("n_removed"))
+        .orderBy(col("cell"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+      a AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv) /
+                     (sqrt(list_dot_product(e.v, e.v)) *
+                      sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid)
+                   AS rn
+          FROM e CROSS JOIN c)
+        WHERE rn = 1),
+      b AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_before
+            FROM a GROUP BY 1),
+      s AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_after
+            FROM a WHERE vec_id % 7 <> 3 GROUP BY 1)
+      SELECT b.cell, b.n_before,
+             COALESCE(s.n_after, 0) AS n_after,
+             b.n_before - COALESCE(s.n_after, 0) AS n_removed
+      FROM b LEFT JOIN s USING (cell)
+      ORDER BY b.cell
+    """))
+
+  val registry: Seq[Q] = Seq(q293, q53, q54, q55, q56, q57, q58, q59, q101,
     q134, q138, q141, q145, q146, q147, q192, q234, q248, q254, q255,
     q256, q257, q258, q262, q263, q265)
 }
