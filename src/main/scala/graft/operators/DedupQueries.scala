@@ -1031,6 +1031,7 @@ object DedupQueries {
       memb: DataFrame, grp: DataFrame): DataFrame = {
     val s0 = memb.sparkSession
     import s0.implicits._
+    // per-content MaxShingleDf lowest member ids, ascending
     val hTop = memb.select(col("h"), col("doc_id")).as[(String, Long)]
       .groupByKey(_._1)
       .mapValues(r => (-r._2, r._2))
@@ -1038,9 +1039,26 @@ object DedupQueries {
       .toDF("h", "top")
       .select(col("h"),
         transform(col("top"), t => t.getField("_2")).as("ids"))
-    cappedPostings(grp.select(col("h"), explode(col("sh")).as("s"))
+    // Stage 1 caps CONTENTS per shingle: the cap's contributors are a
+    // subset of the MaxShingleDf contents with the smallest min
+    // member id (a content ranked below them has ≥MaxShingleDf docs
+    // smaller than its own minimum), so the k-bounded heap runs over
+    // one row per (shingle, content) — never the exploded doc fan.
+    // Stage 2 takes the exact doc-grain cap natively: flatten the
+    // ≤k surviving ascending id lists, sort, slice k.
+    val kept = grp.select(col("h"), explode(col("sh")).as("s"))
       .join(hTop, "h")
-      .select(col("s"), explode(col("ids")).as("doc_id")))
+      .select(col("s"), col("ids")).as[(String, Seq[Long])]
+      .groupByKey(_._1)
+      .mapValues(r => (-r._2.head, r._2))
+      .agg(new graft.functions.TopKLists(MaxShingleDf).toColumn
+        .name("top"))
+      .toDF("s", "top")
+    kept.select(col("s"),
+      explode(slice(array_sort(flatten(
+        transform(col("top"), t => t.getField("_2")))),
+        1, MaxShingleDf)).as("doc_id"))
+      .select(col("doc_id"), col("s"))
   }
 
   private[graft] def containmentDecontamParts(
