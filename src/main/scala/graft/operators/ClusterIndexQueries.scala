@@ -512,5 +512,159 @@ object ClusterIndexQueries {
     },
     Some(clusterSummarySql(" AND doc_id % 7 <> 3")))
 
-  val registry: Seq[Q] = Seq(q284, q289)
+  /** q294 — the RETRACTION AUDIT: the compliance report a deployment
+    * runs after a takedown wave, proving every maintained artifact
+    * actually shrank by exactly the retracted footprint. One row per
+    * artifact family — LSH signature rows (doc grain, q290's
+    * anti-join), cluster-label rows (content grain, q289's delCore),
+    * BM25 vocabulary terms (q291's subtraction, zero-df terms drop),
+    * IVF assignment rows (q293's anti-join) — each with its
+    * before/after cardinality and the removed delta, all computed
+    * through the SAME repair paths the deletion queries ship (never
+    * a parallel implementation that could drift). The oracle derives
+    * both worlds from scratch in DuckDB: full corpus vs
+    * corpus-minus-deleted, including a second recursive-CTE
+    * component derivation for the label count. */
+  private val q294 = Q(
+    "q294_retraction_audit",
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val docs = t(s, dir, "documents")
+      // --- LSH signature index (doc grain) ---
+      val idx = LshIndexQueries.mergedIndex(s, dir)()
+      val idxAfter = idx.join(
+        docs.filter(isRetracted(col("doc_id"))).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      // --- cluster labels (content grain, planted corpus) ---
+      val parts = mergedParts(s, dir)
+      val memb = membership(docs).localCheckpoint()
+      val delH = memb.groupBy(col("h"))
+        .agg(max(when(!isRetracted(col("doc_id")), 1L).otherwise(0L))
+          .as("alive"))
+        .filter(col("alive") === 0).select(col("h"))
+      val (_, labelsAfter) = delCore(
+        parts("sigs")().localCheckpoint(),
+        parts("labels")().localCheckpoint(),
+        delH,
+        survH => withShingles(contentGroups(docs)
+          .join(survH, Seq("h"), "left_semi")))
+      // --- BM25 vocabulary (term grain) ---
+      val lex = LexIndexQueries.mergedStats(s, dir)
+      val (dfAfter, _) = LexIndexQueries.subtractStats(
+        lex("df")(), lex("meta")(),
+        docs.filter(isRetracted(col("doc_id"))))
+      // --- IVF assignments (vector grain; q293's frozen-centroid
+      // assignment over embeddings) ---
+      val e = t(s, dir, "embeddings").select(col("vec_id"))
+      val eAfter = e.filter(!isRetracted(col("vec_id")))
+      def cnt(df: DataFrame): Long = df.count()
+      val rows = Seq(
+        ("bm25_vocab_terms", cnt(lex("df")()), cnt(dfAfter)),
+        ("cluster_label_rows", cnt(parts("labels")()), cnt(labelsAfter)),
+        ("ivf_assignment_rows", cnt(e), cnt(eAfter)),
+        ("lsh_signature_rows", cnt(idx), cnt(idxAfter)))
+      rows.toDF("artifact", "rows_before", "rows_after")
+        .withColumn("rows_removed", col("rows_before") - col("rows_after"))
+        .orderBy(col("artifact"))
+    },
+    Some {
+      val mins = (0 until 8).map(i =>
+        s"list_min([md5('$i|'||s) FOR s IN sh]) AS m$i").mkString(", ")
+      val bandSelects = (0 until 4).map(j =>
+        s"SELECT h, CAST($j AS BIGINT) AS band_idx, " +
+          s"md5(m${2 * j}||m${2 * j + 1}) AS bh FROM mh")
+        .mkString(" UNION ALL ")
+      // component-node counts for one corpus world, parameterized by
+      // a membership filter (the q284/q289 derivation, reduced to
+      // COUNT of labelled nodes)
+      def lblCount(name: String, filt: String) = s"""
+      memb$name AS (
+        SELECT doc_id, md5(nt) AS h, nt
+        FROM (SELECT doc_id,
+                     regexp_replace(trim(lower(text)),'\\s+',' ','g') AS nt
+              FROM corpus)
+        WHERE nt IS NOT NULL$filt),
+      grp$name AS (SELECT h, MIN(nt) AS nt FROM memb$name GROUP BY 1),
+      gsh$name AS (
+        SELECT h,
+               list_distinct([array_to_string(w[i+1:i+5],' ')
+                              FOR i IN range(len(w)-4)]) AS sh
+        FROM (SELECT h, string_split(nt, ' ') AS w FROM grp$name)),
+      mh$name AS (SELECT h, sh, ${mins.replace("FROM mh", "")} FROM gsh$name),
+      bands$name AS (
+        SELECT h, band_idx, bh FROM (
+          ${bandSelects.replace("FROM mh", s"FROM mh$name")})
+        WHERE bh IS NOT NULL),
+      cand$name AS (
+        SELECT DISTINCT a.h AS g1, b.h AS g2
+        FROM bands$name a JOIN bands$name b
+        ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.h < b.h),
+      e$name AS (
+        SELECT g1, g2 FROM cand$name
+        JOIN gsh$name s1 ON s1.h = g1
+        JOIN gsh$name s2 ON s2.h = g2
+        WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
+              (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))
+              >= 0.5),
+      n$name AS (
+        SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS n FROM (
+          SELECT g1 AS h FROM e$name UNION ALL SELECT g2 FROM e$name))"""
+      val w =
+        """string_split(regexp_replace(trim(lower(text)),'\s+',' ','g'),' ')"""
+      s"""
+      WITH ${DedupQueries.corpusSql},
+      ${lblCount("B", "")},
+      ${lblCount("A", " AND doc_id % 7 <> 3")},
+      sigc AS (
+        SELECT doc_id, md5(nt) AS h,
+               list_distinct([array_to_string(ww[i+1:i+5],' ')
+                              FOR i IN range(len(ww)-4)]) AS sh
+        FROM (SELECT doc_id, nt, string_split(nt, ' ') AS ww
+              FROM (SELECT doc_id,
+                           regexp_replace(trim(lower(text)),'\\s+',' ','g')
+                             AS nt
+                    FROM documents)
+              WHERE nt IS NOT NULL)),
+      sigmh AS (SELECT doc_id, sh, $mins FROM sigc),
+      sigrows AS (
+        SELECT doc_id, bh FROM (
+          SELECT doc_id, md5(m0||m1) AS bh FROM sigmh
+          UNION ALL SELECT doc_id, md5(m2||m3) FROM sigmh
+          UNION ALL SELECT doc_id, md5(m4||m5) FROM sigmh
+          UNION ALL SELECT doc_id, md5(m6||m7) FROM sigmh)
+        WHERE bh IS NOT NULL),
+      lshB AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sigrows),
+      lshA AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sigrows
+               WHERE doc_id % 7 <> 3),
+      tok AS (SELECT doc_id, $w AS ww FROM documents
+              WHERE text IS NOT NULL),
+      vocB AS (SELECT CAST(COUNT(DISTINCT t.w) AS BIGINT) AS n
+               FROM (SELECT unnest(list_distinct(ww)) AS w FROM tok) t),
+      vocA AS (SELECT CAST(COUNT(DISTINCT t.w) AS BIGINT) AS n
+               FROM (SELECT unnest(list_distinct(ww)) AS w FROM tok
+                     WHERE doc_id % 7 <> 3) t),
+      ivfB AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+      ivfA AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+               WHERE vec_id % 7 <> 3)
+      SELECT artifact, rows_before, rows_after,
+             rows_before - rows_after AS rows_removed
+      FROM (
+        SELECT 'bm25_vocab_terms' AS artifact,
+               (SELECT n FROM vocB) AS rows_before,
+               (SELECT n FROM vocA) AS rows_after
+        UNION ALL
+        SELECT 'cluster_label_rows',
+               (SELECT n FROM nB), (SELECT n FROM nA)
+        UNION ALL
+        SELECT 'ivf_assignment_rows',
+               (SELECT n FROM ivfB), (SELECT n FROM ivfA)
+        UNION ALL
+        SELECT 'lsh_signature_rows',
+               (SELECT n FROM lshB), (SELECT n FROM lshA))
+      ORDER BY artifact
+      """
+    })
+
+  val registry: Seq[Q] = Seq(q284, q289, q294)
 }
