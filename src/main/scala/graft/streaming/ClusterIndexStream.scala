@@ -160,6 +160,17 @@ object ClusterIndexStream {
     // fully-published version; redelivery clears debris and retries.
     val base = new org.apache.hadoop.fs.Path(s"$stateDir/batch=$batchId")
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // "redelivery clears debris": a crash between the tmp writes and
+    // the rename leaves a .tmp-batch=N-<uuid> dir; this redelivery of
+    // the SAME batchId is the only writer for N (foreachBatch
+    // serializes), so its leftovers are deletable here — without this,
+    // crash debris accumulates unboundedly (round-18 advice #4).
+    Option(new java.io.File(stateDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory &&
+        f.getName.startsWith(s".tmp-batch=$batchId-"))
+      .foreach(f => fs.delete(
+        new org.apache.hadoop.fs.Path(f.getPath), true))
     val tmp = new org.apache.hadoop.fs.Path(
       s"$stateDir/.tmp-batch=$batchId-" +
         java.util.UUID.randomUUID().toString.take(8))
@@ -234,6 +245,19 @@ object ClusterIndexStream {
         val stale = keepFloor.exists(v <= _) ||
           (!isComplete(f) && complete.nonEmpty && v <= complete.last)
         if (stale) rm(f)
+      }
+    // crash-debris tmp dirs (.tmp-batch=N-<uuid>) for versions a
+    // COMPLETE version already covers are superseded by construction
+    // — deletable; a tmp NEWER than every complete version may be a
+    // publish in flight and is never touched (same prune-race rule as
+    // marker-less version dirs above)
+    val last = complete.lastOption
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".tmp-batch="))
+      .foreach { f =>
+        val v = f.getName.stripPrefix(".tmp-batch=")
+          .takeWhile(_ != '-').toLong
+        if (last.exists(v <= _)) rm(f)
       }
   }
 

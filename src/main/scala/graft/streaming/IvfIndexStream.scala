@@ -74,17 +74,33 @@ object IvfIndexStream {
   /** Load centroids; train-and-publish write-once from `trainFrom` if
     * absent (tmp+marker+rename — concurrent/replayed publishers
     * collapse to one winner; losers read the winner's copy, which is
-    * identical because selection is a pure function of the batch). */
+    * identical because selection is a pure function of the batch).
+    * The caller guarantees `trainFrom` is NON-EMPTY (round-18 advice:
+    * an empty batch 0 must NOT freeze an empty centroid set forever —
+    * mergeBatch defers training to the first non-empty batch); a
+    * training frame smaller than nCells still publishes (assignment
+    * to the nearest of what exists is well-defined) but is logged,
+    * because an undersized cell count degrades recall at scale. */
   private[streaming] def centroids(s: SparkSession, idxDir: String,
       trainFrom: => DataFrame): DataFrame = {
     val base = new org.apache.hadoop.fs.Path(centroidsPath(idxDir))
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     val ok = new org.apache.hadoop.fs.Path(base, "_GRAFT_OK")
     if (!fs.exists(ok)) {
+      val picked = selectCentroids(trainFrom).localCheckpoint()
+      val n = picked.count()
+      if (n == 0)
+        throw new IllegalStateException(
+          "IVF centroid training frame is empty — caller must defer " +
+            "training to the first non-empty batch")
+      if (n < nCells)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"IVF centroids trained from only $n vectors (< $nCells " +
+            "cells) — recall will be degraded until a retrain")
       val tmp = new org.apache.hadoop.fs.Path(
         s"${centroidsPath(idxDir)}.tmp-" +
           java.util.UUID.randomUUID().toString.take(8))
-      selectCentroids(trainFrom).write.parquet(tmp.toString)
+      picked.write.parquet(tmp.toString)
       fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_OK"), true)
         .close()
       if (fs.exists(base) && !fs.exists(ok)) fs.delete(base, true)
@@ -96,15 +112,21 @@ object IvfIndexStream {
   }
 
   /** Idempotent per-batch fold: assignments of THIS batch only,
-    * overwrite-published under the batch's stable id. */
+    * overwrite-published under the batch's stable id. An EMPTY batch
+    * publishes nothing — in particular it never trains centroids
+    * (round-18 advice: a stream started before the lake has data must
+    * not freeze an empty/degenerate centroid set), and the absent
+    * batch directory is equivalent to an empty one at read time. */
   private[streaming] def mergeBatch(idxDir: String)(
       batch: DataFrame, batchId: Long): Unit = {
     batchCount.incrementAndGet()
     val s = batch.sparkSession
     val b = batch.localCheckpoint()
-    val cents = centroids(s, idxDir, b)
-    assignTo(cents, b)
-      .write.mode("overwrite").parquet(s"$idxDir/batch=$batchId")
+    if (!b.isEmpty) {
+      val cents = centroids(s, idxDir, b)
+      assignTo(cents, b)
+        .write.mode("overwrite").parquet(s"$idxDir/batch=$batchId")
+    }
     ()
   }
 
@@ -119,13 +141,32 @@ object IvfIndexStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  private def emptyIndex(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("cell", LongType),
+        StructField("csim", DoubleType))))
+
+  /** Batch directories that exist under `idxDir` — listed FIRST so a
+    * pre-first-publication read returns an empty frame instead of the
+    * AnalysisException an unmatched glob throws (round-18 advice;
+    * mirrors ClusterIndexStream.labels' empty-state handling). */
+  private def batchDirs(idxDir: String): Array[String] =
+    Option(new java.io.File(idxDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getPath)
+
   /** The live index: union of the per-batch publications
-    * (vec_id, cell, csim). */
-  def index(spark: SparkSession, idxDir: String): DataFrame =
-    spark.read
+    * (vec_id, cell, csim); empty before any batch has published. */
+  def index(spark: SparkSession, idxDir: String): DataFrame = {
+    val dirs = batchDirs(idxDir)
+    if (dirs.isEmpty) emptyIndex(spark)
+    else spark.read
       .option("basePath", idxDir)
-      .parquet(s"$idxDir/batch=*")
+      .parquet(dirs.toIndexedSeq: _*)
       .select("vec_id", "cell", "csim")
+  }
 
   /** Per-cell occupancy off the maintained index — the q265 summary
     * grain, for drift watching. */

@@ -266,6 +266,42 @@ class ClusterIndexSpec extends AnyFunSuite {
       labelSet(ClusterIndexQueries.fromScratchLabels(surviving)))
   }
 
+  test("q294 IVF audit arm counts the real assignment frame (one row per vector; anti-join after-count)") {
+    // round-18 advice #3: the audit's IVF before/after must be
+    // sourced from q293's assignment frame + tombstone anti-join, not
+    // from the raw embeddings table — this pins the helper's two
+    // load-bearing contracts: (a) EXACTLY one assignment row per
+    // embeddings vector (what keeps the COUNT-over-embeddings oracle
+    // honest against the artifact count), (b) the tombstone anti-join
+    // removes precisely the retracted vec_ids.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = graft.TestTmp.dir("graft_q294_ivf_pin_")
+    val vecs = (0L until 97L).map { i =>
+      val a = Array.fill(8)(0.0f)
+      a((i % 8).toInt) = 1.0f
+      a(((i + 5) % 8).toInt) = 0.01f * (i % 11)
+      (i, a)
+    }
+    vecs.toDF("vec_id", "embedding")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val assigned = SimilarityQueries.ivfAssigned(spark, tmp)
+      .localCheckpoint()
+    assert(assigned.count() == 97L)
+    assert(assigned.select("vec_id").distinct().count() == 97L)
+    val after = assigned.join(
+      assigned.filter(ClusterIndexQueries.isRetracted(col("vec_id")))
+        .select(col("vec_id")),
+      Seq("vec_id"), "left_anti")
+    val expectedAfter = vecs.map(_._1).count(_ % 7 != 3)
+    assert(after.count() == expectedAfter.toLong)
+    // the retracted ids are exactly the vec_id % 7 == 3 set
+    val removed = assigned.select("vec_id")
+      .except(after.select("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(removed == vecs.map(_._1).filter(_ % 7 == 3).toSet)
+  }
+
   test("artifact lifecycle: one build per artifact; memo and load paths identical") {
     LshIndexQueries.resetMemoForTest()
     registerArtifacts()

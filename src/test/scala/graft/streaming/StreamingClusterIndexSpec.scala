@@ -216,4 +216,40 @@ class StreamingClusterIndexSpec extends AnyFunSuite {
     ClusterIndexStream.pruneVersions(stateDir)
     assert(!debris.exists(), "prune kept superseded marker-less debris")
   }
+
+  test("crash tmp debris is cleared on redelivery and reclaimed by prune once superseded") {
+    // round-18 advice #4: a crash between the tmp writes and the
+    // rename leaves .tmp-batch=N-<uuid>; redelivery of batch N (the
+    // only writer for N) clears its own leftovers before retrying,
+    // and prune reclaims tmp dirs a COMPLETE version already covers —
+    // while never touching a tmp NEWER than the complete frontier
+    // (it may be a publish in flight).
+    import spark.implicits._
+    val srcDir = graft.TestTmp.dir("graft_cltmp_src_")
+    val stateDir = graft.TestTmp.dir("graft_cltmp_state_")
+    val docs = Seq(40L -> (base + " tmp family"),
+      41L -> (base + " tmp family variant")).toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("append").parquet(srcDir)
+    ClusterIndexStream.mergeBatch(srcDir, stateDir)(docs, 0L)
+    val good = labelSet(ClusterIndexStream.labels(spark, stateDir))
+    def plant(name: String): java.io.File = {
+      val f = new java.io.File(stateDir, name)
+      f.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f.getPath, "junk"), Array[Byte](9))
+      f
+    }
+    val staleTmp = plant(".tmp-batch=0-cafe0000") // superseded: 0 complete
+    val liveTmp = plant(".tmp-batch=1-dead0000") // maybe in flight: 1 > 0
+    ClusterIndexStream.pruneVersions(stateDir)
+    assert(!staleTmp.exists(), "prune kept a superseded tmp dir")
+    assert(liveTmp.isDirectory, "prune deleted a possibly-live tmp dir")
+    // redelivery of batch 1 clears ITS OWN debris before publishing
+    val extra = Seq(42L -> (base + " tmp family")).toDF("doc_id", "text")
+    extra.coalesce(1).write.mode("append").parquet(srcDir)
+    ClusterIndexStream.mergeBatch(srcDir, stateDir)(extra, 1L)
+    assert(!liveTmp.exists(), "redelivery left its own crash debris")
+    assert(new java.io.File(stateDir, "batch=1/_GRAFT_OK").isFile)
+    assert(labelSet(ClusterIndexStream.labels(spark, stateDir)) == good)
+  }
 }

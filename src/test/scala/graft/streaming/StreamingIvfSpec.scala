@@ -40,6 +40,28 @@ class StreamingIvfSpec extends AnyFunSuite {
     df.select("vec_id", "cell", "csim").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
+  test("empty batch defers centroid training; pre-publication reads are empty frames") {
+    // round-18 advice: a stream started before the lake has data must
+    // not freeze an empty centroid set, and index()/cells() before any
+    // publication must return empty frames, not AnalysisException
+    val idxDir = graft.TestTmp.dir("graft_ivfstream_empty_")
+    assert(IvfIndexStream.index(spark, idxDir).count() == 0L)
+    assert(IvfIndexStream.cells(spark, idxDir).count() == 0L)
+    // delivering an EMPTY batch 0 publishes nothing and trains nothing
+    IvfIndexStream.mergeBatch(idxDir)(rows(Seq.empty), 0L)
+    assert(!new java.io.File(s"$idxDir/centroids/_GRAFT_OK").isFile,
+      "empty batch must not train centroids")
+    assert(IvfIndexStream.index(spark, idxDir).count() == 0L)
+    // the first NON-empty batch trains (even undersized: 5 < 32
+    // vectors still publishes a usable centroid set, logged)
+    IvfIndexStream.mergeBatch(idxDir)(rows(0L until 5L), 1L)
+    assert(new java.io.File(s"$idxDir/centroids/_GRAFT_OK").isFile)
+    val cents = IvfIndexStream
+      .centroids(spark, idxDir, sys.error("must not retrain"))
+    assert(cents.count() == 5L)
+    assert(IvfIndexStream.index(spark, idxDir).count() == 5L)
+  }
+
   test("streamed IVF index equals batch-built across restarts; replays and retrains are no-ops") {
     val srcDir = graft.TestTmp.dir("graft_ivfstream_src_")
     val idxDir = graft.TestTmp.dir("graft_ivfstream_idx_")
