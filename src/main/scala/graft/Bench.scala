@@ -140,6 +140,13 @@ object Bench {
     warmup(spark, sfDir)
     val warmupS = (System.nanoTime() - warmT0) / 1e9
     val canaryPre = canary(spark)
+    // Mid-run canary cadence (round-18 advice #6): one canary at every
+    // recycle boundary, in run order, so a contended WINDOW inside a
+    // long run is attributable from the artifact alone — runs 4-7 of
+    // the round-18 close drifted +0.11s median per query with clean
+    // END canaries, forcing a hand-assembled per-query-min table; the
+    // series makes protocol-honest mins computable per segment.
+    val canarySeries = scala.collection.mutable.ArrayBuffer.empty[Double]
     val only = args.toSet
     var sinceRecycle = 0
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -157,6 +164,7 @@ object Bench {
           // cold footer caches) plus the streaming machinery; JIT and
           // the codegen cache persist across recycles for free
           warmup(spark, sfDir)
+          canarySeries += canary(spark)
           sinceRecycle = 0
         }
         sinceRecycle += 1
@@ -280,6 +288,11 @@ object Bench {
         s""""failed":$failed,"warmup_s":${fmt(warmupS, dp)},""" +
         s""""canary_pre_s":${fmt(canaryPre, dp)},""" +
         s""""canary_post_s":${fmt(canaryPost, dp)},""" +
+        // one value per recycle boundary, in run order — with
+        // recycle_every from the protocol object this locates a
+        // contended window to within ~recycle_every queries
+        canarySeries.map(fmt(_, dp))
+          .mkString("\"canary_series\":[", ",", "],") +
         // measurement protocol + fixture vintage, recorded IN the
         // artifact (round-17 advice #3): cross-round comparisons are
         // only like-for-like when repeats mode, pass count, and the
