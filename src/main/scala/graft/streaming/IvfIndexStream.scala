@@ -121,12 +121,23 @@ object IvfIndexStream {
       batch: DataFrame, batchId: Long): Unit = {
     batchCount.incrementAndGet()
     val s = batch.sparkSession
-    val b = batch.localCheckpoint()
+    val hasOp = batch.columns.contains("op")
+    val b = (if (hasOp)
+        batch.filter(col("op").isNull || col("op") === "I")
+          .select(col("vec_id"), col("embedding"))
+      else batch).localCheckpoint()
     if (!b.isEmpty) {
       val cents = centroids(s, idxDir, b)
       assignTo(cents, b)
         .write.mode("overwrite").parquet(s"$idxDir/batch=$batchId")
     }
+    // CDC deletes: vec_id tombstones to the shared sidecar — an
+    // assignment row depends only on its own vector (frozen
+    // centroids), so retraction is read-side per-row-pure exactly
+    // like the LSH signatures (round-18 advice #2)
+    if (hasOp)
+      batch.filter(col("op") === "D").select(col("vec_id")).distinct()
+        .write.mode("overwrite").parquet(s"$idxDir/_tombs/batch=$batchId")
     ()
   }
 
@@ -134,6 +145,21 @@ object IvfIndexStream {
       checkpoint: String): StreamingQuery =
     spark.readStream
       .schema("vec_id LONG, embedding ARRAY<FLOAT>, label LONG")
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch(mergeBatch(idxDir) _)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** CDC variant of [[start]]: rows carry op ∈ {I, D}. Deletes
+    * tombstone vec_ids via the shared [[TombstoneSidecar]]; the live
+    * index hides every assignment row the newest covering tombstone
+    * retracts. */
+  def startCdc(spark: SparkSession, srcDir: String, idxDir: String,
+      checkpoint: String): StreamingQuery =
+    spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, op STRING")
       .parquet(srcDir)
       .writeStream
       .foreachBatch(mergeBatch(idxDir) _)
@@ -158,13 +184,17 @@ object IvfIndexStream {
       .map(_.getPath)
 
   /** The live index: union of the per-batch publications
-    * (vec_id, cell, csim); empty before any batch has published. */
+    * (vec_id, cell, csim) minus the tombstone sidecar's retractions;
+    * empty before any batch has published. */
   def index(spark: SparkSession, idxDir: String): DataFrame = {
     val dirs = batchDirs(idxDir)
     if (dirs.isEmpty) emptyIndex(spark)
-    else spark.read
-      .option("basePath", idxDir)
-      .parquet(dirs.toIndexedSeq: _*)
+    else TombstoneSidecar.apply(
+      spark.read
+        .option("basePath", idxDir)
+        .parquet(dirs.toIndexedSeq: _*)
+        .select(col("vec_id"), col("cell"), col("csim"), col("batch")),
+      TombstoneSidecar.newest(spark, idxDir, "vec_id"))
       .select("vec_id", "cell", "csim")
   }
 

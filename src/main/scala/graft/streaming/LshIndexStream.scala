@@ -1,7 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
 
 /** Streaming maintenance of the q276 banded-signature index
   * (round-16 advice #7): the batch merge path
@@ -39,12 +41,28 @@ object LshIndexStream {
     new java.util.concurrent.atomic.AtomicLong
 
   /** Idempotent per-batch merge: signatures of THIS batch only,
-    * overwrite-published under the batch's stable id. */
+    * overwrite-published under the batch's stable id. Batches may
+    * carry an `op` column (CDC, op ∈ {I, D}): insert rows sign as
+    * usual; delete rows publish doc_id TOMBSTONES under the
+    * underscore-hidden `_tombs/batch=N` sidecar (invisible to the
+    * parent partition-discovery read), also overwrite-idempotent.
+    * Signatures are per-doc-pure, so retraction needs no component
+    * algebra — the read side anti-joins (round-18 advice #2; the
+    * ClusterIndexStream op∈{I,D} discipline, minus the versioned
+    * state a read-modify-write artifact needs). */
   private[streaming] def mergeBatch(idxDir: String)(
       batch: DataFrame, batchId: Long): Unit = {
     batchCount.incrementAndGet()
-    graft.operators.LshIndexQueries.signatures(batch)
+    val hasOp = batch.columns.contains("op")
+    val ins =
+      if (hasOp) batch.filter(col("op").isNull || col("op") === "I")
+        .select(col("doc_id"), col("text"))
+      else batch
+    graft.operators.LshIndexQueries.signatures(ins)
       .write.mode("overwrite").parquet(s"$idxDir/batch=$batchId")
+    if (hasOp)
+      batch.filter(col("op") === "D").select(col("doc_id")).distinct()
+        .write.mode("overwrite").parquet(s"$idxDir/_tombs/batch=$batchId")
     ()
   }
 
@@ -62,8 +80,74 @@ object LshIndexStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** The live index: union of the per-batch publications. */
+  /** CDC variant of [[start]]: rows carry op ∈ {I, D}. Deletes
+    * tombstone doc_ids; the live index hides every signature row the
+    * newest covering tombstone retracts (see [[index]]). */
+  def startCdc(spark: SparkSession, srcDir: String, idxDir: String,
+      checkpoint: String): StreamingQuery =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, op STRING")
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch(mergeBatch(idxDir) _)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The live index: union of the per-batch publications, minus
+    * everything the tombstone sidecar retracts. */
   def index(spark: SparkSession, idxDir: String): DataFrame =
-    spark.read.parquet(idxDir)
+    TombstoneSidecar.apply(
+      spark.read.parquet(idxDir)
+        .select(col("doc_id"), col("h"), col("band_idx"), col("bh"),
+          col("batch")),
+      TombstoneSidecar.newest(spark, idxDir, "doc_id"))
       .select("doc_id", "h", "band_idx", "bh")
+}
+
+/** The tombstone sidecar shared by the per-row-pure maintained
+  * indexes (LshIndexStream signatures, IvfIndexStream assignments;
+  * round-18 advice #2): CDC deletes publish (id) rows under the
+  * underscore-hidden `{idxDir}/_tombs/batch=N` — invisible to the
+  * parent partition-discovery read, overwrite-idempotent under
+  * redelivery exactly like the data batches — and the read side
+  * hides every data row whose id has a tombstone in a batch ≥ the
+  * row's own. MAX per id is the whole retraction state: a tombstone
+  * at T retracts rows from every batch ≤ T (same-batch I+D is
+  * end-of-batch-snapshot — delete wins), and a RE-INSERT in a later
+  * batch survives on its larger batch id alone. No component
+  * algebra, no versioned state: per-row-pure artifacts compose
+  * retraction from an equi-join + filter (a plain hash join at
+  * scale, never pairwise). */
+private[streaming] object TombstoneSidecar {
+
+  /** Per-id newest tombstone batch (id, maxt) — empty frame when no
+    * CDC delete has ever published. */
+  def newest(spark: SparkSession, idxDir: String,
+      idCol: String): DataFrame = {
+    val dirs = Option(new java.io.File(s"$idxDir/_tombs").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getPath)
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField(idCol, LongType),
+          StructField("maxt", LongType))))
+    else spark.read.option("basePath", s"$idxDir/_tombs")
+      .parquet(dirs.toIndexedSeq: _*)
+      .groupBy(col(idCol))
+      .agg(max(col("batch").cast(LongType)).as("maxt"))
+  }
+
+  /** Read-side retraction: keep each row of `rows` (which must carry
+    * its publication `batch` and the tombstone frame's id column)
+    * unless a tombstone covers its batch. */
+  def apply(rows: DataFrame, tombs: DataFrame): DataFrame = {
+    val idCol = tombs.columns.head
+    rows.join(tombs, Seq(idCol), "left")
+      .filter(col("maxt").isNull ||
+        col("batch").cast(LongType) > col("maxt"))
+      .drop("maxt")
+  }
 }

@@ -103,4 +103,47 @@ class StreamingIvfSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
     assert(total == 100L)
   }
+
+  test("CDC deletes: streamed index equals from-scratch on the net corpus; re-insert after delete survives") {
+    val spark2 = spark
+    import spark2.implicits._
+    val srcDir = graft.TestTmp.dir("graft_ivfcdc_src_")
+    val idxDir = graft.TestTmp.dir("graft_ivfcdc_idx_")
+    val ckpt = graft.TestTmp.dir("graft_ivfcdc_ck_")
+    def ins(ids: Seq[Long]) = ids.map(i => (i, vec(i), "I"))
+    def del(ids: Seq[Long]) =
+      ids.map(i => (i, null.asInstanceOf[Array[Float]], "D"))
+    // batch 0 trains centroids (40 ≥ 32 vectors); batch 1 deletes two
+    // ids and inserts more (one id inserted AND deleted in the same
+    // batch — delete wins); batch 2 re-inserts a deleted id
+    val batches: Seq[Seq[(Long, Array[Float], String)]] = Seq(
+      ins(0L until 40L),
+      ins(40L until 60L) ++ del(Seq(5L, 17L)) ++
+        ins(Seq(60L)) ++ del(Seq(60L)),
+      ins(Seq(17L)))
+    batches.foreach { b =>
+      b.toDF("vec_id", "embedding", "op").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      IvfIndexStream.startCdc(spark, srcDir, idxDir, ckpt)
+        .awaitTermination()
+    }
+    val liveIds = ((0L until 60L).toSet - 5L) // 17 re-inserted; 60 never lives
+    val streamed = idxSet(IvfIndexStream.index(spark, idxDir))
+    assert(streamed.map(_._1) == liveIds,
+      s"live ids wrong: missing ${liveIds.diff(streamed.map(_._1))}, " +
+        s"extra ${streamed.map(_._1).diff(liveIds)}")
+    // from-scratch assignment of the net corpus under the SAME frozen
+    // centroids (trained from batch 0, never retrained by CDC churn)
+    val cents = IvfIndexStream
+      .centroids(spark, idxDir, sys.error("must not retrain"))
+    val direct = idxSet(IvfIndexStream.assignTo(cents,
+      rows(liveIds.toSeq.sorted)))
+    assert(streamed == direct,
+      s"diff: ${(streamed.diff(direct) ++ direct.diff(streamed)).take(5)}")
+    // redelivery of the delete batch is a no-op
+    IvfIndexStream.mergeBatch(idxDir)(
+      batches(1).toDF("vec_id", "embedding", "op"), 1L)
+    assert(idxSet(IvfIndexStream.index(spark, idxDir)) == streamed,
+      "replayed CDC batch changed the index")
+  }
 }

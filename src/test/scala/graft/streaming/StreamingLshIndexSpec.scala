@@ -79,4 +79,41 @@ class StreamingLshIndexSpec extends AnyFunSuite {
         .toDF("doc_id", "text")))
     assert(withNew == expected)
   }
+
+  test("CDC deletes: streamed index equals from-scratch on the net corpus; re-insert after delete survives") {
+    import spark.implicits._
+    val srcDir = graft.TestTmp.dir("graft_lshcdc_src_")
+    val idxDir = graft.TestTmp.dir("graft_lshcdc_idx_")
+    val ckpt = graft.TestTmp.dir("graft_lshcdc_ck_")
+    val d = (k: Int) => base + s" cdc family $k"
+    // batch 0 inserts 3 docs; batch 1 deletes doc 31 and inserts one
+    // (and 34 is inserted AND deleted in the SAME batch —
+    // end-of-batch snapshot: the delete wins); batch 2 RE-INSERTS
+    // doc 31 with new text — it must survive its older tombstone
+    val batches: Seq[Seq[(Long, String, String)]] = Seq(
+      Seq((30L, d(0), "I"), (31L, d(1), "I"), (32L, d(2), "I")),
+      Seq((33L, d(3), "I"), (31L, null.asInstanceOf[String], "D"),
+        (34L, d(4), "I"), (34L, null.asInstanceOf[String], "D")),
+      Seq((31L, d(5), "I")))
+    batches.foreach { b =>
+      b.toDF("doc_id", "text", "op").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      LshIndexStream.startCdc(spark, srcDir, idxDir, ckpt)
+        .awaitTermination()
+    }
+    // net corpus: 30, 32, 33 original; 31 re-inserted with d(5); 34 gone
+    val net = Seq(30L -> d(0), 31L -> d(5), 32L -> d(2), 33L -> d(3))
+      .toDF("doc_id", "text")
+    val streamed = rowSet(LshIndexStream.index(spark, idxDir))
+    val scratch = rowSet(graft.operators.LshIndexQueries.signatures(net))
+    assert(streamed == scratch,
+      s"diff: ${(streamed.diff(scratch) ++ scratch.diff(streamed)).take(5)}")
+    assert(streamed.map(_._1) == Set(30L, 31L, 32L, 33L))
+    // crash-redelivery of the delete batch: overwrite under the stable
+    // id for BOTH the data dir and the tombstone sidecar — no-op
+    LshIndexStream.mergeBatch(idxDir)(
+      batches(1).toDF("doc_id", "text", "op"), 1L)
+    assert(rowSet(LshIndexStream.index(spark, idxDir)) == scratch,
+      "replayed CDC batch changed the index")
+  }
 }
