@@ -2034,7 +2034,115 @@ object SimilarityQueries {
       ORDER BY b.cell
     """))
 
-  val registry: Seq[Q] = Seq(q293, q53, q54, q55, q56, q57, q58, q59, q101,
+  /** q295 — DRIFT-TRIGGERED CENTROID RETRAIN, closing the IVF
+    * lifecycle (round-18 advice/VERDICT #3): q265 maintains
+    * assignments under frozen centroids, q293 retracts rows, and
+    * both emit occupancy-drift evidence that nothing consumed. This
+    * operator consumes it: generation-0 centroids (trained on the
+    * history shard, the q265 split) assign the FULL current corpus;
+    * if the hottest cell exceeds 1.5× the mean occupancy
+    * (skew_before_u ≥ 1,500,000 micro-units — integer arithmetic so
+    * both engines agree exactly), the retrain trips and generation 1
+    * trains on the current corpus (same deterministic hash-ordered
+    * kernel) and re-assigns; otherwise generation 0 stays live. The
+    * output is the decision (skew_before_u, retrained, gen) joined
+    * onto the LIVE generation's per-cell occupancy — on the shipped
+    * fixtures the cut genuinely branches both ways (trips at
+    * sf0.001/sf0.01, holds at sf0.1), so the oracle pins the
+    * conditional itself, not one frozen branch. The one driver-side
+    * pull is a single scalar (the skew decision) — the q265 "1-row
+    * argmax" discipline; everything row-scale stays distributed.
+    * IvfIndexStream.generations is the streaming fold of the same
+    * decision (versioned centroid generations through the marker
+    * protocol). */
+  private val q295 = Q(
+    "q295_ivf_drift_retrain",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("is_new",
+          graft.functions.Exprs.md5Int32(col("vec_id").cast(StringType))
+            % 10 === 0)
+        .localCheckpoint()
+      def centsOf(df: DataFrame): DataFrame = df
+        .orderBy(md5(col("vec_id").cast(StringType).cast(BinaryType)),
+          col("vec_id"))
+        .limit(32)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      def occOf(cents: DataFrame): DataFrame =
+        e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"),
+            cosine(col("v"), col("cv")).as("csim"))
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("csim"),
+            (lit(0L) - col("cid")).as("ncid"))).as("best"))
+          .select(col("vec_id"),
+            (lit(0L) - col("best.ncid")).as("cell"))
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"))
+      val occ0 = occOf(centsOf(e.filter(!col("is_new"))))
+        .localCheckpoint()
+      val skewU = occ0
+        .agg(expr("(max(n) * 32 * 1000000) div sum(n)"))
+        .head().getLong(0)
+      val retrained = skewU >= 1500000L
+      val live = if (retrained) occOf(centsOf(e)) else occ0
+      live.select(lit(if (retrained) 1L else 0L).as("gen"),
+          col("cell"), col("n"),
+          lit(skewU).as("skew_before_u"),
+          lit(retrained).as("retrained"))
+        .orderBy(col("cell"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT
+                 % 10 = 0 AS is_new
+        FROM embeddings),
+      hist AS (SELECT vec_id, v FROM e WHERE NOT is_new),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM hist
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+      a0 AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT e.vec_id, c0.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c0.cv) /
+                     (sqrt(list_dot_product(e.v, e.v)) *
+                      sqrt(list_dot_product(c0.cv, c0.cv))) DESC, c0.cid)
+                   AS rn
+          FROM e CROSS JOIN c0)
+        WHERE rn = 1),
+      occ0 AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+               FROM a0 GROUP BY 1),
+      skew AS (SELECT (MAX(n) * 32 * 1000000) // SUM(n) AS s FROM occ0),
+      c1 AS (SELECT vec_id AS cid, v AS cv FROM e
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+      a1 AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT e.vec_id, c1.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c1.cv) /
+                     (sqrt(list_dot_product(e.v, e.v)) *
+                      sqrt(list_dot_product(c1.cv, c1.cv))) DESC, c1.cid)
+                   AS rn
+          FROM e CROSS JOIN c1)
+        WHERE rn = 1),
+      occ1 AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+               FROM a1 GROUP BY 1),
+      live AS (
+        SELECT CAST(1 AS BIGINT) AS gen, cell, n FROM occ1
+        WHERE (SELECT s FROM skew) >= 1500000
+        UNION ALL
+        SELECT CAST(0 AS BIGINT) AS gen, cell, n FROM occ0
+        WHERE (SELECT s FROM skew) < 1500000)
+      SELECT gen, cell, n,
+             CAST((SELECT s FROM skew) AS BIGINT) AS skew_before_u,
+             (SELECT s FROM skew) >= 1500000 AS retrained
+      FROM live
+      ORDER BY cell
+    """))
+
+  val registry: Seq[Q] = Seq(q293, q295, q53, q54, q55, q56, q57, q58, q59, q101,
     q134, q138, q141, q145, q146, q147, q192, q234, q248, q254, q255,
     q256, q257, q258, q262, q263, q265)
 }

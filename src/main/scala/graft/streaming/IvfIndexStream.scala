@@ -16,22 +16,55 @@ import org.apache.spark.sql.types._
   * STABLE foreachBatch id (`{idxDir}/batch={id}/`), making
   * at-least-once redelivery idempotent with no read-modify-write and
   * no transaction log. The live index is the union of the batch
-  * directories.
+  * directories. Publications store the VECTOR alongside the
+  * assignment (standard IVF posting practice) — that is what makes a
+  * retrain self-contained from the index itself, with no lake
+  * refetch and no re-insert ambiguity.
   *
-  * Centroids are part of the artifact: trained (deterministic
-  * hash-ordered selection, q265's kernel) from the FIRST delivered
-  * batch and published write-once through the tmp+_GRAFT_OK+rename
-  * lifecycle. A crash-redelivery of batch 0 recomputes the SAME
-  * centroid set (pure function of the batch) and the marker check
-  * makes the republish race-free; later batches only read.
+  * Generation-0 centroids are part of the artifact: trained
+  * (deterministic hash-ordered selection, q265's kernel) from the
+  * FIRST delivered non-empty batch and published write-once through
+  * the tmp+_GRAFT_OK+rename lifecycle. A crash-redelivery of that
+  * batch recomputes the SAME centroid set (pure function of the
+  * batch) and the marker check makes the republish race-free; later
+  * batches only read.
+  *
+  * CDC batches (op ∈ {I, D}) retract per-row-purely through the
+  * shared [[TombstoneSidecar]] — see LshIndexStream.
+  *
+  * DRIFT-TRIGGERED RETRAIN (round-18 advice/VERDICT #3, the q295
+  * decision as a streaming fold): after folding batch N, the current
+  * generation's live occupancy is checked; if the hottest cell
+  * exceeds 1.5× the mean (the q295 cut, integer micro-units),
+  * generation G+1 trains on the live rows' vectors (same
+  * deterministic kernel), re-assigns them as a BASE snapshot, and
+  * publishes the whole generation write-once under the
+  * underscore-hidden `{idxDir}/_gen=G+1/` (centroids + base +
+  * cover=N marker + _GRAFT_OK, one rename). Assignments carry their
+  * generation positionally: batch M folds under the NEWEST COMPLETE
+  * generation whose cover < M, which is what makes the bump
+  * idempotent — a redelivered batch N re-selects its ORIGINAL
+  * generation (cover ≥ N excludes the bumped one), re-publishes its
+  * own directory, and the already-complete `_gen=G+1` publish is
+  * skipped by the marker check. Reads serve the newest complete
+  * generation: base (carrying batch = cover, so later tombstones
+  * still kill its rows) ∪ the generation's own batches.
   *
   * StreamingIvfSpec proves: streamed index ≡ batch-built assignment
   * of the accumulated corpus across checkpointed restarts; a
-  * redelivered batch is a no-op; centroids train once, ever.
+  * redelivered batch is a no-op; centroids train once per
+  * generation; CDC deletes retract across generations; a drift bump
+  * is exactly-once under redelivery.
   */
 object IvfIndexStream {
 
   private val nCells = 32
+
+  /** The q295 cut: retrain when max cell occupancy ≥ 1.5× mean
+    * (integer micro-units — max_n * nCellsTrained * 1e6 div total).
+    * Overridable per stream (Long.MaxValue disables retrain — the
+    * pure frozen-centroid q265 contract). */
+  private[streaming] val defaultDriftThresholdU = 1500000L
 
   private[streaming] val batchCount =
     new java.util.concurrent.atomic.AtomicLong
@@ -47,40 +80,52 @@ object IvfIndexStream {
     df.select(col("vec_id"), asDouble(col("embedding")).as("v"))
 
   /** Deterministic centroid selection — q265's kernel: hash-ordered
-    * first `nCells` vectors of the training frame. */
-  private[streaming] def selectCentroids(df: DataFrame): DataFrame =
-    vecs(df)
-      .orderBy(md5(col("vec_id").cast(StringType).cast(BinaryType)),
+    * first `nCells` vectors of the training frame. The training frame
+    * must carry (vec_id, v). */
+  private def selectFrom(df: DataFrame): DataFrame =
+    df.orderBy(md5(col("vec_id").cast(StringType).cast(BinaryType)),
         col("vec_id"))
       .limit(nCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
 
-  /** Nearest-centroid assignment (max cosine, min cid tiebreak) —
-    * one broadcast-centroid scoring pass, the q59/q265 shape. */
-  private[streaming] def assignTo(cents: DataFrame,
-      df: DataFrame): DataFrame =
-    vecs(df).crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
+  private[streaming] def selectCentroids(df: DataFrame): DataFrame =
+    selectFrom(vecs(df))
+
+  /** Nearest-centroid assignment (max cosine, min cid tiebreak) over
+    * a (vec_id, v) frame — one broadcast-centroid scoring pass, the
+    * q59/q265 shape. Output keeps the vector (v) so the index is
+    * retrain-self-contained. The struct max is deterministic: ncid is
+    * unique within a (vec_id) group, so v (last field) never decides
+    * the ordering. */
+  private def assignVecs(cents: DataFrame, df: DataFrame): DataFrame =
+    df.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), col("v"),
         cosine(col("v"), col("cv")).as("csim"))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("csim"),
-        (lit(0L) - col("cid")).as("ncid"))).as("best"))
+        (lit(0L) - col("cid")).as("ncid"), col("v"))).as("best"))
       .select(col("vec_id"),
         (lit(0L) - col("best.ncid")).as("cell"),
-        round(col("best.csim"), 6).as("csim"))
+        round(col("best.csim"), 6).as("csim"),
+        col("best.v").as("v"))
+
+  private[streaming] def assignTo(cents: DataFrame,
+      df: DataFrame): DataFrame =
+    assignVecs(cents, vecs(df))
 
   private def centroidsPath(idxDir: String) = s"$idxDir/centroids"
 
-  /** Load centroids; train-and-publish write-once from `trainFrom` if
-    * absent (tmp+marker+rename — concurrent/replayed publishers
-    * collapse to one winner; losers read the winner's copy, which is
-    * identical because selection is a pure function of the batch).
-    * The caller guarantees `trainFrom` is NON-EMPTY (round-18 advice:
-    * an empty batch 0 must NOT freeze an empty centroid set forever —
-    * mergeBatch defers training to the first non-empty batch); a
-    * training frame smaller than nCells still publishes (assignment
-    * to the nearest of what exists is well-defined) but is logged,
-    * because an undersized cell count degrades recall at scale. */
+  /** Load generation-0 centroids; train-and-publish write-once from
+    * `trainFrom` if absent (tmp+marker+rename — concurrent/replayed
+    * publishers collapse to one winner; losers read the winner's
+    * copy, which is identical because selection is a pure function of
+    * the batch). The caller guarantees `trainFrom` is NON-EMPTY
+    * (round-18 advice: an empty batch 0 must NOT freeze an empty
+    * centroid set forever — mergeBatch defers training to the first
+    * non-empty batch); a training frame smaller than nCells still
+    * publishes (assignment to the nearest of what exists is
+    * well-defined) but is logged, because an undersized cell count
+    * degrades recall at scale. */
   private[streaming] def centroids(s: SparkSession, idxDir: String,
       trainFrom: => DataFrame): DataFrame = {
     val base = new org.apache.hadoop.fs.Path(centroidsPath(idxDir))
@@ -111,25 +156,159 @@ object IvfIndexStream {
     s.read.parquet(centroidsPath(idxDir)).select(col("cid"), col("cv"))
   }
 
+  // ------------------------------------------------------------------
+  // centroid generations (drift-triggered retrain)
+  // ------------------------------------------------------------------
+
+  private def listDirs(path: String, prefix: String): Array[java.io.File] =
+    Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+
+  private def isComplete(f: java.io.File): Boolean =
+    new java.io.File(f, "_GRAFT_OK").isFile
+
+  /** Complete generations, ascending: (gen, cover). Generation 0 (the
+    * legacy layout at the idxDir root) is implicit with cover = -1
+    * and is NOT listed here. */
+  private[streaming] def generations(idxDir: String): Seq[(Long, Long)] =
+    listDirs(idxDir, "_gen=").filter(isComplete).toSeq
+      .map { f =>
+        val g = f.getName.stripPrefix("_gen=").toLong
+        val cover = Option(f.listFiles()).getOrElse(Array.empty)
+          .map(_.getName).find(_.startsWith("cover="))
+          .map(_.stripPrefix("cover=").toLong)
+          .getOrElse(sys.error(s"generation dir ${f.getPath} has no cover"))
+        (g, cover)
+      }
+      .sortBy(_._1)
+
+  /** The generation a given batch folds under: the newest COMPLETE
+    * generation whose base covers strictly OLDER batches (cover <
+    * batchId) — so a redelivered batch re-selects its original
+    * generation even after a later bump. Returns (gen, batchRoot,
+    * centroidsPath); gen 0 is the legacy root layout. */
+  private def genFor(idxDir: String, batchId: Long)
+      : (Long, String, String) =
+    generations(idxDir).filter(_._2 < batchId).lastOption match {
+      case Some((g, _)) =>
+        (g, s"$idxDir/_gen=$g", s"$idxDir/_gen=$g/centroids")
+      case None => (0L, idxDir, centroidsPath(idxDir))
+    }
+
+  /** The newest complete generation for READS (no batch restriction). */
+  private def newestGen(idxDir: String): Option[(Long, Long)] =
+    generations(idxDir).lastOption
+
+  private def batchDirsUnder(root: String): Array[String] =
+    listDirs(root, "batch=").map(_.getPath)
+
+  /** Live rows (vec_id, cell, csim, v, batch) of one generation as of
+    * `maxBatch` (Long.MaxValue = now): base snapshot (batch = cover —
+    * tombstones newer than the cover still kill its rows) ∪ the
+    * generation's own batch publications, minus tombstones up to
+    * `maxBatch`. */
+  private def genView(spark: SparkSession, idxDir: String, gen: Long,
+      cover: Long, maxBatch: Long): DataFrame = {
+    val root = if (gen == 0L) idxDir else s"$idxDir/_gen=$gen"
+    val dirs = batchDirsUnder(root)
+      .filter(_.split("batch=").last.toLong <= maxBatch)
+    val batchRows =
+      if (dirs.isEmpty) None
+      else Some(spark.read.option("basePath", root)
+        .parquet(dirs.toIndexedSeq: _*)
+        .select(col("vec_id"), col("cell"), col("csim"), col("v"),
+          col("batch").cast(LongType).as("batch")))
+    val baseRows =
+      if (gen == 0L) None
+      else Some(spark.read.parquet(s"$idxDir/_gen=$gen/base")
+        .select(col("vec_id"), col("cell"), col("csim"), col("v"),
+          lit(cover).as("batch")))
+    (baseRows ++ batchRows).reduceOption(_.unionByName(_)) match {
+      case None => emptyIndex(spark)
+      case Some(rows) =>
+        TombstoneSidecar.apply(rows,
+          TombstoneSidecar.newestUpTo(spark, idxDir, "vec_id", maxBatch))
+    }
+  }
+
+  /** The q295 drift cut over a live view's occupancy — one scalar
+    * pull (the q265 "1-row argmax" discipline). `nCellsTrained` is
+    * the generation's trained centroid count (q295 uses the same),
+    * so empty cells COUNT toward the mean — a hot cell among mostly
+    * empty ones is exactly the drift signal. A deployment that
+    * cannot afford the per-batch occupancy scan would maintain the
+    * per-cell counters as running state; the scan here reads only
+    * (vec_id, cell, batch) — column-pruned off the posting files. */
+  private def skewU(view: DataFrame, nCellsTrained: Long): Long =
+    view.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(expr(s"(max(n) * $nCellsTrained * 1000000) div sum(n)"))
+      .head() match {
+        case r if r.isNullAt(0) => 0L // empty view
+        case r => r.getLong(0)
+      }
+
+  /** Write-once generation bump: train gen+1 on the live view's own
+    * vectors (the index stores them — self-contained), re-assign them
+    * as the base snapshot, publish atomically with the cover id. A
+    * concurrent/replayed publisher hits the marker check and skips. */
+  private def bumpGeneration(spark: SparkSession, idxDir: String,
+      fromGen: Long, cover: Long, view: DataFrame): Unit = {
+    val g1 = fromGen + 1
+    val base = new org.apache.hadoop.fs.Path(s"$idxDir/_gen=$g1")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ok = new org.apache.hadoop.fs.Path(base, "_GRAFT_OK")
+    if (fs.exists(ok)) return
+    // this bump's only writer is the stream itself (foreachBatch
+    // serializes), so a crashed publish's leftovers are deletable here
+    // — same debris rule as ClusterIndexStream.mergeBatch
+    listDirs(idxDir, s".tmp-_gen=$g1-").foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true))
+    val live = view.select(col("vec_id"), col("v")).localCheckpoint()
+    val cents = selectFrom(live).localCheckpoint()
+    if (cents.isEmpty) return // nothing to train on — keep current gen
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$idxDir/.tmp-_gen=$g1-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    cents.write.parquet(s"$tmp/centroids")
+    assignVecs(cents, live).write.parquet(s"$tmp/base")
+    fs.create(new org.apache.hadoop.fs.Path(tmp, s"cover=$cover"), true)
+      .close()
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_OK"), true)
+      .close()
+    if (fs.exists(base) && !fs.exists(ok)) fs.delete(base, true)
+    if (fs.exists(base) || !fs.rename(tmp, base)) fs.delete(tmp, true)
+    ()
+  }
+
   /** Idempotent per-batch fold: assignments of THIS batch only,
-    * overwrite-published under the batch's stable id. An EMPTY batch
-    * publishes nothing — in particular it never trains centroids
+    * overwrite-published under the batch's stable id, under the
+    * generation the batch belongs to. An EMPTY insert set publishes
+    * no batch directory — in particular it never trains centroids
     * (round-18 advice: a stream started before the lake has data must
-    * not freeze an empty/degenerate centroid set), and the absent
-    * batch directory is equivalent to an empty one at read time. */
-  private[streaming] def mergeBatch(idxDir: String)(
+    * not freeze an empty/degenerate centroid set). After the fold,
+    * the drift cut runs on the generation's live view AS OF this
+    * batch (deterministic under redelivery) and may bump a
+    * generation, write-once. */
+  private[streaming] def mergeBatch(idxDir: String,
+      thresholdU: Long = defaultDriftThresholdU)(
       batch: DataFrame, batchId: Long): Unit = {
     batchCount.incrementAndGet()
     val s = batch.sparkSession
     val hasOp = batch.columns.contains("op")
-    val b = (if (hasOp)
+    val b = vecs(if (hasOp)
         batch.filter(col("op").isNull || col("op") === "I")
           .select(col("vec_id"), col("embedding"))
       else batch).localCheckpoint()
+    val (gen, root, centsPath) = genFor(idxDir, batchId)
     if (!b.isEmpty) {
-      val cents = centroids(s, idxDir, b)
-      assignTo(cents, b)
-        .write.mode("overwrite").parquet(s"$idxDir/batch=$batchId")
+      val cents =
+        if (gen == 0L)
+          centroids(s, idxDir, b.select(col("vec_id"),
+            col("v").as("embedding")))
+        else s.read.parquet(centsPath).select(col("cid"), col("cv"))
+      assignVecs(cents, b)
+        .write.mode("overwrite").parquet(s"$root/batch=$batchId")
     }
     // CDC deletes: vec_id tombstones to the shared sidecar — an
     // assignment row depends only on its own vector (frozen
@@ -138,16 +317,31 @@ object IvfIndexStream {
     if (hasOp)
       batch.filter(col("op") === "D").select(col("vec_id")).distinct()
         .write.mode("overwrite").parquet(s"$idxDir/_tombs/batch=$batchId")
+    // drift cut on this generation's live view as of THIS batch —
+    // pure function of (lake ≤ batchId), so a redelivery recomputes
+    // the same decision and the write-once publish makes it a no-op
+    if (thresholdU < Long.MaxValue) {
+      val cover = if (gen == 0L) -1L
+        else generations(idxDir).find(_._1 == gen).map(_._2)
+          .getOrElse(-1L)
+      val view = genView(s, idxDir, gen, cover, batchId)
+      if (!view.isEmpty) {
+        val nCellsTrained = s.read.parquet(centsPath).count()
+        if (skewU(view, nCellsTrained) >= thresholdU)
+          bumpGeneration(s, idxDir, gen, batchId, view)
+      }
+    }
     ()
   }
 
   def start(spark: SparkSession, srcDir: String, idxDir: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String,
+      driftThresholdU: Long = defaultDriftThresholdU): StreamingQuery =
     spark.readStream
       .schema("vec_id LONG, embedding ARRAY<FLOAT>, label LONG")
       .parquet(srcDir)
       .writeStream
-      .foreachBatch(mergeBatch(idxDir) _)
+      .foreachBatch(mergeBatch(idxDir, driftThresholdU) _)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -157,12 +351,13 @@ object IvfIndexStream {
     * index hides every assignment row the newest covering tombstone
     * retracts. */
   def startCdc(spark: SparkSession, srcDir: String, idxDir: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String,
+      driftThresholdU: Long = defaultDriftThresholdU): StreamingQuery =
     spark.readStream
       .schema("vec_id LONG, embedding ARRAY<FLOAT>, op STRING")
       .parquet(srcDir)
       .writeStream
-      .foreachBatch(mergeBatch(idxDir) _)
+      .foreachBatch(mergeBatch(idxDir, driftThresholdU) _)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -171,32 +366,27 @@ object IvfIndexStream {
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("vec_id", LongType),
         StructField("cell", LongType),
-        StructField("csim", DoubleType))))
+        StructField("csim", DoubleType),
+        StructField("v", ArrayType(DoubleType)),
+        StructField("batch", LongType))))
 
-  /** Batch directories that exist under `idxDir` — listed FIRST so a
-    * pre-first-publication read returns an empty frame instead of the
-    * AnalysisException an unmatched glob throws (round-18 advice;
-    * mirrors ClusterIndexStream.labels' empty-state handling). */
-  private def batchDirs(idxDir: String): Array[String] =
-    Option(new java.io.File(idxDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .map(_.getPath)
-
-  /** The live index: union of the per-batch publications
-    * (vec_id, cell, csim) minus the tombstone sidecar's retractions;
-    * empty before any batch has published. */
+  /** The live index (vec_id, cell, csim): the newest complete
+    * generation's base ∪ its batches, minus the tombstone sidecar's
+    * retractions; empty before any batch has published (round-18
+    * advice; mirrors ClusterIndexStream.labels' empty-state
+    * handling). */
   def index(spark: SparkSession, idxDir: String): DataFrame = {
-    val dirs = batchDirs(idxDir)
-    if (dirs.isEmpty) emptyIndex(spark)
-    else TombstoneSidecar.apply(
-      spark.read
-        .option("basePath", idxDir)
-        .parquet(dirs.toIndexedSeq: _*)
-        .select(col("vec_id"), col("cell"), col("csim"), col("batch")),
-      TombstoneSidecar.newest(spark, idxDir, "vec_id"))
-      .select("vec_id", "cell", "csim")
+    val view = newestGen(idxDir) match {
+      case Some((g, cover)) =>
+        genView(spark, idxDir, g, cover, Long.MaxValue)
+      case None => genView(spark, idxDir, 0L, -1L, Long.MaxValue)
+    }
+    view.select("vec_id", "cell", "csim")
   }
+
+  /** The live generation id (0 until the first drift bump). */
+  def liveGeneration(idxDir: String): Long =
+    newestGen(idxDir).map(_._1).getOrElse(0L)
 
   /** Per-cell occupancy off the maintained index — the q265 summary
     * grain, for drift watching. */

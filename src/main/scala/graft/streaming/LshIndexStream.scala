@@ -124,10 +124,19 @@ private[streaming] object TombstoneSidecar {
   /** Per-id newest tombstone batch (id, maxt) — empty frame when no
     * CDC delete has ever published. */
   def newest(spark: SparkSession, idxDir: String,
-      idCol: String): DataFrame = {
+      idCol: String): DataFrame =
+    newestUpTo(spark, idxDir, idCol, Long.MaxValue)
+
+  /** [[newest]] restricted to tombstones from batches ≤ `maxBatch` —
+    * for AS-OF views (IvfIndexStream's drift cut must be a pure
+    * function of the lake up to the delivered batch, so a redelivery
+    * recomputes the same decision). */
+  def newestUpTo(spark: SparkSession, idxDir: String,
+      idCol: String, maxBatch: Long): DataFrame = {
     val dirs = Option(new java.io.File(s"$idxDir/_tombs").listFiles())
       .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        f.getName.stripPrefix("batch=").toLong <= maxBatch)
       .map(_.getPath)
     if (dirs.isEmpty)
       spark.createDataFrame(

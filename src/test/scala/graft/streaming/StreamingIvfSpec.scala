@@ -55,6 +55,8 @@ class StreamingIvfSpec extends AnyFunSuite {
     // the first NON-empty batch trains (even undersized: 5 < 32
     // vectors still publishes a usable centroid set, logged)
     IvfIndexStream.mergeBatch(idxDir)(rows(0L until 5L), 1L)
+    // 5 distinct-axis vectors in 5 cells is uniform — no drift bump
+    assert(IvfIndexStream.liveGeneration(idxDir) == 0L)
     assert(new java.io.File(s"$idxDir/centroids/_GRAFT_OK").isFile)
     val cents = IvfIndexStream
       .centroids(spark, idxDir, sys.error("must not retrain"))
@@ -68,11 +70,14 @@ class StreamingIvfSpec extends AnyFunSuite {
     val ckpt = graft.TestTmp.dir("graft_ivfstream_ck_")
     // batch 0 is wide enough to train all 32 centroids; later batches
     // only assign
+    // drift retrain disabled (MaxValue) to pin the pure
+    // frozen-centroid q265 contract in isolation — this fixture's
+    // 8-axis corpus is deliberately skewed and would bump otherwise
     val batches = Seq(0L until 40L, 40L until 70L, 70L until 100L)
       .map(_.toSeq)
     batches.foreach { ids =>
       rows(ids).coalesce(1).write.mode("append").parquet(srcDir)
-      IvfIndexStream.start(spark, srcDir, idxDir, ckpt)
+      IvfIndexStream.start(spark, srcDir, idxDir, ckpt, Long.MaxValue)
         .awaitTermination()
     }
     // centroids published once, marker present
@@ -94,7 +99,7 @@ class StreamingIvfSpec extends AnyFunSuite {
     // redelivery of batch 1 with its stable id: index unchanged, work
     // NOT skipped (idempotency comes from the sink layout)
     val before = IvfIndexStream.batchCount.get()
-    IvfIndexStream.mergeBatch(idxDir)(rows(batches(1)), 1L)
+    IvfIndexStream.mergeBatch(idxDir, Long.MaxValue)(rows(batches(1)), 1L)
     assert(IvfIndexStream.batchCount.get() == before + 1)
     assert(idxSet(IvfIndexStream.index(spark, idxDir)) == streamed,
       "replayed batch changed the index")
@@ -124,7 +129,7 @@ class StreamingIvfSpec extends AnyFunSuite {
     batches.foreach { b =>
       b.toDF("vec_id", "embedding", "op").coalesce(1)
         .write.mode("append").parquet(srcDir)
-      IvfIndexStream.startCdc(spark, srcDir, idxDir, ckpt)
+      IvfIndexStream.startCdc(spark, srcDir, idxDir, ckpt, Long.MaxValue)
         .awaitTermination()
     }
     val liveIds = ((0L until 60L).toSet - 5L) // 17 re-inserted; 60 never lives
@@ -141,9 +146,72 @@ class StreamingIvfSpec extends AnyFunSuite {
     assert(streamed == direct,
       s"diff: ${(streamed.diff(direct) ++ direct.diff(streamed)).take(5)}")
     // redelivery of the delete batch is a no-op
-    IvfIndexStream.mergeBatch(idxDir)(
+    IvfIndexStream.mergeBatch(idxDir, Long.MaxValue)(
       batches(1).toDF("vec_id", "embedding", "op"), 1L)
     assert(idxSet(IvfIndexStream.index(spark, idxDir)) == streamed,
       "replayed CDC batch changed the index")
+  }
+
+  test("drift bump: a skewed batch trains generation 1 exactly once; redelivery re-selects the old generation and never re-bumps") {
+    val spark2 = spark
+    import spark2.implicits._
+    val srcDir = graft.TestTmp.dir("graft_ivfgen_src_")
+    val idxDir = graft.TestTmp.dir("graft_ivfgen_idx_")
+    val ckpt = graft.TestTmp.dir("graft_ivfgen_ck_")
+    def ins(ids: Seq[Long]) = ids.map(i => (i, vec(i), "I"))
+    def del(ids: Seq[Long]) =
+      ids.map(i => (i, null.asInstanceOf[Array[Float]], "D"))
+    // batch 0: 4 distinct-axis vectors -> 4 gen-0 centroids, uniform
+    // occupancy (skew 1.0x — no bump). batch 1: 12 vectors all on
+    // axis 0 -> cell(id0) holds 13 of 16 with 4 trained cells: skew
+    // = 13*4e6/16 = 3.25M ≥ 1.5M — generation 1 trains on the 16
+    // live vectors (self-contained: the index stores them), cover=1.
+    // batch 2: a CDC delete -> folds under gen 1, kills the id's
+    // BASE row (batch=cover=1 < 2), and the now-uniform occupancy
+    // (1*16e6/15 ≈ 1.07M) does not re-bump.
+    val axis0 = (1L to 12L).map(_ * 8L)
+    val batches: Seq[Seq[(Long, Array[Float], String)]] = Seq(
+      ins(0L until 4L), ins(axis0), del(Seq(8L)))
+    batches.foreach { b =>
+      b.toDF("vec_id", "embedding", "op").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      IvfIndexStream.startCdc(spark, srcDir, idxDir, ckpt)
+        .awaitTermination()
+    }
+    assert(IvfIndexStream.liveGeneration(idxDir) == 1L)
+    assert(IvfIndexStream.generations(idxDir) == Seq((1L, 1L)),
+      "generation 1 must cover batch 1")
+    val liveIds = (0L until 4L).toSet ++ axis0 - 8L
+    val streamed = idxSet(IvfIndexStream.index(spark, idxDir))
+    assert(streamed.map(_._1) == liveIds)
+    // live index == from-scratch assignment of the net corpus under
+    // GENERATION-1 centroids (trained on all 16, never the gen-0 four)
+    val cents1 = spark.read.parquet(s"$idxDir/_gen=1/centroids")
+    assert(cents1.count() == 16L, "gen-1 trained on the live corpus")
+    val direct = idxSet(IvfIndexStream.assignTo(cents1,
+      rows(liveIds.toSeq.sorted)))
+    assert(streamed == direct,
+      s"diff: ${(streamed.diff(direct) ++ direct.diff(streamed)).take(5)}")
+    // redelivery of the SKEWED batch 1: genFor re-selects gen 0
+    // (gen 1's cover=1 is not < 1), overwrites its own gen-0 batch
+    // dir, re-derives the same drift decision, and the write-once
+    // marker makes the re-bump a no-op — no generation 2, index
+    // byte-identical
+    IvfIndexStream.mergeBatch(idxDir)(
+      batches(1).toDF("vec_id", "embedding", "op"), 1L)
+    assert(IvfIndexStream.generations(idxDir) == Seq((1L, 1L)),
+      "redelivery created a new generation")
+    assert(idxSet(IvfIndexStream.index(spark, idxDir)) == streamed,
+      "replayed batch changed the index")
+    // a fresh batch after the bump folds under generation 1
+    val b3 = ins(Seq(200L))
+    b3.toDF("vec_id", "embedding", "op").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    IvfIndexStream.startCdc(spark, srcDir, idxDir, ckpt)
+      .awaitTermination()
+    assert(new java.io.File(s"$idxDir/_gen=1/batch=3").isDirectory,
+      "post-bump batch must fold under the live generation")
+    assert(idxSet(IvfIndexStream.index(spark, idxDir)).map(_._1)
+      == liveIds + 200L)
   }
 }
