@@ -1000,12 +1000,30 @@ object DedupQueries {
     * and feeds the LSH and containment arms from the same checkpoint
     * (round-14 advice #3: the verdict was paying the corpus
     * tokenize+shingle pass and its checkpoint twice). */
-  /** CONTENT-GROUP shingle parts of one corpus side (round-18, the
-    * q251/q253 reshape applied to the decontam family): memb =
-    * (doc_id, h), grp = (h, sh, nsh) — shingles built once per
-    * DISTINCT normalized text, every doc-grain frame derived through
-    * the slim membership join. Docs with NULL text carry no row (they
-    * never had bands or postings, so kernel outputs are unchanged). */
+  /** ADAPTIVE-GRAIN shingle parts of one corpus side (round-18
+    * reshape + round-19 census, VERDICT #5): memb = (doc_id, h),
+    * grp = (h, sh, nsh) with h an OPAQUE group key — shingles built
+    * once per group, every doc-grain frame derived through the slim
+    * membership join. Docs with NULL text carry no row (they never
+    * had bands or postings, so kernel outputs are unchanged).
+    *
+    * The grain is picked per run from a replication census taken off
+    * the membership pass the kernel pays anyway (the checkpointed
+    * (doc_id, h) frame — count + approx_count_distinct over cached
+    * slim rows, no extra corpus scan): at ≥ 1.5× replication the
+    * group key is the CONTENT hash (text-derived work bounded by
+    * distinct content volume — the ×100 win, −40%+ on this family),
+    * below it the group key is the DOC id itself, which skips the
+    * corpus-text shuffle the content grouping costs (the round-18
+    * sf0.1 toll: q245 paid +24% on an unreplicated fixture for
+    * grouping that deduped nothing). BOTH grains produce identical
+    * kernel outputs — h never reaches an output column, candidates
+    * and verdicts are defined at doc grain, and containment/Jaccard
+    * per group pair equals per doc pair — so the census is a pure
+    * physical-plan decision the oracles cannot see. The 5%-rsd
+    * approximate distinct is safe at a 1.5 cut: real corpora sit
+    * either ~1× (curated) or many× (web crawl), never at the
+    * boundary. */
   private[graft] def decontamShingleParts(side: DataFrame)
       : (DataFrame, DataFrame) = {
     val base = side
@@ -1013,14 +1031,49 @@ object DedupQueries {
       .filter(col("nt").isNotNull)
       .select(col("doc_id"), md5(col("nt")).as("h"), col("nt"))
     val memb = base.select(col("doc_id"), col("h")).localCheckpoint()
-    val grp = base.select(col("h"), col("nt"))
-      .repartition(col("h"))
-      .groupBy(col("h")).agg(min(col("nt")).as("nt"))
-      .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
-      .select(col("h"), col("sh"), size(col("sh")).as("nsh"))
-      .localCheckpoint()
-    (memb, grp)
+    val c = memb
+      .agg(count(lit(1)), approx_count_distinct(col("h"))).head()
+    val (nDocs, nGroups) = (c.getLong(0), c.getLong(1))
+    // GRAFT_GRAIN_FORCE ∈ {content, doc}: A/B escape hatch for grain
+    // measurements (SCALE.md round-19 table) and an ops override for
+    // corpora whose replication the operator knows better than the
+    // census; absent (the default), the census decides.
+    // forceGrainForTest is the spec's hook for the grain-equivalence
+    // proof (env vars can't be set in-process).
+    val contentGrain = forceGrainForTest.orElse(
+      sys.env.get("GRAFT_GRAIN_FORCE").map(_ == "content"))
+      .getOrElse(nDocs * 2 >= nGroups * 3)
+    lastCensus.set((nDocs, nGroups, contentGrain))
+    if (contentGrain) {
+      val grp = base.select(col("h"), col("nt"))
+        .repartition(col("h"))
+        .groupBy(col("h")).agg(min(col("nt")).as("nt"))
+        .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
+        .select(col("h"), col("sh"), size(col("sh")).as("nsh"))
+        .localCheckpoint()
+      (memb, grp)
+    } else {
+      // doc grain: the doc id IS the group key (unique by
+      // construction — no grouping shuffle, shingles straight off the
+      // scan); memb re-keys off the cached frame, zero extra passes
+      val grp = base
+        .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
+        .select(col("doc_id").cast(StringType).as("h"), col("sh"),
+          size(col("sh")).as("nsh"))
+        .localCheckpoint()
+      (memb.select(col("doc_id"),
+        col("doc_id").cast(StringType).as("h")), grp)
+    }
   }
+
+  /** Last census decision (nDocs, nDistinctGroups, contentGrain) —
+    * observability for the SCALE.md grain table and the spec pin. */
+  private[graft] val lastCensus =
+    new java.util.concurrent.atomic.AtomicReference[(Long, Long, Boolean)]
+
+  /** Spec hook: Some(true)=content grain, Some(false)=doc grain,
+    * None=census decides (production default). */
+  @volatile private[graft] var forceGrainForTest: Option[Boolean] = None
 
   /** Doc-grain capped shingle postings off content parts — the
     * prunedParts cap-first algebra (a doc among a shingle's

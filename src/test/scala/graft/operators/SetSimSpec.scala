@@ -107,4 +107,60 @@ class SetSimSpec extends AnyFunSuite {
         s"telemetry mass != q282 output at $d")
     }
   }
+
+  test("adaptive grain: doc-grain and content-grain decontam kernels produce identical rows; the census picks by replication") {
+    // round-18 advice #5: decontamShingleParts picks its group key
+    // per run from a replication census — content hash at ≥1.5×
+    // replication, the doc id below it. Both grains must be
+    // output-identical (h is an opaque internal key), so the census
+    // is a pure physical decision the oracles cannot observe. This
+    // pins (a) the equivalence on a corpus with BOTH replication and
+    // embedded/near-dup structure, (b) the census branch itself.
+    import spark.implicits._
+    val ten = (1 to 30).map(i => s"w$i")
+    val body = ten.mkString(" ")
+    val train = Seq(
+      10L -> body, 11L -> body, 12L -> body, 13L -> body, // 4× replica
+      14L -> ten.drop(3).mkString(" "),
+      15L -> "entirely different content with many unique words here"
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq(
+      -1L -> ten.slice(5, 25).mkString(" "), // embedded extract
+      -2L -> ten.take(29).mkString(" "), // near-copy
+      -3L -> "no overlap at all with anything present"
+    ).toDF("doc_id", "text")
+    def outs(): (Set[(Long, Long, Double)], Set[(Long, Long, Double)]) = {
+      val con = DedupQueries.containmentDecontamParts(train, evalDocs)._2
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val lsh = DedupQueries.lshDecontamParts(train, evalDocs,
+        bands = 8, rowsPerBand = 1)._2
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      (con, lsh)
+    }
+    try {
+      DedupQueries.forceGrainForTest = Some(true)
+      val (conC, lshC) = outs()
+      DedupQueries.forceGrainForTest = Some(false)
+      val (conD, lshD) = outs()
+      assert(conC == conD, s"containment grain divergence: " +
+        s"${(conC.diff(conD) ++ conD.diff(conC)).take(5)}")
+      assert(lshC == lshD, s"lsh grain divergence: " +
+        s"${(lshC.diff(lshD) ++ lshD.diff(lshC)).take(5)}")
+      assert(conC.nonEmpty && lshC.nonEmpty,
+        "fixture must actually flag pairs on both kernels")
+      // the replicated pair fans out to every replica doc id
+      assert((10L to 13L).forall(id => conC.exists(_._1 == id)))
+    } finally DedupQueries.forceGrainForTest = None
+    // census branch: the 6-doc train side has 3 distinct contents
+    // (ratio 2.0 ≥ 1.5 → content grain); the unique eval side is
+    // ratio 1.0 → doc grain
+    DedupQueries.decontamShingleParts(train)
+    assert(DedupQueries.lastCensus.get() == ((6L, 3L, true)),
+      s"train census: ${DedupQueries.lastCensus.get()}")
+    DedupQueries.decontamShingleParts(evalDocs)
+    assert(DedupQueries.lastCensus.get() == ((3L, 3L, false)),
+      s"eval census: ${DedupQueries.lastCensus.get()}")
+  }
 }
