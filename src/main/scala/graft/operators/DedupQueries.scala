@@ -1031,19 +1031,7 @@ object DedupQueries {
       .filter(col("nt").isNotNull)
       .select(col("doc_id"), md5(col("nt")).as("h"), col("nt"))
     val memb = base.select(col("doc_id"), col("h")).localCheckpoint()
-    val c = memb
-      .agg(count(lit(1)), approx_count_distinct(col("h"))).head()
-    val (nDocs, nGroups) = (c.getLong(0), c.getLong(1))
-    // GRAFT_GRAIN_FORCE ∈ {content, doc}: A/B escape hatch for grain
-    // measurements (SCALE.md round-19 table) and an ops override for
-    // corpora whose replication the operator knows better than the
-    // census; absent (the default), the census decides.
-    // forceGrainForTest is the spec's hook for the grain-equivalence
-    // proof (env vars can't be set in-process).
-    val contentGrain = forceGrainForTest.orElse(
-      sys.env.get("GRAFT_GRAIN_FORCE").map(_ == "content"))
-      .getOrElse(nDocs * 2 >= nGroups * 3)
-    lastCensus.set((nDocs, nGroups, contentGrain))
+    val contentGrain = contentGrainByCensus(memb)
     if (contentGrain) {
       val grp = base.select(col("h"), col("nt"))
         .repartition(col("h"))
@@ -1064,6 +1052,27 @@ object DedupQueries {
       (memb.select(col("doc_id"),
         col("doc_id").cast(StringType).as("h")), grp)
     }
+  }
+
+  /** Replication census over a content-keyed frame (must carry `h` =
+    * the content hash; pass the CHECKPOINTED membership frame so the
+    * census reads cached slim rows, never the corpus): true → content
+    * grain. GRAFT_GRAIN_FORCE ∈ {content, doc} is the A/B escape
+    * hatch for grain measurements (SCALE.md round-19 table) and an
+    * ops override for corpora whose replication the operator knows
+    * better than the census; forceGrainForTest is the spec hook (env
+    * vars can't be set in-process). Absent both, ≥1.5× replication
+    * picks content grain — the 5%-rsd approximate distinct is safe at
+    * that cut (real corpora sit ~1× or many×, never the boundary). */
+  private[graft] def contentGrainByCensus(keyed: DataFrame): Boolean = {
+    val c = keyed
+      .agg(count(lit(1)), approx_count_distinct(col("h"))).head()
+    val (nDocs, nGroups) = (c.getLong(0), c.getLong(1))
+    val contentGrain = forceGrainForTest.orElse(
+      sys.env.get("GRAFT_GRAIN_FORCE").map(_ == "content"))
+      .getOrElse(nDocs * 2 >= nGroups * 3)
+    lastCensus.set((nDocs, nGroups, contentGrain))
+    contentGrain
   }
 
   /** Last census decision (nDocs, nDistinctGroups, contentGrain) —

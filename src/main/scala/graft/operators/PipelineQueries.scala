@@ -65,16 +65,51 @@ object PipelineQueries {
   /** Boilerplate detection: 8-gram shingles shared verbatim by several (>=3)
     * documents (the repeated-header/footer signal used to strip
     * boilerplate from web corpora). Count = DISTINCT docs, so a phrase
-    * repeated inside one doc doesn't fake cross-doc boilerplate. */
+    * repeated inside one doc doesn't fake cross-doc boilerplate.
+    *
+    * Adaptive grain (round-19, the census discipline): on a
+    * replicated corpus the doc-grain 8-gram explode is ~replication×
+    * redundant (the round-18 q251 mechanism — this query doubled
+    * 4.9→10.0 s across same-fixture ×100 sweeps), so at ≥1.5×
+    * replication the shingles are computed once per DISTINCT content
+    * and doc_freq = Σ member-doc counts of the contents carrying the
+    * gram — exact, because a doc has exactly one content and its
+    * shingle set is distinct (disjoint doc sets per content).
+    * Measured 2.8–3.2 s vs 5.7–8.0 s at ×100 (SCALE.md round-19
+    * SpreadProf table); an unreplicated corpus keeps the plain
+    * doc-grain shape and pays no grouping shuffle. */
   private val q90 = Q(
     "q90_boilerplate_ngrams",
-    (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(TextOps.shingleSet(TextOps.words(col("text")), 8)).as("gram"))
-        .groupBy(col("gram"))
-        .agg(countDistinct(col("doc_id")).as("doc_freq"))
-        .filter(col("doc_freq") >= 3),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val memb = docs
+        .withColumn("nt", TextOps.norm(col("text")))
+        .filter(col("nt").isNotNull)
+        .select(col("doc_id"), md5(col("nt")).as("h"))
+        .localCheckpoint()
+      if (DedupQueries.contentGrainByCensus(memb))
+        docs
+          .withColumn("nt", TextOps.norm(col("text")))
+          .filter(col("nt").isNotNull)
+          .select(md5(col("nt")).as("h"), col("nt"))
+          .repartition(col("h"))
+          .groupBy(col("h"))
+          .agg(count(lit(1)).as("n_docs"), min(col("nt")).as("nt"))
+          .select(col("n_docs"),
+            explode(TextOps.shingleSet(split(col("nt"), " "), 8))
+              .as("gram"))
+          .groupBy(col("gram"))
+          .agg(sum(col("n_docs")).as("doc_freq"))
+          .filter(col("doc_freq") >= 3)
+      else
+        docs
+          .select(col("doc_id"),
+            explode(TextOps.shingleSet(TextOps.words(col("text")), 8))
+              .as("gram"))
+          .groupBy(col("gram"))
+          .agg(countDistinct(col("doc_id")).as("doc_freq"))
+          .filter(col("doc_freq") >= 3)
+    },
     Some(s"""
       WITH ${duckShingles(8)},
       ex AS (SELECT doc_id, unnest(sh) AS gram FROM sh)

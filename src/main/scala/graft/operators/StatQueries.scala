@@ -462,7 +462,17 @@ object StatQueries {
     * DataFrame half of the registry can't reach). The late flag is
     * computed once in a shared derived view, keeping the correlation
     * equality-joinable and the day arithmetic engine-exact.
-    */
+    *
+    * The derived view is MATERIALIZED (localCheckpoint) before the
+    * subquery SQL runs: the view is referenced three times (l1, the
+    * EXISTS semi, the NOT EXISTS anti) and Spark plans each reference
+    * as its own subtree, so the lineage form re-ran the corpus-scale
+    * lineitem⋈orders join 3× per execution — measured 12–15 s vs
+    * ~8 s at ×100, and a 3× amplifier on ambient scan pressure (the
+    * round-18 10.1/22.6/35.7 s cross-sweep spread; SCALE.md round-19
+    * SpreadProf table). The checkpoint is 3 slim columns; Catalyst
+    * still does the decorrelation — that surface is the point of the
+    * query. */
   private val q183 = Q(
     "q183_multi_exists",
     (s, dir) => {
@@ -475,6 +485,7 @@ object StatQueries {
           col("l_orderkey"), col("l_suppkey"),
           (datediff(col("l_shipdate"), col("o_orderdate")) > 60)
             .cast(IntegerType).as("late"))
+        .localCheckpoint()
         .createOrReplaceTempView("graft_q183_li")
       t(s, dir, "supplier").createOrReplaceTempView("graft_q183_supplier")
       s.sql("""
