@@ -2142,7 +2142,106 @@ object SimilarityQueries {
       ORDER BY cell
     """))
 
-  val registry: Seq[Q] = Seq(q293, q295, q53, q54, q55, q56, q57, q58, q59, q101,
+  /** q296 — the RETRAIN-EFFECT AUDIT, q295's companion: the movement
+    * matrix between the two centroid generations (gen 0
+    * history-trained, gen 1 current-corpus-trained — q295's exact
+    * kernels), one row per (cell_from, cell_to) with the vector count
+    * and the exact summed cosine gain in micro-units (per-row
+    * round-6 → DECIMAL — order-independent, engine-exact). This is
+    * the table a deployment reads AFTER a q295 bump to see where the
+    * mass went and whether the retrain actually improved fit —
+    * diagonal rows are vectors that kept their cell (gain from the
+    * centroid itself moving), off-diagonal are migrations. Bounded
+    * output (≤ nCells² rows); the only corpus-scale work is the two
+    * broadcast-scoring passes q295 already pays. */
+  private val q296 = Q(
+    "q296_ivf_retrain_audit",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("is_new",
+          graft.functions.Exprs.md5Int32(col("vec_id").cast(StringType))
+            % 10 === 0)
+        .localCheckpoint()
+      def centsOf(df: DataFrame): DataFrame = df
+        .orderBy(md5(col("vec_id").cast(StringType).cast(BinaryType)),
+          col("vec_id"))
+        .limit(32)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      def assignOf(cents: DataFrame): DataFrame =
+        e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"),
+            cosine(col("v"), col("cv")).as("csim"))
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("csim"),
+            (lit(0L) - col("cid")).as("ncid"))).as("best"))
+          .select(col("vec_id"),
+            (lit(0L) - col("best.ncid")).as("cell"),
+            (round(col("best.csim"), 6).cast(DecimalType(18, 6)) *
+              1000000).cast(LongType).as("csim_u"))
+      val a0 = assignOf(centsOf(e.filter(!col("is_new"))))
+      val a1 = assignOf(centsOf(e))
+      a0.select(col("vec_id"), col("cell").as("cell_from"),
+          col("csim_u").as("c0"))
+        .join(a1.select(col("vec_id"), col("cell").as("cell_to"),
+          col("csim_u").as("c1")), "vec_id")
+        .groupBy(col("cell_from"), col("cell_to"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c1") - col("c0")).as("sum_gain_u"))
+        .orderBy(col("cell_from"), col("cell_to"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT
+                 % 10 = 0 AS is_new
+        FROM embeddings),
+      hist AS (SELECT vec_id, v FROM e WHERE NOT is_new),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM hist
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+      c1 AS (SELECT vec_id AS cid, v AS cv FROM e
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+      a0 AS (
+        SELECT vec_id, cid AS cell_from,
+               CAST(CAST(round(csim, 6) AS DECIMAL(18,6)) * 1000000
+                 AS BIGINT) AS c0
+        FROM (
+          SELECT e.vec_id, c0.cid,
+                 list_dot_product(e.v, c0.cv) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(c0.cv, c0.cv))) AS csim,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c0.cv) /
+                     (sqrt(list_dot_product(e.v, e.v)) *
+                      sqrt(list_dot_product(c0.cv, c0.cv))) DESC, c0.cid)
+                   AS rn
+          FROM e CROSS JOIN c0)
+        WHERE rn = 1),
+      a1 AS (
+        SELECT vec_id, cid AS cell_to,
+               CAST(CAST(round(csim, 6) AS DECIMAL(18,6)) * 1000000
+                 AS BIGINT) AS c1
+        FROM (
+          SELECT e.vec_id, c1.cid,
+                 list_dot_product(e.v, c1.cv) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(c1.cv, c1.cv))) AS csim,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c1.cv) /
+                     (sqrt(list_dot_product(e.v, e.v)) *
+                      sqrt(list_dot_product(c1.cv, c1.cv))) DESC, c1.cid)
+                   AS rn
+          FROM e CROSS JOIN c1)
+        WHERE rn = 1)
+      SELECT cell_from, cell_to,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c1 - c0) AS BIGINT) AS sum_gain_u
+      FROM a0 JOIN a1 USING (vec_id)
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """))
+
+  val registry: Seq[Q] = Seq(q293, q295, q296, q53, q54, q55, q56, q57, q58, q59, q101,
     q134, q138, q141, q145, q146, q147, q192, q234, q248, q254, q255,
     q256, q257, q258, q262, q263, q265)
 }

@@ -280,4 +280,55 @@ class CurationOpsSpec extends AnyFunSuite {
       assert((rej == 0) == r.isNullAt(4), s"$src first_rejected contract")
     }
   }
+
+  test("q295/q296: drift decision, live occupancy, and movement mass match a brute-force generation mirror") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def isNew(id: Long): Boolean =
+      java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 10 == 0
+    def cents(ids: Iterable[Long]): Seq[Long] =
+      ids.toSeq.sortBy(id => (md5hex(id.toString), id)).take(32)
+    // max cosine, min cid tiebreak — the engine's struct-max order
+    def assign(c: Seq[Long]): Map[Long, (Long, Double)] =
+      vecs.map { case (id, v) =>
+        val (cid, s) = c.map(cid => (cid, cos(v, vecs(cid))))
+          .minBy { case (cid2, s2) => (-s2, cid2) }
+        id -> ((cid, s))
+      }
+    val c0 = cents(vecs.keys.filterNot(isNew))
+    val c1 = cents(vecs.keys)
+    val (a0, a1) = (assign(c0), assign(c1))
+    def occ(a: Map[Long, (Long, Double)]): Map[Long, Long] =
+      a.groupBy(_._2._1).map { case (c, m) => c -> m.size.toLong }
+    val occ0 = occ(a0)
+    val skewU = occ0.values.max * 32L * 1000000L / vecs.size
+    val retrained = skewU >= 1500000L
+    // --- q295: the decision columns are constant and the occupancy
+    // rows are the LIVE generation's ---
+    val rows295 = run("q295_ivf_drift_retrain").collect()
+    assert(rows295.forall(_.getLong(3) == skewU), "skew_before_u")
+    assert(rows295.forall(_.getBoolean(4) == retrained), "retrained")
+    assert(rows295.forall(_.getLong(0) == (if (retrained) 1L else 0L)))
+    val expectedOcc = occ(if (retrained) a1 else a0)
+    assert(rows295.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      == expectedOcc, "live occupancy")
+    // --- q296: movement counts and exact micro-unit gain mass ---
+    def u(x: Double): Long =
+      (BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        * 1000000).toLongExact
+    val expected = vecs.keys.toSeq
+      .map(id => ((a0(id)._1, a1(id)._1), u(a1(id)._2) - u(a0(id)._2)))
+      .groupBy(_._1)
+      .map { case (k, g) => k -> ((g.size.toLong, g.map(_._2).sum)) }
+    val rows296 = run("q296_ivf_retrain_audit").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rows296 == expected,
+      s"movement matrix diff: ${
+        (rows296.toSet.diff(expected.toSet) ++
+          expected.toSet.diff(rows296.toSet)).take(4)}")
+    // the matrix conserves the corpus
+    assert(rows296.values.map(_._1).sum == vecs.size.toLong)
+  }
 }
