@@ -94,15 +94,105 @@ object LshIndexStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** The live index: union of the per-batch publications, minus
-    * everything the tombstone sidecar retracts. */
-  def index(spark: SparkSession, idxDir: String): DataFrame =
-    TombstoneSidecar.apply(
-      spark.read.parquet(idxDir)
+  private def listDirs(path: String, prefix: String) =
+    Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+
+  /** Complete compaction bases, ascending by their upTo batch id. */
+  private def bases(idxDir: String): Seq[Long] =
+    listDirs(idxDir, "_base=")
+      .filter(f => new java.io.File(f, "_GRAFT_OK").isFile)
+      .map(_.getName.stripPrefix("_base=").toLong).toSeq.sorted
+
+  /** Live rows with their publication batch id: the newest complete
+    * compaction base (rows carry batch = upTo — a tombstone NEWER
+    * than the base still kills them; everything ≤ upTo was already
+    * applied when the base was cut) ∪ the batch publications newer
+    * than it, minus the sidecar's retractions. */
+  private def liveRows(spark: SparkSession, idxDir: String): DataFrame = {
+    val base = bases(idxDir).lastOption
+    val floor = base.getOrElse(Long.MinValue)
+    val dirs = listDirs(idxDir, "batch=")
+      .filter(_.getName.stripPrefix("batch=").toLong > floor)
+      .map(_.getPath)
+    val batchRows =
+      if (dirs.isEmpty) None
+      else Some(spark.read.option("basePath", idxDir)
+        .parquet(dirs.toIndexedSeq: _*)
         .select(col("doc_id"), col("h"), col("band_idx"), col("bh"),
-          col("batch")),
+          col("batch").cast(LongType).as("batch")))
+    val baseRows = base.map(u =>
+      spark.read.parquet(s"$idxDir/_base=$u")
+        .select(col("doc_id"), col("h"), col("band_idx"), col("bh"),
+          lit(u).as("batch")))
+    val rows = (baseRows ++ batchRows).reduceOption(_.unionByName(_))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("h", StringType),
+          StructField("band_idx", LongType),
+          StructField("bh", StringType),
+          StructField("batch", LongType)))))
+    TombstoneSidecar.apply(rows,
       TombstoneSidecar.newest(spark, idxDir, "doc_id"))
-      .select("doc_id", "h", "band_idx", "bh")
+  }
+
+  /** The live index: newest compaction base ∪ newer batch
+    * publications, minus everything the tombstone sidecar retracts. */
+  def index(spark: SparkSession, idxDir: String): DataFrame =
+    liveRows(spark, idxDir).select("doc_id", "h", "band_idx", "bh")
+
+  /** COMPACTION — the maintenance pass a deployment runs when
+    * tombstones and dead batch dirs accumulate: materialize the live
+    * index as of the newest published batch into a write-once
+    * `_base=<upTo>` snapshot (tmp + _GRAFT_OK + rename — the marker
+    * protocol; crash debris is marker-less and invisible), then
+    * garbage-collect everything the base supersedes — batch dirs and
+    * tombstone dirs ≤ upTo, and older bases. Underscore-prefixed, so
+    * the parent partition-discovery read never sees it. Idempotent:
+    * a re-run with no newer batches hits the marker check and only
+    * re-runs the (safe-anytime) GC; a redelivered pre-compaction
+    * batch republishes its dir, which readers ignore (its id is ≤
+    * the base's upTo) and the next compaction GC removes. Returns
+    * the base's upTo id, or None when there is nothing to compact. */
+  def compact(spark: SparkSession, idxDir: String): Option[Long] = {
+    val newest = listDirs(idxDir, "batch=")
+      .map(_.getName.stripPrefix("batch=").toLong).sorted.lastOption
+    val upTo = newest.orElse(bases(idxDir).lastOption)
+      .getOrElse(return None)
+    val base = new org.apache.hadoop.fs.Path(s"$idxDir/_base=$upTo")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ok = new org.apache.hadoop.fs.Path(base, "_GRAFT_OK")
+    if (!fs.exists(ok)) {
+      listDirs(idxDir, s".tmp-_base=$upTo-").foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true))
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$idxDir/.tmp-_base=$upTo-" +
+          java.util.UUID.randomUUID().toString.take(8))
+      liveRows(spark, idxDir)
+        .select(col("doc_id"), col("h"), col("band_idx"), col("bh"))
+        .write.parquet(tmp.toString)
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_OK"), true)
+        .close()
+      if (fs.exists(base) && !fs.exists(ok)) fs.delete(base, true)
+      if (fs.exists(base) || !fs.rename(tmp, base)) fs.delete(tmp, true)
+    }
+    // GC: everything a complete base supersedes — safe anytime after
+    // the marker exists (readers already ignore these sources)
+    def rmAll(fsn: java.io.File): Unit =
+      fs.delete(new org.apache.hadoop.fs.Path(fsn.getPath), true)
+    listDirs(idxDir, "batch=")
+      .filter(_.getName.stripPrefix("batch=").toLong <= upTo)
+      .foreach(rmAll)
+    listDirs(s"$idxDir/_tombs", "batch=")
+      .filter(_.getName.stripPrefix("batch=").toLong <= upTo)
+      .foreach(rmAll)
+    listDirs(idxDir, "_base=")
+      .filter(_.getName.stripPrefix("_base=").toLong < upTo)
+      .foreach(rmAll)
+    Some(upTo)
+  }
 }
 
 /** The tombstone sidecar shared by the per-row-pure maintained

@@ -116,4 +116,60 @@ class StreamingLshIndexSpec extends AnyFunSuite {
     assert(rowSet(LshIndexStream.index(spark, idxDir)) == scratch,
       "replayed CDC batch changed the index")
   }
+
+  test("compaction: the base snapshot preserves the live index, GC reclaims superseded dirs, folds and retraction keep working across the base") {
+    import spark.implicits._
+    val srcDir = graft.TestTmp.dir("graft_lshcomp_src_")
+    val idxDir = graft.TestTmp.dir("graft_lshcomp_idx_")
+    val ckpt = graft.TestTmp.dir("graft_lshcomp_ck_")
+    val d = (k: Int) => base + s" compact family $k"
+    def deliver(b: Seq[(Long, String, String)]): Unit = {
+      b.toDF("doc_id", "text", "op").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      LshIndexStream.startCdc(spark, srcDir, idxDir, ckpt)
+        .awaitTermination()
+    }
+    deliver(Seq((40L, d(0), "I"), (41L, d(1), "I"), (42L, d(2), "I")))
+    deliver(Seq((43L, d(3), "I"),
+      (41L, null.asInstanceOf[String], "D")))
+    val before = rowSet(LshIndexStream.index(spark, idxDir))
+    assert(before.map(_._1) == Set(40L, 42L, 43L))
+    // compact: base cut at the newest batch, superseded dirs GONE
+    assert(LshIndexStream.compact(spark, idxDir) == Some(1L))
+    assert(new java.io.File(s"$idxDir/_base=1/_GRAFT_OK").isFile)
+    def dirs(prefix: String) =
+      Option(new java.io.File(idxDir).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.startsWith(prefix))
+        .map(_.getName).sorted
+    assert(dirs("batch=").isEmpty, "GC left superseded batch dirs")
+    assert(Option(new java.io.File(s"$idxDir/_tombs").listFiles())
+      .getOrElse(Array.empty).isEmpty, "GC left superseded tombstones")
+    assert(rowSet(LshIndexStream.index(spark, idxDir)) == before,
+      "compaction changed the live index")
+    // idempotent: nothing new to compact
+    assert(LshIndexStream.compact(spark, idxDir) == Some(1L))
+    assert(rowSet(LshIndexStream.index(spark, idxDir)) == before)
+    // the stream keeps folding PAST the base (checkpoint batch ids
+    // keep rising), and a delete of a doc INSIDE the base retracts
+    // across the base boundary (tombstone batch 2 > base upTo 1)
+    deliver(Seq((44L, d(4), "I"),
+      (40L, null.asInstanceOf[String], "D")))
+    val net = Seq(42L -> d(2), 43L -> d(3), 44L -> d(4))
+      .toDF("doc_id", "text")
+    val after = rowSet(LshIndexStream.index(spark, idxDir))
+    assert(after ==
+      rowSet(graft.operators.LshIndexQueries.signatures(net)),
+      "post-compaction fold/retraction diverged from from-scratch")
+    // a redelivered PRE-compaction batch republishes a dir readers
+    // ignore; the next compaction sweeps it
+    LshIndexStream.mergeBatch(idxDir)(
+      Seq((43L, d(3), "I"), (41L, null.asInstanceOf[String], "D"))
+        .toDF("doc_id", "text", "op"), 1L)
+    assert(rowSet(LshIndexStream.index(spark, idxDir)) == after,
+      "ignored pre-base redelivery changed the index")
+    assert(LshIndexStream.compact(spark, idxDir) == Some(2L))
+    assert(dirs("_base=").sameElements(Array("_base=2")),
+      "old base not reclaimed")
+    assert(rowSet(LshIndexStream.index(spark, idxDir)) == after)
+  }
 }
