@@ -388,6 +388,42 @@ object IvfIndexStream {
   def liveGeneration(idxDir: String): Long =
     newestGen(idxDir).map(_._1).getOrElse(0L)
 
+  /** GC — the compaction analog for the generation layout (a bump
+    * already consolidates the live rows into its base snapshot, so
+    * unlike LshIndexStream no separate base cut is needed): reclaim
+    * every source the newest COMPLETE generation supersedes — older
+    * `_gen=G` dirs wholesale, root (gen-0) batch dirs with id ≤ the
+    * newest cover, tombstones ≤ the newest cover (they were applied
+    * when that base was cut; base rows carry batch = cover, so only
+    * NEWER tombstones can still retract), and crash-debris tmp dirs
+    * for already-complete generations. Safe anytime after the
+    * newest marker exists: readers already ignore all of it, and a
+    * redelivered pre-bump batch merely republishes a root dir
+    * readers skip (its id ≤ cover) — the next GC sweeps it. Gen-0
+    * centroids stay (a pre-bump redelivery re-reads them). No-op
+    * before the first bump. */
+  def gc(idxDir: String): Unit = newestGen(idxDir) match {
+    case None => ()
+    case Some((g, cover)) =>
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete(); ()
+      }
+      listDirs(idxDir, "_gen=")
+        .filter(_.getName.stripPrefix("_gen=").toLong < g)
+        .foreach(rm)
+      listDirs(idxDir, "batch=")
+        .filter(_.getName.stripPrefix("batch=").toLong <= cover)
+        .foreach(rm)
+      listDirs(s"$idxDir/_tombs", "batch=")
+        .filter(_.getName.stripPrefix("batch=").toLong <= cover)
+        .foreach(rm)
+      listDirs(idxDir, ".tmp-_gen=")
+        .filter(f => f.getName.stripPrefix(".tmp-_gen=")
+          .takeWhile(_ != '-').toLong <= g)
+        .foreach(rm)
+  }
+
   /** Per-cell occupancy off the maintained index — the q265 summary
     * grain, for drift watching. */
   def cells(spark: SparkSession, idxDir: String): DataFrame =

@@ -211,7 +211,35 @@ class StreamingIvfSpec extends AnyFunSuite {
       .awaitTermination()
     assert(new java.io.File(s"$idxDir/_gen=1/batch=3").isDirectory,
       "post-bump batch must fold under the live generation")
+    val withNew = idxSet(IvfIndexStream.index(spark, idxDir))
+    assert(withNew.map(_._1) == liveIds + 200L)
+    // GC: the newest complete generation supersedes gen-0's root
+    // batch dirs and every tombstone ≤ its cover — but the id-8
+    // tombstone (batch 2 > cover 1) must SURVIVE, because it was cut
+    // after the base and is the only thing retracting id 8's base row
+    IvfIndexStream.gc(idxDir)
+    def rootDirs(prefix: String) =
+      Option(new java.io.File(idxDir).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.startsWith(prefix))
+        .map(_.getName).sorted
+    assert(rootDirs("batch=").isEmpty, "GC left superseded root batches")
+    assert(new java.io.File(s"$idxDir/_tombs/batch=2").isDirectory,
+      "GC deleted a still-live tombstone")
+    assert(idxSet(IvfIndexStream.index(spark, idxDir)) == withNew,
+      "GC changed the live index")
+    // pre-bump redelivery AFTER gc: gen-0 centroids survive, the
+    // republished root dir is ignored by readers, no re-bump
+    IvfIndexStream.mergeBatch(idxDir)(
+      batches(1).toDF("vec_id", "embedding", "op"), 1L)
+    assert(IvfIndexStream.generations(idxDir) == Seq((1L, 1L)))
+    assert(idxSet(IvfIndexStream.index(spark, idxDir)) == withNew,
+      "post-gc redelivery changed the index")
+    // and the stream keeps folding
+    ins(Seq(201L)).toDF("vec_id", "embedding", "op").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    IvfIndexStream.startCdc(spark, srcDir, idxDir, ckpt)
+      .awaitTermination()
     assert(idxSet(IvfIndexStream.index(spark, idxDir)).map(_._1)
-      == liveIds + 200L)
+      == liveIds + 200L + 201L)
   }
 }
