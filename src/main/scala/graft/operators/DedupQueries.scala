@@ -2774,8 +2774,59 @@ object DedupQueries {
       })
   }
 
+  /** q297 — the REPLICATION CENSUS as a first-class audit: exact
+    * per-source (docs, distinct contents, replication in micro-units,
+    * grain decision at the 1.5× cut) over the raw documents, plus a
+    * `__corpus__` row over the planted dedup corpus — the published
+    * evidence behind [[contentGrainByCensus]]'s physical-plan choice
+    * (the kernel uses the approximate form of exactly this aggregate;
+    * this operator is the exact, auditable version a pipeline logs
+    * per ingestion source before picking shard/grain strategies).
+    * On the shipped fixtures the decision visibly branches: raw
+    * sources sit at ~1.0× (doc grain) while the ×100 bench corpus
+    * sits at ~100× (content grain). One token-free pass per scope;
+    * the aggregate is a hash count-distinct on a 32-hex key. */
+  private val q297 = Q(
+    "q297_replication_census",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      def censusOf(df: DataFrame,
+          scope: org.apache.spark.sql.Column): DataFrame = df
+        .withColumn("nt", TextOps.norm(col("text")))
+        .filter(col("nt").isNotNull)
+        .groupBy(scope.as("scope"))
+        .agg(graft.functions.Exprs.asLong(count(lit(1))).as("n_docs"),
+          graft.functions.Exprs.asLong(
+            count_distinct(md5(col("nt")))).as("n_contents"))
+      censusOf(docs, col("source"))
+        .unionByName(censusOf(corpus(docs), lit("__corpus__")))
+        .withColumn("repl_u", expr("(n_docs * 1000000) div n_contents"))
+        .withColumn("content_grain", expr("n_docs * 2 >= n_contents * 3"))
+        .orderBy(col("scope"))
+    },
+    Some(s"""
+      WITH $corpusSql,
+      nsrc AS (
+        SELECT source AS scope, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT md5(
+                 regexp_replace(trim(lower(text)),'\\s+',' ','g')))
+                 AS BIGINT) AS n_contents
+        FROM documents WHERE text IS NOT NULL GROUP BY 1),
+      ncorp AS (
+        SELECT '__corpus__' AS scope, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT md5(
+                 regexp_replace(trim(lower(text)),'\\s+',' ','g')))
+                 AS BIGINT) AS n_contents
+        FROM corpus WHERE text IS NOT NULL)
+      SELECT scope, n_docs, n_contents,
+             (n_docs * 1000000) // n_contents AS repl_u,
+             n_docs * 2 >= n_contents * 3 AS content_grain
+      FROM (SELECT * FROM nsrc UNION ALL SELECT * FROM ncorp)
+      ORDER BY scope
+    """))
+
   val registry: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52,
     q82, q84, q85, q99, q112, q124, q130, q133, q136, q196, q232, q235,
     q281,
-    q241, q245, q247, q251, q259, q261, q266, q269)
+    q241, q245, q247, q251, q259, q261, q266, q269, q297)
 }

@@ -163,4 +163,42 @@ class SetSimSpec extends AnyFunSuite {
     assert(DedupQueries.lastCensus.get() == ((3L, 3L, false)),
       s"eval census: ${DedupQueries.lastCensus.get()}")
   }
+
+  test("q297 census rows match a brute-force normalize/hash mirror") {
+    // independent mirror: normalization re-implemented in plain Scala
+    // (the fixture is ASCII, so the İ/Σ translate is a no-op here —
+    // the adversarial differential covers that edge), census math in
+    // exact integers
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(graft.Tables.tuned(spark), dir,
+      "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).toSeq
+    def norm(t: String): String =
+      t.toLowerCase.trim.replaceAll("[ \\t\\n\\f\\r]+", " ")
+    def words(t: String): Array[String] = norm(t).split(" ")
+    // the planted corpus: base ∪ exact copies (id<20, +200000) ∪
+    // near-dups (id<10, drop last word, +100000)
+    val corpus = docs.map { case (id, _, t) => (id, t) } ++
+      docs.filter(_._1 < 20).map { case (id, _, t) =>
+        (id + 200000, t) } ++
+      docs.filter(_._1 < 10).map { case (id, _, t) =>
+        (id + 100000, t.map(x => words(x).dropRight(1).mkString(" "))) }
+    def census(ts: Seq[Option[String]]): (Long, Long) = {
+      val ns = ts.flatten.map(norm)
+      (ns.size.toLong, ns.distinct.size.toLong)
+    }
+    val expected = (docs.groupBy(_._2).map { case (src, g) =>
+      src -> census(g.map(_._3)) } +
+      ("__corpus__" -> census(corpus.map(_._2)))).map {
+      case (scope, (n, c)) =>
+        (scope, n, c, n * 1000000L / c, n * 2 >= c * 3)
+    }.toSet
+    val got = q("q297_replication_census").build(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    assert(got == expected,
+      s"census diff: ${(got.diff(expected) ++ expected.diff(got)).take(4)}")
+  }
 }
