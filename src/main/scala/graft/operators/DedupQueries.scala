@@ -1069,7 +1069,12 @@ object DedupQueries {
       .agg(count(lit(1)), approx_count_distinct(col("h"))).head()
     val (nDocs, nGroups) = (c.getLong(0), c.getLong(1))
     val contentGrain = forceGrainForTest.orElse(
-      sys.env.get("GRAFT_GRAIN_FORCE").map(_ == "content"))
+      sys.env.get("GRAFT_GRAIN_FORCE").map {
+        case "content" => true
+        case "doc"     => false
+        case other => throw new IllegalArgumentException(
+          s"GRAFT_GRAIN_FORCE must be 'content' or 'doc', got '$other'")
+      })
       .getOrElse(nDocs * 2 >= nGroups * 3)
     lastCensus.set((nDocs, nGroups, contentGrain))
     contentGrain

@@ -81,17 +81,21 @@ object PipelineQueries {
   private val q90 = Q(
     "q90_boilerplate_ngrams",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val memb = docs
+      // ONE normalize pass feeds the census AND both grain branches
+      // (round-19 advice #4: the census must not re-introduce a
+      // census-sized corpus toll on the unreplicated branch — the
+      // checkpointed frame is reused, never re-derived). words(text)
+      // == split(norm(text), " ") by definition, so shingling the
+      // cached nt is the same grams as the old doc-grain shape; the
+      // null filter matches explode(null)'s row-dropping.
+      val base = t(s, dir, "documents")
         .withColumn("nt", TextOps.norm(col("text")))
         .filter(col("nt").isNotNull)
-        .select(col("doc_id"), md5(col("nt")).as("h"))
+        .select(col("doc_id"), md5(col("nt")).as("h"), col("nt"))
         .localCheckpoint()
-      if (DedupQueries.contentGrainByCensus(memb))
-        docs
-          .withColumn("nt", TextOps.norm(col("text")))
-          .filter(col("nt").isNotNull)
-          .select(md5(col("nt")).as("h"), col("nt"))
+      if (DedupQueries.contentGrainByCensus(base))
+        base
+          .select(col("h"), col("nt"))
           .repartition(col("h"))
           .groupBy(col("h"))
           .agg(count(lit(1)).as("n_docs"), min(col("nt")).as("nt"))
@@ -102,9 +106,9 @@ object PipelineQueries {
           .agg(sum(col("n_docs")).as("doc_freq"))
           .filter(col("doc_freq") >= 3)
       else
-        docs
+        base
           .select(col("doc_id"),
-            explode(TextOps.shingleSet(TextOps.words(col("text")), 8))
+            explode(TextOps.shingleSet(split(col("nt"), " "), 8))
               .as("gram"))
           .groupBy(col("gram"))
           .agg(countDistinct(col("doc_id")).as("doc_freq"))

@@ -2082,9 +2082,14 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("n"))
       val occ0 = occOf(centsOf(e.filter(!col("is_new"))))
         .localCheckpoint()
-      val skewU = occ0
+      val skewRow = occ0
         .agg(expr("(max(n) * 32 * 1000000) div sum(n)"))
-        .head().getLong(0)
+        .head()
+      // Degenerate corpus (empty, or every vector is_new): the gen-0
+      // occupancy frame is empty and the aggregate is NULL. Treat as
+      // skew 0 (no retrain) — mirrors IvfIndexStream.skewU's
+      // isNullAt guard so both engines agree on degenerate inputs.
+      val skewU = if (skewRow.isNullAt(0)) 0L else skewRow.getLong(0)
       val retrained = skewU >= 1500000L
       val live = if (retrained) occOf(centsOf(e)) else occ0
       live.select(lit(if (retrained) 1L else 0L).as("gen"),
