@@ -57,7 +57,7 @@ object ClusterIndexStream {
     * skips (round-17 advice: the LshIndexQueries marker lifecycle,
     * applied to the versioned stream state). */
   private def isComplete(v: java.io.File): Boolean =
-    new java.io.File(v, "_GRAFT_OK").isFile
+    MarkerProtocol.isComplete(v)
 
   private def completeVersions(stateDir: String): Array[Long] =
     Option(new java.io.File(stateDir).listFiles())
@@ -153,37 +153,19 @@ object ClusterIndexStream {
       else ClusterIndexQueries.delCore(
         sigs1.localCheckpoint(), labels1.localCheckpoint(),
         delH, lakeGrpFor)
-    // Publish version batchId atomically: all parquet parts + the
-    // _GRAFT_OK marker land in a tmp dir, then ONE rename exposes it.
-    // A crash at any point leaves either the intact predecessor as the
-    // newest complete version (readers skip marker-less debris) or the
-    // fully-published version; redelivery clears debris and retries.
-    val base = new org.apache.hadoop.fs.Path(s"$stateDir/batch=$batchId")
-    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // "redelivery clears debris": a crash between the tmp writes and
-    // the rename leaves a .tmp-batch=N-<uuid> dir; this redelivery of
-    // the SAME batchId is the only writer for N (foreachBatch
-    // serializes), so its leftovers are deletable here — without this,
-    // crash debris accumulates unboundedly (round-18 advice #4).
-    Option(new java.io.File(stateDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory &&
-        f.getName.startsWith(s".tmp-batch=$batchId-"))
-      .foreach(f => fs.delete(
-        new org.apache.hadoop.fs.Path(f.getPath), true))
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$stateDir/.tmp-batch=$batchId-" +
-        java.util.UUID.randomUUID().toString.take(8))
-    sigs.write.parquet(s"$tmp/sigs")
-    labels.write.parquet(s"$tmp/labels")
-    memb2.write.parquet(s"$tmp/memb")
-    fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_OK"), true)
-      .close()
-    if (fs.exists(base)) fs.delete(base, true)
-    if (!fs.rename(tmp, base)) {
-      fs.delete(tmp, true)
-      throw new IllegalStateException(
-        s"cluster-index state publish failed for batch=$batchId")
+    // Publish version batchId atomically through the shared marker
+    // protocol (overwrite mode: a redelivered batch N supersedes its
+    // own previous publication; MarkerProtocol clears this batch's
+    // crash debris — round-18 advice #4 — and throws if the rename
+    // loses state). A crash at any point leaves either the intact
+    // predecessor as the newest complete version (readers skip
+    // marker-less debris) or the fully-published version.
+    MarkerProtocol.publish(s, s"$stateDir/batch=$batchId",
+      overwrite = true) { tmp =>
+      sigs.write.parquet(s"$tmp/sigs")
+      labels.write.parquet(s"$tmp/labels")
+      memb2.write.parquet(s"$tmp/memb")
+      true
     }
     ()
   }
@@ -223,7 +205,8 @@ object ClusterIndexStream {
     * its PREDECESSOR intact; anything older is only history.
     * StreamingClusterIndexSpec proves reads and redelivery survive a
     * prune to that floor. */
-  def pruneVersions(stateDir: String, keep: Int = 2): Unit = {
+  def pruneVersions(stateDir: String, keep: Int = 2,
+      tmpGraceMs: Long = 10 * 60 * 1000L): Unit = {
     val d = new java.io.File(stateDir)
     def rm(x: java.io.File): Unit = {
       Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
@@ -250,14 +233,22 @@ object ClusterIndexStream {
     // COMPLETE version already covers are superseded by construction
     // — deletable; a tmp NEWER than every complete version may be a
     // publish in flight and is never touched (same prune-race rule as
-    // marker-less version dirs above)
+    // marker-less version dirs above). Age guard (round-19 advice):
+    // a crash-recovery REDELIVERY of batch N (N == complete frontier)
+    // writes into a fresh tmp for N before its rename supersedes the
+    // old version — version arithmetic alone would let a concurrent
+    // prune delete it under the writer. Only tmp dirs whose mtime is
+    // older than `tmpGraceMs` are reclaimed; a live publish finishes
+    // well inside the grace, so only genuine crash debris ages out.
     val last = complete.lastOption
+    val now = System.currentTimeMillis()
     Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(".tmp-batch="))
       .foreach { f =>
         val v = f.getName.stripPrefix(".tmp-batch=")
           .takeWhile(_ != '-').toLong
-        if (last.exists(v <= _)) rm(f)
+        if (last.exists(v <= _) && now - f.lastModified() >= tmpGraceMs)
+          rm(f)
       }
   }
 

@@ -128,10 +128,10 @@ object IvfIndexStream {
     * degrades recall at scale. */
   private[streaming] def centroids(s: SparkSession, idxDir: String,
       trainFrom: => DataFrame): DataFrame = {
-    val base = new org.apache.hadoop.fs.Path(centroidsPath(idxDir))
-    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val ok = new org.apache.hadoop.fs.Path(base, "_GRAFT_OK")
-    if (!fs.exists(ok)) {
+    // write-once through the shared marker protocol (the trainFrom
+    // thunk is only forced when no complete centroid set exists)
+    MarkerProtocol.publish(s, centroidsPath(idxDir),
+      overwrite = false) { tmp =>
       val picked = selectCentroids(trainFrom).localCheckpoint()
       val n = picked.count()
       if (n == 0)
@@ -142,14 +142,8 @@ object IvfIndexStream {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"IVF centroids trained from only $n vectors (< $nCells " +
             "cells) — recall will be degraded until a retrain")
-      val tmp = new org.apache.hadoop.fs.Path(
-        s"${centroidsPath(idxDir)}.tmp-" +
-          java.util.UUID.randomUUID().toString.take(8))
       picked.write.parquet(tmp.toString)
-      fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_OK"), true)
-        .close()
-      if (fs.exists(base) && !fs.exists(ok)) fs.delete(base, true)
-      if (fs.exists(base) || !fs.rename(tmp, base)) fs.delete(tmp, true)
+      true
     }
     // _GRAFT_OK is underscore-prefixed, which Spark's file index
     // treats as hidden — the plain read skips it
@@ -166,7 +160,7 @@ object IvfIndexStream {
       .filter(f => f.isDirectory && f.getName.startsWith(prefix))
 
   private def isComplete(f: java.io.File): Boolean =
-    new java.io.File(f, "_GRAFT_OK").isFile
+    MarkerProtocol.isComplete(f)
 
   /** Complete generations, ascending: (gen, cover). Generation 0 (the
     * legacy layout at the idxDir root) is implicit with cover = -1
@@ -255,29 +249,23 @@ object IvfIndexStream {
   private def bumpGeneration(spark: SparkSession, idxDir: String,
       fromGen: Long, cover: Long, view: DataFrame): Unit = {
     val g1 = fromGen + 1
-    val base = new org.apache.hadoop.fs.Path(s"$idxDir/_gen=$g1")
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ok = new org.apache.hadoop.fs.Path(base, "_GRAFT_OK")
-    if (fs.exists(ok)) return
-    // this bump's only writer is the stream itself (foreachBatch
-    // serializes), so a crashed publish's leftovers are deletable here
-    // — same debris rule as ClusterIndexStream.mergeBatch
-    listDirs(idxDir, s".tmp-_gen=$g1-").foreach(f =>
-      fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true))
-    val live = view.select(col("vec_id"), col("v")).localCheckpoint()
-    val cents = selectFrom(live).localCheckpoint()
-    if (cents.isEmpty) return // nothing to train on — keep current gen
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$idxDir/.tmp-_gen=$g1-" +
-        java.util.UUID.randomUUID().toString.take(8))
-    cents.write.parquet(s"$tmp/centroids")
-    assignVecs(cents, live).write.parquet(s"$tmp/base")
-    fs.create(new org.apache.hadoop.fs.Path(tmp, s"cover=$cover"), true)
-      .close()
-    fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_OK"), true)
-      .close()
-    if (fs.exists(base) && !fs.exists(ok)) fs.delete(base, true)
-    if (fs.exists(base) || !fs.rename(tmp, base)) fs.delete(tmp, true)
+    // write-once through the shared marker protocol; the callback
+    // aborts (false) when the retrain frame is empty — nothing to
+    // train on, keep the current generation
+    MarkerProtocol.publish(spark, s"$idxDir/_gen=$g1",
+      overwrite = false) { tmp =>
+      val live = view.select(col("vec_id"), col("v")).localCheckpoint()
+      val cents = selectFrom(live).localCheckpoint()
+      if (cents.isEmpty) false
+      else {
+        val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        cents.write.parquet(s"$tmp/centroids")
+        assignVecs(cents, live).write.parquet(s"$tmp/base")
+        fs.create(new org.apache.hadoop.fs.Path(tmp, s"cover=$cover"),
+          true).close()
+        true
+      }
+    }
     ()
   }
 

@@ -102,7 +102,7 @@ object LshIndexStream {
   /** Complete compaction bases, ascending by their upTo batch id. */
   private def bases(idxDir: String): Seq[Long] =
     listDirs(idxDir, "_base=")
-      .filter(f => new java.io.File(f, "_GRAFT_OK").isFile)
+      .filter(MarkerProtocol.isComplete)
       .map(_.getName.stripPrefix("_base=").toLong).toSeq.sorted
 
   /** Live rows with their publication batch id: the newest complete
@@ -161,25 +161,19 @@ object LshIndexStream {
       .map(_.getName.stripPrefix("batch=").toLong).sorted.lastOption
     val upTo = newest.orElse(bases(idxDir).lastOption)
       .getOrElse(return None)
-    val base = new org.apache.hadoop.fs.Path(s"$idxDir/_base=$upTo")
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ok = new org.apache.hadoop.fs.Path(base, "_GRAFT_OK")
-    if (!fs.exists(ok)) {
-      listDirs(idxDir, s".tmp-_base=$upTo-").foreach(f =>
-        fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true))
-      val tmp = new org.apache.hadoop.fs.Path(
-        s"$idxDir/.tmp-_base=$upTo-" +
-          java.util.UUID.randomUUID().toString.take(8))
+    // write-once through the shared marker protocol: a concurrent or
+    // replayed compaction collapses to one winner
+    MarkerProtocol.publish(spark, s"$idxDir/_base=$upTo",
+      overwrite = false) { tmp =>
       liveRows(spark, idxDir)
         .select(col("doc_id"), col("h"), col("band_idx"), col("bh"))
         .write.parquet(tmp.toString)
-      fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_OK"), true)
-        .close()
-      if (fs.exists(base) && !fs.exists(ok)) fs.delete(base, true)
-      if (fs.exists(base) || !fs.rename(tmp, base)) fs.delete(tmp, true)
+      true
     }
     // GC: everything a complete base supersedes — safe anytime after
     // the marker exists (readers already ignore these sources)
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def rmAll(fsn: java.io.File): Unit =
       fs.delete(new org.apache.hadoop.fs.Path(fsn.getPath), true)
     listDirs(idxDir, "batch=")

@@ -241,8 +241,15 @@ class StreamingClusterIndexSpec extends AnyFunSuite {
     }
     val staleTmp = plant(".tmp-batch=0-cafe0000") // superseded: 0 complete
     val liveTmp = plant(".tmp-batch=1-dead0000") // maybe in flight: 1 > 0
+    // round-19 advice: under the DEFAULT grace, even a superseded tmp
+    // survives while fresh — it may be a crash-recovery REDELIVERY of
+    // the frontier batch mid-publish; only aged-out debris is
+    // reclaimed (tmpGraceMs=0 simulates age for the stale one).
     ClusterIndexStream.pruneVersions(stateDir)
-    assert(!staleTmp.exists(), "prune kept a superseded tmp dir")
+    assert(staleTmp.isDirectory,
+      "prune deleted a fresh tmp inside the redelivery grace window")
+    ClusterIndexStream.pruneVersions(stateDir, tmpGraceMs = 0L)
+    assert(!staleTmp.exists(), "prune kept a superseded aged-out tmp dir")
     assert(liveTmp.isDirectory, "prune deleted a possibly-live tmp dir")
     // redelivery of batch 1 clears ITS OWN debris before publishing
     val extra = Seq(42L -> (base + " tmp family")).toDF("doc_id", "text")
