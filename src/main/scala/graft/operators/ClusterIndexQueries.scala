@@ -531,28 +531,31 @@ object ClusterIndexQueries {
       val spark = s
       import spark.implicits._
       val docs = t(s, dir, "documents")
+      // ALL FOUR artifact families resolve through ONE snapshot
+      // manifest (round-19 verdict #1): the audit's cross-family
+      // joins read versions a single manifest pinned together, never
+      // a mix of resolutions that interleaved with a publish.
+      val snap = ArtifactSnapshot.pinned(s, dir)
       // --- LSH signature index (doc grain) ---
-      val idx = LshIndexQueries.mergedIndex(s, dir)()
+      val idx = snap("lsh_rows")()
       val idxAfter = idx.join(
         docs.filter(isRetracted(col("doc_id"))).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
       // --- cluster labels (content grain, planted corpus) ---
-      val parts = mergedParts(s, dir)
       val memb = membership(docs).localCheckpoint()
       val delH = memb.groupBy(col("h"))
         .agg(max(when(!isRetracted(col("doc_id")), 1L).otherwise(0L))
           .as("alive"))
         .filter(col("alive") === 0).select(col("h"))
       val (_, labelsAfter) = delCore(
-        parts("sigs")().localCheckpoint(),
-        parts("labels")().localCheckpoint(),
+        snap("cluster_sigs")().localCheckpoint(),
+        snap("cluster_labels")().localCheckpoint(),
         delH,
         survH => withShingles(contentGroups(docs)
           .join(survH, Seq("h"), "left_semi")))
       // --- BM25 vocabulary (term grain) ---
-      val lex = LexIndexQueries.mergedStats(s, dir)
       val (dfAfter, _) = LexIndexQueries.subtractStats(
-        lex("df")(), lex("meta")(),
+        snap("lex_df")(), snap("lex_meta")(),
         docs.filter(isRetracted(col("doc_id"))))
       // --- IVF assignments (vector grain): q293's REAL artifact and
       // repair path — the frozen-centroid assignment frame and its
@@ -560,16 +563,16 @@ object ClusterIndexQueries {
       // dropped/duplicated row in the assignment path is VISIBLE to
       // this audit; the oracle's embeddings COUNT agrees only because
       // the assignment emits exactly one row per vector) ---
-      val assigned = SimilarityQueries.ivfAssigned(s, dir)
-        .localCheckpoint()
+      val assigned = snap("ivf_assigned")().localCheckpoint()
       val assignedAfter = assigned.join(
         assigned.filter(isRetracted(col("vec_id")))
           .select(col("vec_id")),
         Seq("vec_id"), "left_anti")
       def cnt(df: DataFrame): Long = df.count()
       val rows = Seq(
-        ("bm25_vocab_terms", cnt(lex("df")()), cnt(dfAfter)),
-        ("cluster_label_rows", cnt(parts("labels")()), cnt(labelsAfter)),
+        ("bm25_vocab_terms", cnt(snap("lex_df")()), cnt(dfAfter)),
+        ("cluster_label_rows", cnt(snap("cluster_labels")()),
+          cnt(labelsAfter)),
         ("ivf_assignment_rows", cnt(assigned), cnt(assignedAfter)),
         ("lsh_signature_rows", cnt(idx), cnt(idxAfter)))
       rows.toDF("artifact", "rows_before", "rows_after")

@@ -204,16 +204,24 @@ object ClusterIndexStream {
     * serves reads, and a crash-redelivery of the latest batchId needs
     * its PREDECESSOR intact; anything older is only history.
     * StreamingClusterIndexSpec proves reads and redelivery survive a
-    * prune to that floor. */
+    * prune to that floor. Additionally bounded below by the live
+    * [[SnapshotManifest]]s at `manifestRoot` (default: the state dir)
+    * — a manifest pinning `cluster.version=V` keeps version V until
+    * it drops (round-19 verdict #1). */
   def pruneVersions(stateDir: String, keep: Int = 2,
-      tmpGraceMs: Long = 10 * 60 * 1000L): Unit = {
+      tmpGraceMs: Long = 10 * 60 * 1000L,
+      manifestRoot: Option[String] = None): Unit = {
     val d = new java.io.File(stateDir)
     def rm(x: java.io.File): Unit = {
       Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
       x.delete(); ()
     }
     val complete = completeVersions(stateDir)
+    val pinned = SnapshotManifest.floorC(
+      new org.apache.hadoop.conf.Configuration(),
+      manifestRoot.getOrElse(stateDir), "cluster.version")
     val keepFloor = complete.dropRight(keep.max(2)).lastOption
+      .map(f => pinned.fold(f)(p => math.min(f, p - 1)))
     Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
       .foreach { f =>
@@ -257,5 +265,25 @@ object ClusterIndexStream {
     completeVersions(stateDir).lastOption match {
       case Some(b) => spark.read.parquet(s"$stateDir/batch=$b/labels")
       case None => emptyLabels(spark)
+    }
+
+  /** This state's version token for a [[SnapshotManifest]] pin. */
+  def pin(stateDir: String): Map[String, String] =
+    Map("cluster.version" ->
+      completeVersions(stateDir).lastOption.getOrElse(-1L).toString)
+
+  /** Labels AS OF manifest `id` — the versioned-state analog of
+    * LshIndexStream.indexAt (versioned state makes this trivial: one
+    * version dir IS the whole world). */
+  def labelsAt(spark: SparkSession, stateDir: String, id: Long,
+      manifestRoot: Option[String] = None): DataFrame =
+    SnapshotManifest.read(spark, manifestRoot.getOrElse(stateDir), id)
+      .flatMap(_.get("cluster.version")).map(_.toLong) match {
+      case Some(v) if v >= 0 =>
+        spark.read.parquet(s"$stateDir/batch=$v/labels")
+      case Some(_) => emptyLabels(spark)
+      case None => throw new IllegalArgumentException(
+        s"no complete snapshot manifest=$id pinning cluster.version " +
+          s"under ${manifestRoot.getOrElse(stateDir)}")
     }
 }

@@ -389,27 +389,90 @@ object IvfIndexStream {
     * redelivered pre-bump batch merely republishes a root dir
     * readers skip (its id ≤ cover) — the next GC sweeps it. Gen-0
     * centroids stay (a pre-bump redelivery re-reads them). No-op
-    * before the first bump. */
-  def gc(idxDir: String): Unit = newestGen(idxDir) match {
+    * before the first bump.
+    *
+    * Retention (round-19 verdict #1): bounded below by the live
+    * [[SnapshotManifest]]s at `manifestRoot` (default: this index
+    * dir). A manifest pinning `ivf.gen=G` keeps generation G's dirs
+    * — its `_gen=G` tree (or, for G=0, the root batch dirs) and the
+    * tombstones newer than G's cover — until the manifest drops. */
+  def gc(idxDir: String,
+      manifestRoot: Option[String] = None): Unit =
+    newestGen(idxDir) match {
     case None => ()
     case Some((g, cover)) =>
+      val pins = SnapshotManifest.liveC(
+        new org.apache.hadoop.conf.Configuration(),
+        manifestRoot.getOrElse(idxDir)).map(_._2)
+        .filter(_.keys.exists(_.startsWith("ivf.")))
+      // floor generation: a manifest pinning ivf without a gen token
+      // pinned the pre-bump world (gen 0)
+      val floorGen = pins
+        .map(_.get("ivf.gen").map(_.toLong).getOrElse(0L))
+        .minOption
+      val keepGen = floorGen.fold(g)(math.min(g, _))
+      // the floor generation's cover bounds batch/tombstone reclaim:
+      // gen 0 covers nothing (-1), so a gen-0 pin keeps everything
+      val floorCover =
+        if (keepGen == g) cover
+        else if (keepGen == 0L) -1L
+        else generations(idxDir).find(_._1 == keepGen).map(_._2)
+          .getOrElse(-1L)
       def rm(x: java.io.File): Unit = {
         Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
         x.delete(); ()
       }
       listDirs(idxDir, "_gen=")
-        .filter(_.getName.stripPrefix("_gen=").toLong < g)
+        .filter(_.getName.stripPrefix("_gen=").toLong < keepGen)
         .foreach(rm)
       listDirs(idxDir, "batch=")
-        .filter(_.getName.stripPrefix("batch=").toLong <= cover)
+        .filter(_.getName.stripPrefix("batch=").toLong <= floorCover)
         .foreach(rm)
       listDirs(s"$idxDir/_tombs", "batch=")
-        .filter(_.getName.stripPrefix("batch=").toLong <= cover)
+        .filter(_.getName.stripPrefix("batch=").toLong <= floorCover)
         .foreach(rm)
       listDirs(idxDir, ".tmp-_gen=")
         .filter(f => f.getName.stripPrefix(".tmp-_gen=")
           .takeWhile(_ != '-').toLong <= g)
         .foreach(rm)
+  }
+
+  /** This index's version tokens for a [[SnapshotManifest]] pin:
+    * `ivf.gen` (live generation) and `ivf.max_batch` (the newest
+    * batch published under it). */
+  def pin(idxDir: String): Map[String, String] = {
+    val (g, root) = newestGen(idxDir) match {
+      case Some((gg, _)) => (gg, s"$idxDir/_gen=$gg")
+      case None => (0L, idxDir)
+    }
+    val maxBatch = batchDirsUnder(root)
+      .map(_.split("batch=").last.toLong).sorted.lastOption
+      .getOrElse(-1L)
+    Map("ivf.gen" -> g.toString, "ivf.max_batch" -> maxBatch.toString)
+  }
+
+  /** The index AS OF manifest `id` (see LshIndexStream.indexAt): the
+    * pinned generation's view at the pinned batch frontier — immune
+    * to concurrent folds, bumps, and (because [[gc]] floors at the
+    * oldest live manifest) to concurrent GC. */
+  def indexAt(spark: SparkSession, idxDir: String, id: Long,
+      manifestRoot: Option[String] = None): DataFrame = {
+    val pins = SnapshotManifest
+      .read(spark, manifestRoot.getOrElse(idxDir), id)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no complete snapshot manifest=$id under " +
+          manifestRoot.getOrElse(idxDir)))
+    val g = pins.get("ivf.gen").map(_.toLong).getOrElse(0L)
+    val cover =
+      if (g == 0L) -1L
+      else generations(idxDir).find(_._1 == g).map(_._2)
+        .getOrElse(throw new IllegalStateException(
+          s"manifest=$id pins ivf.gen=$g but the generation is gone — " +
+            "was GC run against a different manifest root?"))
+    val maxBatch = pins.get("ivf.max_batch").map(_.toLong)
+      .getOrElse(Long.MaxValue)
+    genView(spark, idxDir, g, cover, maxBatch)
+      .select("vec_id", "cell", "csim")
   }
 
   /** Per-cell occupancy off the maintained index — the q265 summary

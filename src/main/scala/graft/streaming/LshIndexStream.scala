@@ -109,12 +109,19 @@ object LshIndexStream {
     * compaction base (rows carry batch = upTo — a tombstone NEWER
     * than the base still kills them; everything ≤ upTo was already
     * applied when the base was cut) ∪ the batch publications newer
-    * than it, minus the sidecar's retractions. */
-  private def liveRows(spark: SparkSession, idxDir: String): DataFrame = {
-    val base = bases(idxDir).lastOption
+    * than it, minus the sidecar's retractions. A pinned view
+    * ([[indexAt]]) passes an explicit (base, maxBatch) world instead
+    * of resolving the newest one. */
+  private def liveRows(spark: SparkSession, idxDir: String,
+      pinBase: Option[Option[Long]] = None,
+      maxBatch: Long = Long.MaxValue): DataFrame = {
+    val base = pinBase.getOrElse(bases(idxDir).lastOption)
     val floor = base.getOrElse(Long.MinValue)
     val dirs = listDirs(idxDir, "batch=")
-      .filter(_.getName.stripPrefix("batch=").toLong > floor)
+      .filter { f =>
+        val v = f.getName.stripPrefix("batch=").toLong
+        v > floor && v <= maxBatch
+      }
       .map(_.getPath)
     val batchRows =
       if (dirs.isEmpty) None
@@ -135,13 +142,54 @@ object LshIndexStream {
           StructField("bh", StringType),
           StructField("batch", LongType)))))
     TombstoneSidecar.apply(rows,
-      TombstoneSidecar.newest(spark, idxDir, "doc_id"))
+      TombstoneSidecar.newestUpTo(spark, idxDir, "doc_id", maxBatch))
   }
 
   /** The live index: newest compaction base ∪ newer batch
     * publications, minus everything the tombstone sidecar retracts. */
   def index(spark: SparkSession, idxDir: String): DataFrame =
     liveRows(spark, idxDir).select("doc_id", "h", "band_idx", "bh")
+
+  /** This index's version tokens for a [[SnapshotManifest]] pin:
+    * `lsh.max_batch` (the newest published batch) and `lsh.base`
+    * (the newest complete compaction base, when one exists). An
+    * index with no publications at all pins only its emptiness
+    * (`lsh.max_batch=-1`). */
+  def pin(idxDir: String): Map[String, String] = {
+    val maxBatch = listDirs(idxDir, "batch=")
+      .map(_.getName.stripPrefix("batch=").toLong).sorted.lastOption
+    val base = bases(idxDir).lastOption
+    Map("lsh.max_batch" ->
+      maxBatch.orElse(base).getOrElse(-1L).toString) ++
+      base.map(b => "lsh.base" -> b.toString)
+  }
+
+  /** Publish a snapshot manifest pinning this index's current
+    * version under `manifestRoot` (default: the index dir itself).
+    * Returns the manifest id a reader passes to [[indexAt]]. */
+  def publishSnapshot(spark: SparkSession, idxDir: String,
+      manifestRoot: Option[String] = None): Long =
+    SnapshotManifest.publish(spark, manifestRoot.getOrElse(idxDir),
+      pin(idxDir))
+
+  /** The index AS OF manifest `id`: resolves (base, max_batch)
+    * through the pinned manifest instead of the newest dirs, so a
+    * long-running reader is immune to concurrent folds AND — because
+    * [[compact]]'s GC floors at the oldest live manifest — to
+    * concurrent compaction reclaiming its input dirs. */
+  def indexAt(spark: SparkSession, idxDir: String, id: Long,
+      manifestRoot: Option[String] = None): DataFrame = {
+    val pins = SnapshotManifest
+      .read(spark, manifestRoot.getOrElse(idxDir), id)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no complete snapshot manifest=$id under " +
+          manifestRoot.getOrElse(idxDir)))
+    liveRows(spark, idxDir,
+      pinBase = Some(pins.get("lsh.base").map(_.toLong)),
+      maxBatch = pins.get("lsh.max_batch").map(_.toLong)
+        .getOrElse(Long.MaxValue))
+      .select("doc_id", "h", "band_idx", "bh")
+  }
 
   /** COMPACTION — the maintenance pass a deployment runs when
     * tombstones and dead batch dirs accumulate: materialize the live
@@ -155,8 +203,12 @@ object LshIndexStream {
     * re-runs the (safe-anytime) GC; a redelivered pre-compaction
     * batch republishes its dir, which readers ignore (its id is ≤
     * the base's upTo) and the next compaction GC removes. Returns
-    * the base's upTo id, or None when there is nothing to compact. */
-  def compact(spark: SparkSession, idxDir: String): Option[Long] = {
+    * the base's upTo id, or None when there is nothing to compact.
+    * GC honors the retention floor of the live [[SnapshotManifest]]s
+    * at `manifestRoot` (default: this index dir) — a deployment
+    * keeping one cross-artifact manifest root passes it here. */
+  def compact(spark: SparkSession, idxDir: String,
+      manifestRoot: Option[String] = None): Option[Long] = {
     val newest = listDirs(idxDir, "batch=")
       .map(_.getName.stripPrefix("batch=").toLong).sorted.lastOption
     val upTo = newest.orElse(bases(idxDir).lastOption)
@@ -171,19 +223,35 @@ object LshIndexStream {
       true
     }
     // GC: everything a complete base supersedes — safe anytime after
-    // the marker exists (readers already ignore these sources)
+    // the marker exists — BOUNDED BELOW by the retention floor of the
+    // live snapshot manifests (round-19 verdict #1, VACUUM-style
+    // grace): a reader pinned to manifest M resolves base/batches/
+    // tombstones M recorded, so nothing a live manifest pins is
+    // reclaimed until the manifest is dropped. A manifest pinned
+    // BEFORE any compaction (no lsh.base) floors at -1 — it reads
+    // the raw batch dirs from 0, so none may go. With no live
+    // manifests the floor is absent and reclaim is immediate.
+    val root = manifestRoot.getOrElse(idxDir)
+    val lshPins = SnapshotManifest.live(spark, root).map(_._2)
+      .filter(_.keys.exists(_.startsWith("lsh.")))
+    val floorB = lshPins
+      .map(_.get("lsh.base").map(_.toLong).getOrElse(-1L))
+      .minOption
+    val delUpTo = floorB.fold(upTo)(math.min(upTo, _))
+    val baseKeep = lshPins.flatMap(_.get("lsh.base").map(_.toLong))
+      .minOption.fold(upTo)(math.min(upTo, _))
     val fs = new org.apache.hadoop.fs.Path(idxDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def rmAll(fsn: java.io.File): Unit =
       fs.delete(new org.apache.hadoop.fs.Path(fsn.getPath), true)
     listDirs(idxDir, "batch=")
-      .filter(_.getName.stripPrefix("batch=").toLong <= upTo)
+      .filter(_.getName.stripPrefix("batch=").toLong <= delUpTo)
       .foreach(rmAll)
     listDirs(s"$idxDir/_tombs", "batch=")
-      .filter(_.getName.stripPrefix("batch=").toLong <= upTo)
+      .filter(_.getName.stripPrefix("batch=").toLong <= delUpTo)
       .foreach(rmAll)
     listDirs(idxDir, "_base=")
-      .filter(_.getName.stripPrefix("_base=").toLong < upTo)
+      .filter(_.getName.stripPrefix("_base=").toLong < baseKeep)
       .foreach(rmAll)
     Some(upTo)
   }

@@ -259,4 +259,39 @@ class StreamingClusterIndexSpec extends AnyFunSuite {
     assert(new java.io.File(stateDir, "batch=1/_GRAFT_OK").isFile)
     assert(labelSet(ClusterIndexStream.labels(spark, stateDir)) == good)
   }
+
+  test("snapshot manifest: a pinned version survives prune past the keep window; dropping the lease releases it") {
+    import spark.implicits._
+    val srcDir = graft.TestTmp.dir("graft_clsnap_src_")
+    val stateDir = graft.TestTmp.dir("graft_clsnap_state_")
+    def runBatch(b: Seq[(Long, String)], id: Long): Unit = {
+      val df = b.toDF("doc_id", "text")
+      df.coalesce(1).write.mode("append").parquet(srcDir)
+      ClusterIndexStream.mergeBatch(srcDir, stateDir)(df, id)
+    }
+    runBatch(Seq(60L -> (base + " snap family"),
+      61L -> (base + " snap family variant")), 0L)
+    // pin version 0, then let the state advance two more versions —
+    // prune's keep=2 window alone would reclaim version 0
+    val m0 = SnapshotManifest.publish(spark, stateDir,
+      ClusterIndexStream.pin(stateDir))
+    val world0 = labelSet(ClusterIndexStream.labels(spark, stateDir))
+    runBatch(Seq(62L -> "completely unrelated content one two three"), 1L)
+    runBatch(Seq(63L -> (base + " snap family third variant")), 2L)
+    ClusterIndexStream.pruneVersions(stateDir)
+    assert(new java.io.File(stateDir, "batch=0/_GRAFT_OK").isFile,
+      "prune reclaimed a version a live manifest pins")
+    assert(labelSet(
+      ClusterIndexStream.labelsAt(spark, stateDir, m0)) == world0,
+      "pinned reader's version changed under it")
+    assert(labelSet(ClusterIndexStream.labels(spark, stateDir))
+      != world0)
+    // lease drops: the keep-2 window reclaims version 0
+    SnapshotManifest.drop(spark, stateDir, m0)
+    ClusterIndexStream.pruneVersions(stateDir)
+    assert(!new java.io.File(stateDir, "batch=0").exists(),
+      "dropped lease did not release the version to prune")
+    assert(new java.io.File(stateDir, "batch=1/_GRAFT_OK").isFile &&
+      new java.io.File(stateDir, "batch=2/_GRAFT_OK").isFile)
+  }
 }

@@ -242,4 +242,53 @@ class StreamingIvfSpec extends AnyFunSuite {
     assert(idxSet(IvfIndexStream.index(spark, idxDir)).map(_._1)
       == liveIds + 200L + 201L)
   }
+
+  test("snapshot manifest: a gen-0 pinned reader survives a drift bump + GC; dropping the lease releases the superseded dirs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val srcDir = graft.TestTmp.dir("graft_ivfsnap_src_")
+    val idxDir = graft.TestTmp.dir("graft_ivfsnap_idx_")
+    val ckpt = graft.TestTmp.dir("graft_ivfsnap_ck_")
+    def ins(ids: Seq[Long]) = ids.map(i => (i, vec(i), "I"))
+    def deliver(b: Seq[(Long, Array[Float], String)]): Unit = {
+      b.toDF("vec_id", "embedding", "op").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      IvfIndexStream.startCdc(spark, srcDir, idxDir, ckpt)
+        .awaitTermination()
+    }
+    // batch 0: uniform — no bump; pin the gen-0 world
+    deliver(ins(0L until 4L))
+    assert(IvfIndexStream.liveGeneration(idxDir) == 0L)
+    val m0 = SnapshotManifest.publish(spark, idxDir,
+      IvfIndexStream.pin(idxDir))
+    assert(IvfIndexStream.pin(idxDir)
+      == Map("ivf.gen" -> "0", "ivf.max_batch" -> "0"))
+    val world0 = idxSet(IvfIndexStream.index(spark, idxDir))
+    // batch 1: skewed — bumps to generation 1, superseding gen-0's
+    // root batch dirs; GC must keep them while m0 is live
+    deliver(ins((1L to 12L).map(_ * 8L)))
+    assert(IvfIndexStream.liveGeneration(idxDir) == 1L)
+    IvfIndexStream.gc(idxDir)
+    def rootDirs(prefix: String) =
+      Option(new java.io.File(idxDir).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.startsWith(prefix))
+        .map(_.getName).sorted
+    assert(rootDirs("batch=").sameElements(
+      Array("batch=0", "batch=1")),
+      "GC reclaimed gen-0 dirs a live manifest pins")
+    // the pinned reader sees the gen-0 world AS OF batch 0 — neither
+    // batch 1's vectors nor the gen-1 re-assignment
+    assert(idxSet(IvfIndexStream.indexAt(spark, idxDir, m0))
+      == world0, "pinned gen-0 reader's world changed under it")
+    val live = idxSet(IvfIndexStream.index(spark, idxDir))
+    assert(live.map(_._1) ==
+      (0L until 4L).toSet ++ (1L to 12L).map(_ * 8L))
+    // lease drops: the next GC reclaims the root dirs
+    SnapshotManifest.drop(spark, idxDir, m0)
+    IvfIndexStream.gc(idxDir)
+    assert(rootDirs("batch=").isEmpty,
+      "dropped lease did not release gen-0 dirs")
+    assert(idxSet(IvfIndexStream.index(spark, idxDir)) == live,
+      "GC changed the live index")
+  }
 }

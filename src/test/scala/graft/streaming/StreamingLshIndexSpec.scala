@@ -172,4 +172,74 @@ class StreamingLshIndexSpec extends AnyFunSuite {
       "old base not reclaimed")
     assert(rowSet(LshIndexStream.index(spark, idxDir)) == after)
   }
+
+  test("snapshot manifest: a pinned reader survives compact+GC that supersedes its dirs; dropping the lease releases them") {
+    import spark.implicits._
+    val srcDir = graft.TestTmp.dir("graft_lshsnap_src_")
+    val idxDir = graft.TestTmp.dir("graft_lshsnap_idx_")
+    val ckpt = graft.TestTmp.dir("graft_lshsnap_ck_")
+    val d = (k: Int) => base + s" snapshot family $k"
+    def deliver(b: Seq[(Long, String, String)]): Unit = {
+      b.toDF("doc_id", "text", "op").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      LshIndexStream.startCdc(spark, srcDir, idxDir, ckpt)
+        .awaitTermination()
+    }
+    deliver(Seq((50L, d(0), "I"), (51L, d(1), "I"), (52L, d(2), "I")))
+    deliver(Seq((53L, d(3), "I"),
+      (51L, null.asInstanceOf[String], "D")))
+    // reader A pins the pre-compaction world (raw batch dirs, no base)
+    val m0 = LshIndexStream.publishSnapshot(spark, idxDir)
+    val worldAtM0 = rowSet(LshIndexStream.index(spark, idxDir))
+    assert(worldAtM0.map(_._1) == Set(50L, 52L, 53L))
+    // the world moves on: a new fold, then compact+GC cut a base at
+    // the new frontier — which SUPERSEDES every dir m0 pinned
+    deliver(Seq((54L, d(4), "I"),
+      (50L, null.asInstanceOf[String], "D")))
+    assert(LshIndexStream.compact(spark, idxDir) == Some(2L))
+    def dirs(prefix: String) =
+      Option(new java.io.File(idxDir).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.startsWith(prefix))
+        .map(_.getName).sorted
+    // retention floor: m0 pinned the no-base world, so GC must keep
+    // ALL its batch dirs and tombstones despite the fresh base
+    assert(dirs("batch=").sameElements(
+      Array("batch=0", "batch=1", "batch=2")),
+      "GC reclaimed dirs a live manifest pins")
+    // the pinned reader still sees ITS world, not the moved-on one
+    assert(rowSet(LshIndexStream.indexAt(spark, idxDir, m0))
+      == worldAtM0, "pinned reader's world changed under it")
+    val liveNow = rowSet(LshIndexStream.index(spark, idxDir))
+    assert(liveNow.map(_._1) == Set(52L, 53L, 54L))
+    assert(liveNow != worldAtM0)
+    // reader B pins the compacted world; reader A's lease drops —
+    // the next GC pass reclaims what only m0 was keeping alive
+    val m1 = LshIndexStream.publishSnapshot(spark, idxDir)
+    SnapshotManifest.drop(spark, idxDir, m0)
+    assert(LshIndexStream.compact(spark, idxDir) == Some(2L))
+    assert(dirs("batch=").isEmpty,
+      "dropped lease did not release its dirs to GC")
+    assert(rowSet(LshIndexStream.indexAt(spark, idxDir, m1)) == liveNow)
+    assert(rowSet(LshIndexStream.index(spark, idxDir)) == liveNow)
+    // a dropped manifest no longer resolves
+    intercept[IllegalArgumentException] {
+      LshIndexStream.indexAt(spark, idxDir, m0)
+    }
+    // cross-family manifests at a shared root: entries round-trip
+    // verbatim and floor() takes the min over live pins only
+    val root = graft.TestTmp.dir("graft_snaproot_")
+    val a = SnapshotManifest.publish(spark, root,
+      Map("lsh.base" -> "3", "ivf.gen" -> "2", "cluster.version" -> "7"))
+    val b = SnapshotManifest.publish(spark, root, Map("lsh.base" -> "5"))
+    assert(a != b)
+    assert(SnapshotManifest.read(spark, root, a) ==
+      Some(Map("lsh.base" -> "3", "ivf.gen" -> "2",
+        "cluster.version" -> "7")))
+    assert(SnapshotManifest.floor(spark, root, "lsh.base") == Some(3L))
+    assert(SnapshotManifest.floor(spark, root, "cluster.version")
+      == Some(7L))
+    SnapshotManifest.drop(spark, root, a)
+    assert(SnapshotManifest.floor(spark, root, "lsh.base") == Some(5L))
+    assert(SnapshotManifest.floor(spark, root, "ivf.gen") == None)
+  }
 }
