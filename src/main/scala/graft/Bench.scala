@@ -130,6 +130,10 @@ object Bench {
     // floor GB — -1 when the inter-query GC was skipped).
     val heapObs = scala.collection.mutable.ArrayBuffer
       .empty[(String, Double, String, Double)]
+    // query -> census decisions (nDocs, nGroups, contentGrain) of its
+    // latest run (round-19 verdict #5)
+    val censusObs = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[(Long, Long, Boolean)]]
     // fixture vintage marker: the documents.parquet footer-tail
     // fingerprint (BpeQueries's artifact key) — regenerated fixtures
     // change it even at identical logical content
@@ -220,10 +224,18 @@ object Bench {
         }
         def once(): (Double, Boolean) = {
           if (peakHeapOn) graft.tools.PeakHeap.reset()
+          graft.operators.DedupQueries.drainCensusLog() // stale entries
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
             catch { case _: Throwable => false }
           val dt = (System.nanoTime() - t0) / 1e9
+          // adaptive-grain observability (round-19 advice/verdict #5):
+          // record THIS query's census decisions so a grain flip is
+          // visible in the bench artifact, not inferred from timing
+          val censuses = graft.operators.DedupQueries.drainCensusLog()
+          if (censuses.nonEmpty) censusObs.synchronized {
+            censusObs(name) = censuses
+          }
           val (pk, st) = (graft.tools.PeakHeap.postGcPeakGb,
             graft.tools.PeakHeap.postGcPeakStage)
           val floor = cleanup()
@@ -300,6 +312,13 @@ object Bench {
         // experiments measured an 18% protocol effect and a 15-50%
         // fixture-vintage effect on the slow tail, both invisible
         // without these fields
+        // per-query adaptive-grain census decisions (round-19 verdict
+        // #5): [docs, distinct groups, grain] per census the query ran
+        censusObs.toSeq.sortBy(_._1).map { case (n, cs) =>
+          "\"" + n + "\":" + cs.map { case (d, g, c) =>
+            s"""[$d,$g,"${if (c) "content" else "doc"}"]"""
+          }.mkString("[", ",", "]")
+        }.mkString("\"census\":{", ",", "},") +
         s""""protocol":{"repeats":$repeats,""" +
         s""""repeat_threshold_s":$repeatThreshold,""" +
         s""""passes":$passes,"recycle_every":$recycleEvery,""" +

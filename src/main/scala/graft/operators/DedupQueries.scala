@@ -304,15 +304,36 @@ object DedupQueries {
       .withColumn("nt", TextOps.norm(col("text")))
       .filter(col("nt").isNotNull)
       .select(col("doc_id"), md5(col("nt")).as("h"), col("nt"))
-    val memb = base.select(col("doc_id"), col("h")).localCheckpoint()
-    // shuffle on h FIRST so no map-side partial buffers fat text
-    // (the q276/q284 discipline)
-    val grp = base.select(col("h"), col("nt"))
-      .repartition(col("h"))
-      .groupBy(col("h")).agg(min(col("nt")).as("nt"))
-      .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
-      .select(col("h"), col("sh"), size(col("sh")).as("nsh"))
-      .localCheckpoint()
+    val membH = base.select(col("doc_id"), col("h")).localCheckpoint()
+    // Adaptive grain (round-19 verdict #2, extending the
+    // decontamShingleParts census to this family): at ≥1.5×
+    // replication the group key is the content hash (shingle +
+    // verify work bounded by distinct contents); below it the doc id
+    // IS the group key — no content-grouping shuffle on a corpus
+    // where it dedupes nothing (the round-18 sf0.1 toll, q281 +0.46s
+    // in the round-19 close). Both grains are output-identical: the
+    // cap-first algebra keeps DOC-grain posting-cap semantics
+    // exactly (SCALE.md round-18 proof), candidates and verdicts are
+    // defined at doc grain, and h never reaches an output column.
+    val (memb, grp) = if (contentGrainByCensus(membH)) {
+      // shuffle on h FIRST so no map-side partial buffers fat text
+      // (the q276/q284 discipline)
+      val g = base.select(col("h"), col("nt"))
+        .repartition(col("h"))
+        .groupBy(col("h")).agg(min(col("nt")).as("nt"))
+        .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
+        .select(col("h"), col("sh"), size(col("sh")).as("nsh"))
+        .localCheckpoint()
+      (membH, g)
+    } else {
+      val g = base
+        .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
+        .select(col("doc_id").cast(StringType).as("h"), col("sh"),
+          size(col("sh")).as("nsh"))
+        .localCheckpoint()
+      (membH.select(col("doc_id"),
+        col("doc_id").cast(StringType).as("h")), g)
+    }
     // cap each shingle's posting list at the MaxShingleDf lowest
     // doc_ids (cap-first through the content grain — see
     // cappedPostingsGrouped): bounded candidates (cap^2 per shingle)
@@ -469,50 +490,89 @@ object DedupQueries {
       // whose answers were copies of each other; the reshape verifies
       // ~distinct-content² candidates and leaves the 27.3M rows to
       // cheap hash joins.
+      // Adaptive grain (round-19 verdict #2): the reshape pays a
+      // corpus-width checkpoint + a content groupBy that dedupe
+      // nothing on an unreplicated corpus — there the census picks
+      // the plain doc-grain banding (the oracle's own formulation:
+      // bands off per-doc shingles, identical docs collide in every
+      // band and verify at jac exactly 1.0, which is precisely what
+      // intraPairs reproduces by algebra on the content branch).
+      // ONE normalize pass feeds the census AND both branches (the
+      // q90 discipline — the census must not cost an extra corpus
+      // scan on either branch)
       val base = corpus(t(s, dir, "documents"))
         .withColumn("nt", TextOps.norm(col("text")))
         .filter(col("nt").isNotNull)
         .select(col("doc_id"), md5(col("nt")).as("g"), col("nt"))
         .localCheckpoint()
-      val members = base.select(col("doc_id"), col("g"))
-      val grp = base.groupBy(col("g"))
-        .agg(count(lit(1)).as("nd"), min(col("nt")).as("nt"))
-        .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
-        .withColumn("nsh", size(col("sh")).cast(LongType))
-        .drop("nt")
-        .localCheckpoint()
-      val bands = minhashBandTable(grp.select(col("g"), col("sh")), "g")
-      val cand = bands.alias("a")
-        .join(bands.alias("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.bh") === col("b.bh") && col("a.g") < col("b.g"))
-        .select(col("a.g").as("g1"), col("b.g").as("g2"))
-        .distinct()
-      val crossPairs = cand
-        .join(grp.select(col("g").as("g1"), col("sh").as("sh1"),
-          col("nsh").as("m1")), "g1")
-        .join(grp.select(col("g").as("g2"), col("sh").as("sh2"),
-          col("nsh").as("m2")), "g2")
-        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
-        .withColumn("jaccard",
-          col("inter").cast(DoubleType) /
-            (col("m1") + col("m2") - col("inter")))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("g1"), col("g2"), round(col("jaccard"), 6).as("jac"))
-        .join(members.select(col("g").as("g1"), col("doc_id").as("x")), "g1")
-        .join(members.select(col("g").as("g2"), col("doc_id").as("y")), "g2")
-        .select(least(col("x"), col("y")).as("d1"),
-          greatest(col("x"), col("y")).as("d2"), col("jac"))
-      val intraPairs = members
-        .join(grp.filter(col("nd") > 1 && col("nsh") > 0)
-          .select(col("g")), "g")
-        .alias("x")
-        .join(members.alias("y"),
-          col("x.g") === col("y.g") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-          lit(1.0).as("jac"))
-      crossPairs.unionByName(intraPairs)
+      if (DedupQueries.contentGrainByCensus(
+        base.select(col("doc_id"), col("g").as("h")))) {
+        val members = base.select(col("doc_id"), col("g"))
+        val grp = base.groupBy(col("g"))
+          .agg(count(lit(1)).as("nd"), min(col("nt")).as("nt"))
+          .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
+          .withColumn("nsh", size(col("sh")).cast(LongType))
+          .drop("nt")
+          .localCheckpoint()
+        val bands = minhashBandTable(grp.select(col("g"), col("sh")), "g")
+        val cand = bands.alias("a")
+          .join(bands.alias("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.bh") === col("b.bh") && col("a.g") < col("b.g"))
+          .select(col("a.g").as("g1"), col("b.g").as("g2"))
+          .distinct()
+        val crossPairs = cand
+          .join(grp.select(col("g").as("g1"), col("sh").as("sh1"),
+            col("nsh").as("m1")), "g1")
+          .join(grp.select(col("g").as("g2"), col("sh").as("sh2"),
+            col("nsh").as("m2")), "g2")
+          .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+          .withColumn("jaccard",
+            col("inter").cast(DoubleType) /
+              (col("m1") + col("m2") - col("inter")))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("g1"), col("g2"), round(col("jaccard"), 6).as("jac"))
+          .join(members.select(col("g").as("g1"), col("doc_id").as("x")), "g1")
+          .join(members.select(col("g").as("g2"), col("doc_id").as("y")), "g2")
+          .select(least(col("x"), col("y")).as("d1"),
+            greatest(col("x"), col("y")).as("d2"), col("jac"))
+        val intraPairs = members
+          .join(grp.filter(col("nd") > 1 && col("nsh") > 0)
+            .select(col("g")), "g")
+          .alias("x")
+          .join(members.alias("y"),
+            col("x.g") === col("y.g") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+            lit(1.0).as("jac"))
+        crossPairs.unionByName(intraPairs)
+      } else {
+        val shTab = base
+          .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
+          .select(col("doc_id"), col("sh"),
+            size(col("sh")).cast(LongType).as("nsh"))
+          .localCheckpoint()
+        val bands = minhashBandTable(
+          shTab.select(col("doc_id"), col("sh")), "doc_id")
+        val cand = bands.alias("a")
+          .join(bands.alias("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+        cand
+          .join(shTab.select(col("doc_id").as("d1"), col("sh").as("sh1"),
+            col("nsh").as("m1")), "d1")
+          .join(shTab.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+            col("nsh").as("m2")), "d2")
+          .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+          .withColumn("jaccard",
+            col("inter").cast(DoubleType) /
+              (col("m1") + col("m2") - col("inter")))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jac"))
+      }
     },
     Some {
       val mins = (0 until 8).map(i =>
@@ -1077,6 +1137,7 @@ object DedupQueries {
       })
       .getOrElse(nDocs * 2 >= nGroups * 3)
     lastCensus.set((nDocs, nGroups, contentGrain))
+    censusLog.add((nDocs, nGroups, contentGrain))
     contentGrain
   }
 
@@ -1084,6 +1145,24 @@ object DedupQueries {
     * observability for the SCALE.md grain table and the spec pin. */
   private[graft] val lastCensus =
     new java.util.concurrent.atomic.AtomicReference[(Long, Long, Boolean)]
+
+  /** Every census decision since the last drain, in decision order —
+    * the bench harness drains this per query and emits the decisions
+    * into BENCH_*.json (round-19 verdict #5), so a grain FLIP between
+    * rounds is visible in the artifact instead of inferred from a
+    * timing swing. (No hysteresis on the 1.5× cut: the census is a
+    * stateless per-run decision with no prior state to hysterate
+    * against — real corpora sit ~1× or many×, and a fixture that
+    * flips across rounds is exactly what this field makes visible.) */
+  private val censusLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Boolean)]
+
+  private[graft] def drainCensusLog(): Seq[(Long, Long, Boolean)] = {
+    val b = Seq.newBuilder[(Long, Long, Boolean)]
+    var x = censusLog.poll()
+    while (x != null) { b += x; x = censusLog.poll() }
+    b.result()
+  }
 
   /** Spec hook: Some(true)=content grain, Some(false)=doc grain,
     * None=census decides (production default). */

@@ -162,6 +162,40 @@ class SetSimSpec extends AnyFunSuite {
     DedupQueries.decontamShingleParts(evalDocs)
     assert(DedupQueries.lastCensus.get() == ((3L, 3L, false)),
       s"eval census: ${DedupQueries.lastCensus.get()}")
+    // bench observability (round-19 verdict #5): the drainable log
+    // records EVERY decision in order, and draining empties it
+    DedupQueries.drainCensusLog()
+    DedupQueries.decontamShingleParts(train)
+    DedupQueries.decontamShingleParts(evalDocs)
+    assert(DedupQueries.drainCensusLog() ==
+      Seq((6L, 3L, true), (3L, 3L, false)))
+    assert(DedupQueries.drainCensusLog().isEmpty)
+  }
+
+  test("adaptive grain: the capped-posting pair family (q50/q99/q112/q281) and q51 are grain-invariant") {
+    // round-19 verdict #2: the census extends to the pair family —
+    // cap-first algebra keeps DOC-grain posting-cap semantics on the
+    // content branch, so both grains must produce identical rows for
+    // every query in the family, on a fixture with replication
+    // (docs 1 and 5 are exact copies, so the planted corpus trips
+    // real content groups), near-dups at and below the thresholds,
+    // and a no-shingle doc.
+    val family = Seq("q50_ngram_jaccard", "q51_minhash_lsh",
+      "q99_dup_clusters", "q112_containment", "q281_cluster_split")
+    def run(name: String): Set[Seq[Any]] =
+      q(name).build(spark, fixtureDir).collect().map(_.toSeq).toSet
+    try {
+      for (name <- family) {
+        DedupQueries.forceGrainForTest = Some(true)
+        val content = run(name)
+        DedupQueries.forceGrainForTest = Some(false)
+        val doc = run(name)
+        assert(content == doc, s"$name grain divergence: " +
+          s"${(content.diff(doc) ++ doc.diff(content)).take(5)}")
+        assert(content.nonEmpty, s"$name produced no rows — the " +
+          "fixture no longer exercises the kernel")
+      }
+    } finally DedupQueries.forceGrainForTest = None
   }
 
   test("q297 census rows match a brute-force normalize/hash mirror") {
