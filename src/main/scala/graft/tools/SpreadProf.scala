@@ -88,6 +88,17 @@ object SpreadProf {
       liC.createOrReplaceTempView("graft_q183_li")
       timed("q183_semi_anti_on_ckpt")(spark.sql(sql183).count())
       cleanup()
+      // (d) round-19 verdict #4: the residual spread lives in the
+      // checkpoint WRITE — does a serialized columnar persist
+      // (MEMORY_AND_DISK_SER InMemoryRelation) of the same 3-column
+      // view pin it? cacheManager serves all three view references
+      // off the one cached relation, same compute-once effect.
+      val liP = liPlan.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      timed("q183_li_persist_ser")(liP.count())
+      liP.createOrReplaceTempView("graft_q183_li")
+      timed("q183_semi_anti_on_persist")(spark.sql(sql183).count())
+      cleanup()
       // ---------------- q90 ----------------
       val docs = t("documents")
       // (a) shipped doc-grain shape
