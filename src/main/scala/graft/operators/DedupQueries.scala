@@ -1433,7 +1433,12 @@ object DedupQueries {
       labels = labels.unionByName(prop)
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
-      val lblSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+      // SUM over an EMPTY label frame (a corpus with no near-dup
+      // pairs at all) aggregates to NULL — treat as 0 so the loop
+      // converges instead of NPE-ing (the q295/IvfIndexStream
+      // degenerate-input guard discipline)
+      val sumRow = labels.agg(sum(col("lbl"))).head()
+      val lblSum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
       converged = lblSum == prevSum
       prevSum = lblSum
       iter += 1

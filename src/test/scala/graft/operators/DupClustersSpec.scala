@@ -98,4 +98,14 @@ class DupClustersSpec extends AnyFunSuite {
     assert(intra.nonEmpty, "exact-copy plants must appear as intra rows")
     assert(intra.forall(_.getAs[Long]("n1") >= 2L))
   }
+
+  test("label propagation over an EMPTY pair graph converges to an empty frame without throwing") {
+    // degenerate-input guard (the q295/IvfIndexStream discipline): a
+    // corpus with no near-dup pairs feeds an empty edge set; the
+    // convergence SUM aggregates to NULL and must read as 0, not NPE
+    import spark.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(graft.operators.DedupQueries.dupClusterLabels(noPairs)
+      .count() == 0L)
+  }
 }
