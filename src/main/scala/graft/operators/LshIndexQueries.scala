@@ -66,17 +66,38 @@ object LshIndexQueries {
       .withColumn("nt", TextOps.norm(col("text")))
       .filter(col("nt").isNotNull)
       .select(col("doc_id"), md5(col("nt")).as("h"), col("nt"))
-    val grp = base.select(col("h"), col("nt"))
-      .repartition(col("h"))
-      .groupBy(col("h")).agg(min(col("nt")).as("nt"))
-      .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
-    val bands = DedupQueries
-      .minhashBandTable(grp.select(col("h"), col("sh")), "h")
-      .filter(col("bh").isNotNull)
-      .select(col("h"),
-        col("band_idx").cast(LongType).as("band_idx"), col("bh"))
-    base.select(col("doc_id"), col("h")).join(bands, "h")
-      .select(col("doc_id"), col("h"), col("band_idx"), col("bh"))
+    // Adaptive grain (round-20, the pair-family census applied to the
+    // index kernel): the signature depends only on the normalized
+    // text, so on a replicated corpus the shingle+8×MinHash work runs
+    // once per DISTINCT content and fans back per doc; on an
+    // unreplicated corpus the grouping shuffle dedupes nothing — the
+    // doc branch bands straight off the scan (h is still the content
+    // md5 in the output; only the plan forks). Both branches scan the
+    // text twice (slim census checkpoint + the shingle pass) — equal
+    // pass counts, the doc branch just drops the exchange.
+    val memb = base.select(col("doc_id"), col("h")).localCheckpoint()
+    if (DedupQueries.contentGrainByCensus(memb)) {
+      val grp = base.select(col("h"), col("nt"))
+        .repartition(col("h"))
+        .groupBy(col("h")).agg(min(col("nt")).as("nt"))
+        .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
+      val bands = DedupQueries
+        .minhashBandTable(grp.select(col("h"), col("sh")), "h")
+        .filter(col("bh").isNotNull)
+        .select(col("h"),
+          col("band_idx").cast(LongType).as("band_idx"), col("bh"))
+      memb.join(bands, "h")
+        .select(col("doc_id"), col("h"), col("band_idx"), col("bh"))
+    } else {
+      val withSh = base
+        .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
+      DedupQueries
+        .minhashBandTable(withSh.select(col("doc_id"), col("h"),
+          col("sh")), "doc_id", "h")
+        .filter(col("bh").isNotNull)
+        .select(col("doc_id"), col("h"),
+          col("band_idx").cast(LongType).as("band_idx"), col("bh"))
+    }
   }
 
   // -------------------------------------------------------------------
