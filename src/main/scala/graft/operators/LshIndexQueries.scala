@@ -66,38 +66,31 @@ object LshIndexQueries {
       .withColumn("nt", TextOps.norm(col("text")))
       .filter(col("nt").isNotNull)
       .select(col("doc_id"), md5(col("nt")).as("h"), col("nt"))
-    // Adaptive grain (round-20, the pair-family census applied to the
-    // index kernel): the signature depends only on the normalized
-    // text, so on a replicated corpus the shingle+8×MinHash work runs
-    // once per DISTINCT content and fans back per doc; on an
-    // unreplicated corpus the grouping shuffle dedupes nothing — the
-    // doc branch bands straight off the scan (h is still the content
-    // md5 in the output; only the plan forks). Both branches scan the
-    // text twice (slim census checkpoint + the shingle pass) — equal
-    // pass counts, the doc branch just drops the exchange.
-    val memb = base.select(col("doc_id"), col("h")).localCheckpoint()
-    if (DedupQueries.contentGrainByCensus(memb)) {
-      val grp = base.select(col("h"), col("nt"))
-        .repartition(col("h"))
-        .groupBy(col("h")).agg(min(col("nt")).as("nt"))
-        .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
-      val bands = DedupQueries
-        .minhashBandTable(grp.select(col("h"), col("sh")), "h")
-        .filter(col("bh").isNotNull)
-        .select(col("h"),
-          col("band_idx").cast(LongType).as("band_idx"), col("bh"))
-      memb.join(bands, "h")
-        .select(col("doc_id"), col("h"), col("band_idx"), col("bh"))
-    } else {
-      val withSh = base
-        .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
-      DedupQueries
-        .minhashBandTable(withSh.select(col("doc_id"), col("h"),
-          col("sh")), "doc_id", "h")
-        .filter(col("bh").isNotNull)
-        .select(col("doc_id"), col("h"),
-          col("band_idx").cast(LongType).as("band_idx"), col("bh"))
-    }
+    // CONTENT grain UNCONDITIONALLY — deliberately NOT census-gated
+    // like the pair family (round-20, measured): the groupBy is not
+    // only the dedupe, it is a PUSHDOWN BARRIER. A doc-grain variant
+    // (bands straight off the scan, lineage unbroken) let
+    // InferFiltersFromGenerate's `size(bands) > 0` predicate push
+    // through the projections INTO the parquet scan with the whole
+    // signature tree substituted — 8 `element_at(graft_minhash(
+    // graft_shingles(...)))` re-evaluations per scan row, measured
+    // 0.8 → 3.8 s on the kernel alone at sf0.1 (GrainProbe; the plan
+    // shows the inlined filter in the scan's DataFilters). q51's doc
+    // branch is immune because its shingle table is checkpointed (a
+    // hard barrier); here the aggregate is the barrier, and at ~1×
+    // replication the grouping costs only its own ~equal-cardinality
+    // aggregate — there is no toll worth a census.
+    val grp = base.select(col("h"), col("nt"))
+      .repartition(col("h"))
+      .groupBy(col("h")).agg(min(col("nt")).as("nt"))
+      .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
+    val bands = DedupQueries
+      .minhashBandTable(grp.select(col("h"), col("sh")), "h")
+      .filter(col("bh").isNotNull)
+      .select(col("h"),
+        col("band_idx").cast(LongType).as("band_idx"), col("bh"))
+    base.select(col("doc_id"), col("h")).join(bands, "h")
+      .select(col("doc_id"), col("h"), col("band_idx"), col("bh"))
   }
 
   // -------------------------------------------------------------------
