@@ -317,16 +317,24 @@ object DedupQueries {
     // defined at doc grain, and h never reaches an output column.
     val (memb, grp) = if (contentGrainByCensus(membH)) {
       // shuffle on h FIRST so no map-side partial buffers fat text
-      // (the q276/q284 discipline)
+      // (the q276/q284 discipline). Width pinned (round 21): the plain
+      // repartition(col) is AQE-coalescible, and the shingle projection
+      // downstream of the aggregate then ran on 1–3 partitions; the
+      // pinned width is the session's own shuffle width — identical at
+      // scale, parallel at small scale.
+      val p = base.sparkSession.sessionState.conf.numShufflePartitions
       val g = base.select(col("h"), col("nt"))
-        .repartition(col("h"))
+        .repartition(p, col("h"))
         .groupBy(col("h")).agg(min(col("nt")).as("nt"))
         .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
         .select(col("h"), col("sh"), size(col("sh")).as("nsh"))
         .localCheckpoint()
       (membH, g)
     } else {
-      val g = base
+      // round 21: widen the scan-shaped input before the per-doc
+      // shingle projection (single-row-group fixture files scan as one
+      // partition; no-op once the scan carries ≥ width partitions)
+      val g = widenCk(base, Seq(col("doc_id")))
         .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
         .select(col("doc_id").cast(StringType).as("h"), col("sh"),
           size(col("sh")).as("nsh"))
@@ -453,6 +461,68 @@ object DedupQueries {
       posexplode(col("bands")).as(Seq("band_idx", "bh")): _*)
   }
 
+  /** Parallelism floor for a CPU-dense projection over a MATERIALIZED
+    * input (round-21, guide §2.5 "input skew" applied to CPU): the
+    * fixture files are single-row-group (a scan cannot split them) and
+    * AQE coalesces small shuffles by BYTES, so a group/doc table of a
+    * few thousand rows lands in 1–3 partitions — and the
+    * 8×md5-per-shingle MinHash pass then runs serially on one core
+    * while the other 31 idle (measured: 2.6–3.0 s single-task stages
+    * carrying q241/q259/q266/q51 at sf0.1). Repartition BY KEY up to
+    * the session's shuffle width ONLY when the input has fewer
+    * partitions: at scale the input already carries ≥ width partitions
+    * and this is a no-op, so nothing here is tuned to local mode — the
+    * width is the deployment's own spark.sql.shuffle.partitions.
+    *
+    * CALLER CONTRACT: `df` must be exchange-free over a materialized
+    * source (narrow lineage over a localCheckpoint / file scan) —
+    * `.rdd` on a frame with pending exchanges would materialize AQE
+    * query stages, i.e. run jobs at plan time. */
+  private[graft] def widenCk(
+      df: DataFrame,
+      key: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < p) df.repartition(p, key: _*) else df
+  }
+
+  /** CHECKPOINTED (id…, ms, bands) MinHash signature table — the
+    * round-21 fix for the band self-join's hidden quadratic-ish cost.
+    * The lazy [[minhashBandTable]] under a self-join planned the
+    * 8×md5-per-shingle signature tree TWICE (once per join side), and
+    * InferFiltersFromGenerate's `size(bands) > 0` + the join's
+    * `isnotnull(bh)` pushed below the explode re-evaluated
+    * `graft_minhash(sh, 8)` up to 8× per row inside a Filter (the
+    * round-20 q251 lesson, latent in every band self-join): measured
+    * 2×2.6–3.0 s single-task stages per query at sf0.1. Materializing
+    * (ms, bands) once — on [[widenCk]]-widened partitioning — makes
+    * every downstream reference (self-join sides, verify joins,
+    * estimator reads) a cheap scan of the checkpoint, and the
+    * checkpoint is a hard pushdown barrier, so no inferred filter can
+    * drag the signature tree anywhere. Output columns and rows are
+    * bit-identical to the lazy form (same expressions, same NULL
+    * propagation for empty shingle sets). */
+  private[graft] def minhashSigTable(
+      withSh: DataFrame, idCols: String*): DataFrame = {
+    val in = widenCk(withSh, idCols.map(col))
+    val withMin = in.withColumn("ms",
+      graft.plans.MinHashSig.minhashSig(col("sh"), 8))
+    val withBands = withMin.withColumn("bands",
+      array((0 until 4).map(j =>
+        md5(concat(element_at(col("ms"), 2 * j + 1),
+          element_at(col("ms"), 2 * j + 2)))): _*))
+    withBands.select(idCols.map(col) :+ col("ms") :+ col("bands"): _*)
+      .localCheckpoint()
+  }
+
+  /** [[minhashBandTable]]'s exploded (id…, band_idx, bh) rows, served
+    * off the [[minhashSigTable]] checkpoint — use this form wherever
+    * the band table is self-joined or otherwise read more than once. */
+  private[graft] def minhashBandTableCk(
+      withSh: DataFrame, idCols: String*): DataFrame =
+    minhashSigTable(withSh, idCols: _*)
+      .select(idCols.map(col) :+
+        posexplode(col("bands")).as(Seq("band_idx", "bh")): _*)
+
   private[graft] def lshBandParts(docs: DataFrame): (DataFrame, DataFrame) = {
     // materialize the shingle-set table, then the band signature
     // table: every downstream branch (band self-join sides, the two
@@ -462,8 +532,7 @@ object DedupQueries {
       .withColumn("sh",
         TextOps.shingleSet(TextOps.words(col("text")), 5))
       .localCheckpoint()
-    val ex = minhashBandTable(c, "doc_id")
-      .localCheckpoint()
+    val ex = minhashBandTableCk(c, "doc_id")
     val cand = ex.alias("a")
       .join(ex.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -514,7 +583,7 @@ object DedupQueries {
           .withColumn("nsh", size(col("sh")).cast(LongType))
           .drop("nt")
           .localCheckpoint()
-        val bands = minhashBandTable(grp.select(col("g"), col("sh")), "g")
+        val bands = minhashBandTableCk(grp.select(col("g"), col("sh")), "g")
         val cand = bands.alias("a")
           .join(bands.alias("b"),
             col("a.band_idx") === col("b.band_idx") &&
@@ -552,7 +621,7 @@ object DedupQueries {
           .select(col("doc_id"), col("sh"),
             size(col("sh")).cast(LongType).as("nsh"))
           .localCheckpoint()
-        val bands = minhashBandTable(
+        val bands = minhashBandTableCk(
           shTab.select(col("doc_id"), col("sh")), "doc_id")
         val cand = bands.alias("a")
           .join(bands.alias("b"),
@@ -968,7 +1037,7 @@ object DedupQueries {
         .withColumn("nsh", size(col("sh")))
         .drop("nt")
         .localCheckpoint()
-      val bands = minhashBandTable(grp.select(col("g"), col("sh")), "g")
+      val bands = minhashBandTableCk(grp.select(col("g"), col("sh")), "g")
       val cand = bands.alias("a")
         .join(bands.alias("b"),
           col("a.band_idx") === col("b.band_idx") &&
@@ -1093,8 +1162,11 @@ object DedupQueries {
     val memb = base.select(col("doc_id"), col("h")).localCheckpoint()
     val contentGrain = contentGrainByCensus(memb)
     if (contentGrain) {
+      // width pinned (round 21) — see prunedParts: the AQE-coalesced
+      // aggregate starved the shingle projection of parallelism
+      val p = base.sparkSession.sessionState.conf.numShufflePartitions
       val grp = base.select(col("h"), col("nt"))
-        .repartition(col("h"))
+        .repartition(p, col("h"))
         .groupBy(col("h")).agg(min(col("nt")).as("nt"))
         .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
         .select(col("h"), col("sh"), size(col("sh")).as("nsh"))
@@ -1103,8 +1175,10 @@ object DedupQueries {
     } else {
       // doc grain: the doc id IS the group key (unique by
       // construction — no grouping shuffle, shingles straight off the
-      // scan); memb re-keys off the cached frame, zero extra passes
-      val grp = base
+      // scan); memb re-keys off the cached frame, zero extra passes.
+      // round 21: widened before the per-doc shingle projection
+      // (no-op once the scan carries ≥ width partitions)
+      val grp = widenCk(base, Seq(col("doc_id")))
         .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
         .select(col("doc_id").cast(StringType).as("h"), col("sh"),
           size(col("sh")).as("nsh"))
@@ -1192,7 +1266,13 @@ object DedupQueries {
     // one row per (shingle, content) — never the exploded doc fan.
     // Stage 2 takes the exact doc-grain cap natively: flatten the
     // ≤k surviving ascending id lists, sort, slice k.
-    val kept = grp.select(col("h"), explode(col("sh")).as("s"))
+    // round 21: widen the explode input — the checkpointed group table
+    // sits in 1–3 partitions at small scale and the explode + typed
+    // partial aggregate then run near-serial (measured 1.4 s of q112's
+    // ~4 s); at scale the checkpoint already carries ≥ width partitions
+    // and widenCk is a no-op
+    val kept = widenCk(grp.select(col("h"), col("sh")), Seq(col("h")))
+      .select(col("h"), explode(col("sh")).as("s"))
       .join(hTop, "h")
       .select(col("s"), col("ids")).as[(String, Seq[Long])]
       .groupByKey(_._1)
@@ -2008,14 +2088,24 @@ object DedupQueries {
     // concat propagates the NULL, the band hash stays NULL, and a
     // null key never equi-joins: short docs generate no candidates
     // on either engine.
-    def bandsOf(c: DataFrame): DataFrame = c
-      .withColumn("ms", graft.plans.MinHashSig.minhashSig(
-        col("sh"), bands * rowsPerBand))
-      .withColumn("bands", array((0 until bands).map(j =>
-        md5(concat((0 until rowsPerBand).map(r =>
-          element_at(col("ms"), rowsPerBand * j + r + 1)): _*))): _*))
-      .select(col("h"),
+    // round 21: the signature pass is widened + checkpointed per side
+    // (minhashSigTable discipline) — the lazy form re-evaluated the
+    // ms tree inside the join's inferred `isnotnull(bh)`/size filters
+    // up to `bands`× per row, single-task (measured 2.4–2.6 s on the
+    // train side at sf0.1); the checkpoint computes it once, parallel,
+    // and is the pushdown barrier
+    def bandsOf(c: DataFrame): DataFrame = {
+      val sig = widenCk(c.select(col("h"), col("sh")), Seq(col("h")))
+        .withColumn("ms", graft.plans.MinHashSig.minhashSig(
+          col("sh"), bands * rowsPerBand))
+        .withColumn("bands", array((0 until bands).map(j =>
+          md5(concat((0 until rowsPerBand).map(r =>
+            element_at(col("ms"), rowsPerBand * j + r + 1)): _*))): _*))
+        .select(col("h"), col("bands"))
+        .localCheckpoint()
+      sig.select(col("h"),
         posexplode(col("bands")).as(Seq("band_idx", "bh")))
+    }
     val (bandsT, bandsE0) = (bandsOf(tg), bandsOf(eg))
     // measurement is free: eg is localCheckpoint'd, so this count
     // reads cached blocks; bands are exactly `bands` rows per eval
@@ -2424,14 +2514,19 @@ object DedupQueries {
         .withColumn("nt", TextOps.norm(col("text")))
         .filter(col("nt").isNotNull)
         .select(md5(col("nt")).as("g"), col("nt"))
+      // round 21: ms no longer computed inside the grp checkpoint (one
+      // serial single-task pass) and the band table no longer re-plans
+      // the signature tree per self-join side — ONE widened
+      // minhashSigTable checkpoint serves bands AND the estimator's ms
       val grp = c.groupBy(col("g"))
         .agg(count(lit(1)).as("nd"), min(col("nt")).as("nt"))
         .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
         .withColumn("nsh", size(col("sh")).cast(LongType))
-        .withColumn("ms", graft.plans.MinHashSig.minhashSig(col("sh"), 8))
         .drop("nt")
         .localCheckpoint()
-      val bands = minhashBandTable(grp.select(col("g"), col("sh")), "g")
+      val sig = minhashSigTable(grp.select(col("g"), col("sh")), "g")
+      val bands = sig.select(col("g"),
+        posexplode(col("bands")).as(Seq("band_idx", "bh")))
       val cand = bands.alias("a")
         .join(bands.alias("b"),
           col("a.band_idx") === col("b.band_idx") &&
@@ -2440,11 +2535,11 @@ object DedupQueries {
         .distinct()
       val cross = cand
         .join(grp.select(col("g").as("g1"), col("sh").as("sh1"),
-          col("nsh").as("m1"), col("ms").as("ms1"),
-          col("nd").as("nd1")), "g1")
+          col("nsh").as("m1"), col("nd").as("nd1")), "g1")
         .join(grp.select(col("g").as("g2"), col("sh").as("sh2"),
-          col("nsh").as("m2"), col("ms").as("ms2"),
-          col("nd").as("nd2")), "g2")
+          col("nsh").as("m2"), col("nd").as("nd2")), "g2")
+        .join(sig.select(col("g").as("g1"), col("ms").as("ms1")), "g1")
+        .join(sig.select(col("g").as("g2"), col("ms").as("ms2")), "g2")
         .withColumn("inter", size(array_intersect(col("sh1"), col("sh2")))
           .cast(LongType))
         .withColumn("uni", col("m1") + col("m2") - col("inter"))
@@ -2636,7 +2731,7 @@ object DedupQueries {
         .localCheckpoint()
       val bySrc = c.groupBy(col("g"), col("source"))
         .agg(count(lit(1)).as("cnt"))
-      val bands = minhashBandTable(grp.select(col("g"), col("sh")), "g")
+      val bands = minhashBandTableCk(grp.select(col("g"), col("sh")), "g")
       val cand = bands.alias("a")
         .join(bands.alias("b"),
           col("a.band_idx") === col("b.band_idx") &&
@@ -2747,6 +2842,8 @@ object DedupQueries {
     Q(
       "q269_banding_sweep",
       (s, dir) => {
+        // round 21: ms off the widened minhashSigTable checkpoint (one
+        // parallel pass) instead of a serial in-checkpoint projection
         val grp = corpus(t(s, dir, "documents"))
           .withColumn("nt", TextOps.norm(col("text")))
           .filter(col("nt").isNotNull)
@@ -2755,10 +2852,9 @@ object DedupQueries {
           .agg(count(lit(1)).as("nd"), min(col("nt")).as("nt"))
           .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
           .withColumn("nsh", size(col("sh")).cast(LongType))
-          .withColumn("ms",
-            graft.plans.MinHashSig.minhashSig(col("sh"), 8))
           .drop("nt")
           .localCheckpoint()
+        val sig = minhashSigTable(grp.select(col("g"), col("sh")), "g")
         val bandCols = configs.flatMap { case (cfg, b, r) =>
           (0 until b).map { j =>
             struct(lit(cfg).as("cfg"), lit(j).as("band_idx"),
@@ -2766,7 +2862,7 @@ object DedupQueries {
                 element_at(col("ms"), j * r + i + 1)): _*)).as("bh"))
           }
         }
-        val bands = grp.select(col("g"),
+        val bands = sig.select(col("g"),
           explode(array(bandCols: _*)).as("t"))
           .select(col("g"), col("t.cfg"), col("t.band_idx"), col("t.bh"))
         val cand = bands.alias("a")
