@@ -1290,10 +1290,7 @@ object DedupQueries {
   private[graft] def containmentDecontamParts(
       train: DataFrame, evalDocs: DataFrame, tau: Double = 0.8)
       : (DataFrame, DataFrame) = {
-    val (tm, tg) = decontamShingleParts(
-      train.select(col("doc_id"), col("text")))
-    val (em, eg) = decontamShingleParts(
-      evalDocs.select(col("doc_id"), col("text")))
+    val (tm, tg, em, eg) = bothSides(train, evalDocs)
     containmentDecontamPartsOn(tm, tg, em, eg, tau)
   }
 
@@ -2063,11 +2060,29 @@ object DedupQueries {
       train: DataFrame, evalDocs: DataFrame,
       bands: Int = 4, rowsPerBand: Int = 2, tau: Double = 0.5)
       : (DataFrame, DataFrame) = {
-    val (tm, tg) = decontamShingleParts(
-      train.select(col("doc_id"), col("text")))
-    val (em, eg) = decontamShingleParts(
-      evalDocs.select(col("doc_id"), col("text")))
+    val (tm, tg, em, eg) = bothSides(train, evalDocs)
     lshDecontamPartsOn(tm, tg, em, eg, bands, rowsPerBand, tau)
+  }
+
+  /** Both sides' [[decontamShingleParts]] built CONCURRENTLY (round 21,
+    * guide §2.6 "overlap independent jobs"): each side's construction
+    * runs eager checkpoint + census jobs over tiny frames, and running
+    * them sequentially left the cluster idle during every job's tail —
+    * the train and eval subtrees share nothing, so their jobs
+    * back-fill each other under the default FIFO scheduler. Identical
+    * plans, identical results; only job SUBMISSION overlaps. */
+  private[graft] def bothSides(train: DataFrame, evalDocs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tf = Future(decontamShingleParts(
+      train.select(col("doc_id"), col("text"))))
+    val ef = Future(decontamShingleParts(
+      evalDocs.select(col("doc_id"), col("text"))))
+    val (tm, tg) = Await.result(tf, Duration.Inf)
+    val (em, eg) = Await.result(ef, Duration.Inf)
+    (tm, tg, em, eg)
   }
 
   /** LSH kernel over PRE-BUILT content-grain parts (see
@@ -2106,7 +2121,15 @@ object DedupQueries {
       sig.select(col("h"),
         posexplode(col("bands")).as(Seq("band_idx", "bh")))
     }
-    val (bandsT, bandsE0) = (bandsOf(tg), bandsOf(eg))
+    // the two sides' signature checkpoints are independent — overlap
+    // their jobs (guide §2.6)
+    val (bandsT, bandsE0) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val (tf, ef) = (Future(bandsOf(tg)), Future(bandsOf(eg)))
+      (Await.result(tf, Duration.Inf), Await.result(ef, Duration.Inf))
+    }
     // measurement is free: eg is localCheckpoint'd, so this count
     // reads cached blocks; bands are exactly `bands` rows per eval
     // CONTENT — an even smaller broadcast than the old per-doc table
@@ -2241,33 +2264,48 @@ object DedupQueries {
           .as("text"))
       // paraphrase plant: substituted text (kills every 5-gram) tied
       // to a perturbed copy of the doc's embedding via doc_id==vec_id
-      val para = base
-        .select(col("doc_id"), (col("doc_id") * -2 - 3).as("eval_id"),
-          array_join(transform(col("w"), (x, i) =>
-            when(i % 2 === 1, lit("xq")).otherwise(x)), " ").as("text"))
-        .join(t(s, dir, "embeddings").select(col("vec_id"),
-          transform(col("embedding"), x => x.cast(DoubleType)).as("v0")),
-          col("doc_id") === col("vec_id"))
-        .select(col("eval_id"), col("text"),
-          transform(col("v0"), (x, i) =>
-            when(i % 7 === 0, x + lit(0.01)).otherwise(x)).as("v"))
-        .localCheckpoint()
+      // round 21 (guide §2.6): the verdict's subtrees are independent
+      // until the final assembly — para/train/eval part construction
+      // and the semantic arm's bucket checkpoints each run eager jobs
+      // over tiny frames, and sequential construction serialized ~25
+      // such jobs; overlapping their SUBMISSION back-fills the idle
+      // cores with identical plans and identical results
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val trainF = Future(decontamShingleParts(
+        docs.select(col("doc_id"), col("text"))))
+      val paraF = Future {
+        base
+          .select(col("doc_id"), (col("doc_id") * -2 - 3).as("eval_id"),
+            array_join(transform(col("w"), (x, i) =>
+              when(i % 2 === 1, lit("xq")).otherwise(x)), " ").as("text"))
+          .join(t(s, dir, "embeddings").select(col("vec_id"),
+            transform(col("embedding"), x => x.cast(DoubleType)).as("v0")),
+            col("doc_id") === col("vec_id"))
+          .select(col("eval_id"), col("text"),
+            transform(col("v0"), (x, i) =>
+              when(i % 7 === 0, x + lit(0.01)).otherwise(x)).as("v"))
+          .localCheckpoint()
+      }
+      val para = Await.result(paraF, Duration.Inf)
       val evalDocs = nearCopy.unionByName(embedded)
         .unionByName(para.select(col("eval_id").as("doc_id"), col("text")))
       // shared-kernel discipline, round 15 (content-grain since round
       // 18): each side's tokenize+shingle pass materializes ONCE — at
       // one row per DISTINCT content — and feeds both lexical arms
-      val (tm, tg) = decontamShingleParts(
-        docs.select(col("doc_id"), col("text")))
-      val (em, eg) = decontamShingleParts(
-        evalDocs.select(col("doc_id"), col("text")))
+      val evalF = Future(decontamShingleParts(
+        evalDocs.select(col("doc_id"), col("text"))))
+      val semF = Future(SimilarityQueries.semanticDecontamParts(
+        t(s, dir, "embeddings").select(col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("v")),
+        para.select(col("eval_id"), col("v")))._2)
+      val (tm, tg) = Await.result(trainF, Duration.Inf)
+      val (em, eg) = Await.result(evalF, Duration.Inf)
       val lsh = lshDecontamPartsOn(tm, tg, em, eg,
         bands = 8, rowsPerBand = 1, tau = 0.5)._2
       val con = containmentDecontamPartsOn(tm, tg, em, eg)._2
-      val sem = SimilarityQueries.semanticDecontamParts(
-        t(s, dir, "embeddings").select(col("vec_id"),
-          transform(col("embedding"), x => x.cast(DoubleType)).as("v")),
-        para.select(col("eval_id"), col("v")))._2
+      val sem = Await.result(semF, Duration.Inf)
       lsh.join(con, Seq("train_id", "eval_id"), "full_outer")
         .select(col("train_id"), col("eval_id"),
           col("jac"), col("containment"),
