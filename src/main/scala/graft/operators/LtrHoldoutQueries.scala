@@ -160,10 +160,21 @@ object LtrHoldoutQueries {
     * 0; q292 rotates all three). Deterministic: seeded GBT over a
     * materialized deterministic frame. */
   private[graft] def heldoutRerank(feats: DataFrame,
-      fold: Long = 0L): DataFrame = {
-    val labeled = feats
-      .withColumn("rel_d", col("rel_u").cast(DoubleType))
-      .localCheckpoint()
+      fold: Long = 0L): DataFrame =
+    heldoutRerankOn(
+      feats.withColumn("rel_d", col("rel_u").cast(DoubleType))
+        .localCheckpoint(),
+      fold)
+
+  /** [[heldoutRerank]] over a PRE-CHECKPOINTED labeled frame — q292
+    * builds the labeled checkpoint once and fits its folds
+    * concurrently (round 21, guide §2.6: each fold's seeded GBT fit is
+    * a chain of tiny jobs whose cost is per-job scheduling latency;
+    * the folds share nothing, so overlapping them collapses wall time
+    * without changing any result — the q63/CrossValidator-parallelism
+    * pattern). */
+  private[graft] def heldoutRerankOn(labeled: DataFrame,
+      fold: Long): DataFrame = {
     val assembler = new VectorAssembler()
       .setInputCols(Array("bm25f", "simf", "dl", "overlap_cnt",
         "densein"))
@@ -304,8 +315,22 @@ object LtrHoldoutQueries {
     (s, dir) => {
       val feats = features(s, dir).localCheckpoint()
       val discLit = typedlit(disc)
-      val folds = (0L until qterms.size.toLong).map { f =>
-        heldoutRerank(feats, f).agg(
+      // ONE labeled checkpoint shared by every fold (was one per fold)
+      // and the seeded per-fold GBT fits run concurrently — identical
+      // models, identical rows; only job submission overlaps
+      val labeled = feats
+        .withColumn("rel_d", col("rel_u").cast(DoubleType))
+        .localCheckpoint()
+      val reranked = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        (0L until qterms.size.toLong)
+          .map(f => f -> Future(heldoutRerankOn(labeled, f)))
+          .map { case (f, fut) => f -> Await.result(fut, Duration.Inf) }
+      }
+      val folds = reranked.map { case (f, df) =>
+        df.agg(
           dcgTerm(col("rerank_rank"), discLit).as("dcg_rerank"),
           dcgTerm(col("fused_rank"), discLit).as("dcg_fused"),
           count_distinct(col("pred")).as("n_pred"),
