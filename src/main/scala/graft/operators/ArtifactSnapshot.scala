@@ -33,10 +33,22 @@ object ArtifactSnapshot {
       : Map[String, () => DataFrame] = {
     val fp = BpeQueries.fingerprint(s, dir)
     // resolve-or-build every family FIRST (the artifact layer's
-    // loadOrBuild publishes write-once per corpus fingerprint)
-    val lsh = LshIndexQueries.mergedIndex(s, dir)
-    val clust = ClusterIndexQueries.mergedParts(s, dir)
-    val lex = LexIndexQueries.mergedStats(s, dir)
+    // loadOrBuild publishes write-once per corpus fingerprint).
+    // round 21 (guide §2.6): the three families are independent
+    // artifacts — resolve them concurrently so one family's
+    // load/build jobs back-fill another's tail; each loadOrBuild is
+    // internally memoized and write-once, so concurrent resolution
+    // changes nothing about what is built or read
+    val (lsh, clust, lex) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val lf = Future(LshIndexQueries.mergedIndex(s, dir))
+      val cf = Future(ClusterIndexQueries.mergedParts(s, dir))
+      val xf = Future(LexIndexQueries.mergedStats(s, dir))
+      (Await.result(lf, Duration.Inf), Await.result(cf, Duration.Inf),
+        Await.result(xf, Duration.Inf))
+    }
     val paths = Map(
       "lsh_rows" ->
         s"${LshIndexQueries.artifactPath(s, dir, "merged")}/rows",
