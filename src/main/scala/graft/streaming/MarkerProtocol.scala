@@ -50,8 +50,19 @@ private[streaming] object MarkerProtocol {
   def isComplete(f: java.io.File): Boolean =
     new java.io.File(f, Marker).isFile
 
+  /** @param deleteDebris sweep same-target `.tmp-` leftovers on entry.
+    *   True for the four single-writer artifact callers (same-target
+    *   tmp leftovers are always crash debris there — scaladoc above).
+    *   MUST be false for callers that support CONCURRENT publishers
+    *   racing on the same target (SnapshotManifest's collapse-to-one-
+    *   winner id allocation): a losing publisher entering publish()
+    *   would otherwise delete the winner's in-flight tmp, and the
+    *   winner's subsequent marker create would resurrect the tmp dir
+    *   and rename a COMPLETE target containing only the marker
+    *   (round-20 ADVICE #1; SnapshotManifestSpec pins the race). */
   def publish(spark: SparkSession, target: String,
-      overwrite: Boolean)(write: Path => Boolean): Boolean = {
+      overwrite: Boolean, deleteDebris: Boolean = true)(
+      write: Path => Boolean): Boolean = {
     val base = new Path(target)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ok = new Path(base, Marker)
@@ -59,10 +70,11 @@ private[streaming] object MarkerProtocol {
     val prefix = s".tmp-${base.getName}-"
     // same-target crash debris (see scaladoc): deletable here, and
     // deleting it here is what keeps debris bounded (round-18 #4)
-    (try fs.listStatus(base.getParent)
-     catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] })
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-      .foreach(st => fs.delete(st.getPath, true))
+    if (deleteDebris)
+      (try fs.listStatus(base.getParent)
+       catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] })
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+        .foreach(st => fs.delete(st.getPath, true))
     val tmp = new Path(base.getParent,
       prefix + java.util.UUID.randomUUID().toString.take(8))
     if (!write(tmp)) { fs.delete(tmp, true); return false }

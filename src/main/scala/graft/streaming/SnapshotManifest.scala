@@ -70,8 +70,16 @@ object SnapshotManifest {
       .map(_ + 1).getOrElse(0L)
     var won = false
     while (!won) {
+      // deleteDebris=false: manifest ids are allocated by RACING
+      // publishers (collapse-to-one-winner by design), so another
+      // publisher's same-id tmp is an in-flight write, not crash
+      // debris — sweeping it could publish a COMPLETE manifest with
+      // no entries file (round-20 ADVICE #1). Loser tmps are deleted
+      // by their own publish() calls; true crash debris under
+      // _manifests is marker-less and readers skip it.
       won = MarkerProtocol.publish(spark,
-        s"${manifestsDir(root)}/manifest=$id", overwrite = false) { tmp =>
+        s"${manifestsDir(root)}/manifest=$id", overwrite = false,
+        deleteDebris = false) { tmp =>
         val out = fs.create(new Path(tmp, "entries"), true)
         val text = entries.toSeq.sorted
           .map { case (k, v) => s"$k=$v" }.mkString("\n")
@@ -94,6 +102,12 @@ object SnapshotManifest {
     val fs = fsOf(conf, root)
     val dir = new Path(s"${manifestsDir(root)}/manifest=$id")
     if (!fs.exists(new Path(dir, MarkerProtocol.Marker))) return None
+    // a marker-present dir WITHOUT an entries file is debris (e.g. a
+    // partial object-store rename), not a readable manifest — treat
+    // as incomplete so readers, liveC/newest and GC floors skip it
+    // instead of crashing every compact/gc/pinned read at this root
+    // until the dir is hand-deleted (round-20 ADVICE #2)
+    if (!fs.exists(new Path(dir, "entries"))) return None
     val in = fs.open(new Path(dir, "entries"))
     val bytes =
       try {
