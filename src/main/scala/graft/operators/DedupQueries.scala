@@ -354,8 +354,8 @@ object DedupQueries {
     // the ×100 fixture in BlockManager.doPut; a partition must fit
     // in a task's memory — same discipline as the bench's
     // maxPartitionBytes note)
-    val exKept = cappedPostingsGrouped(memb, grp)
-      .repartition(col("s"))
+    val exKept = ShufflePlan.pinnedByKey(
+      cappedPostingsGrouped(memb, grp), col("s"))
       .localCheckpoint()
     val cand = exKept.alias("a")
       .join(exKept.alias("b"),

@@ -83,6 +83,22 @@ object ShufflePlan {
     * unbounded again, so deployments should raise the cap to
     * O(totalCores × a small factor) via spark.sql.shuffle.partitions,
     * which this floor tracks. */
+  /** Hash-repartition by key at the session's PINNED shuffle width
+    * (round 21): `df.repartition(col)` without a count is
+    * REPARTITION_BY_COL, which AQE may coalesce by BYTES — and every
+    * content-grain kernel that shuffles slim text rows and then runs a
+    * CPU-dense projection (shingles, regexp tokenize, MinHash) on the
+    * aggregate's output inherited 1–3 post-coalesce partitions at
+    * small inputs, serializing md5-heavy work on one core. Pinning the
+    * count (REPARTITION_BY_NUM) keeps the width AQE would have used
+    * before coalescing — identical at scale, parallel at small scale;
+    * the width is the deployment's own spark.sql.shuffle.partitions,
+    * so nothing is tuned to local mode. */
+  def pinnedByKey(df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, key: _*)
+
   def dedupParts(df: org.apache.spark.sql.DataFrame,
       inputRows: Long): Int = {
     val base = df.sparkSession.conf

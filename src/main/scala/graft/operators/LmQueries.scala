@@ -247,8 +247,8 @@ object LmQueries {
           col("nt"))
       val memb = base.select(col("doc_id"), col("source"), col("h"))
         .localCheckpoint()
-      val hb = base.select(col("h"), col("nt"))
-        .repartition(col("h"))
+      val hb = graft.operators.ShufflePlan.pinnedByKey(
+        base.select(col("h"), col("nt")), col("h"))
         .groupBy(col("h")).agg(min(col("nt")).as("nt"))
         .withColumn("ws", split(col("nt"), " "))
         // bigrams as zip_with over the array and its tail — never

@@ -80,8 +80,8 @@ object LshIndexQueries {
     // hard barrier); here the aggregate is the barrier, and at ~1×
     // replication the grouping costs only its own ~equal-cardinality
     // aggregate — there is no toll worth a census.
-    val grp = base.select(col("h"), col("nt"))
-      .repartition(col("h"))
+    val grp = ShufflePlan.pinnedByKey(
+      base.select(col("h"), col("nt")), col("h"))
       .groupBy(col("h")).agg(min(col("nt")).as("nt"))
       .withColumn("sh", TextOps.shingleSet(split(col("nt"), " "), 5))
     val bands = DedupQueries

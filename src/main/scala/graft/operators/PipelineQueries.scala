@@ -94,9 +94,8 @@ object PipelineQueries {
         .select(col("doc_id"), md5(col("nt")).as("h"), col("nt"))
         .localCheckpoint()
       if (DedupQueries.contentGrainByCensus(base))
-        base
-          .select(col("h"), col("nt"))
-          .repartition(col("h"))
+        ShufflePlan.pinnedByKey(
+          base.select(col("h"), col("nt")), col("h"))
           .groupBy(col("h"))
           .agg(count(lit(1)).as("n_docs"), min(col("nt")).as("nt"))
           .select(col("n_docs"),
@@ -627,8 +626,8 @@ object PipelineQueries {
           .filter(col("nt").isNotNull)
           .select(col("doc_id"), md5(col("nt")).as("h"), col("nt"))
         val memb = base.select(col("doc_id"), col("h")).localCheckpoint()
-        val ex = base.select(col("h"), col("nt"))
-          .repartition(col("h"))
+        val ex = ShufflePlan.pinnedByKey(
+          base.select(col("h"), col("nt")), col("h"))
           .groupBy(col("h")).agg(min(col("nt")).as("nt"))
           .withColumn("sh",
             TextOps.shingleSet(split(col("nt"), " "), 8))

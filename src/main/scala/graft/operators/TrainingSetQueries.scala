@@ -858,8 +858,8 @@ object TrainingSetQueries {
           .select(col("lang"), col("doc_id"),
             TextOps.norm(col("text")).as("nt"))
           .filter(col("nt").isNotNull)
-        val hstats = base.select(md5(col("nt")).as("h"), col("nt"))
-          .repartition(col("h"))
+        val hstats = ShufflePlan.pinnedByKey(
+          base.select(md5(col("nt")).as("h"), col("nt")), col("h"))
           .groupBy(col("h")).agg(min(col("nt")).as("nt"))
           .withColumn("w", regexp_extract_all(col("nt"),
             lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
