@@ -92,7 +92,14 @@ object ClusterIndexQueries {
 
   /** Content groups (h, nt) for a doc subset: the q276 shape — shuffle
     * on h FIRST so no map-side partial ever buffers fat text values
-    * over a fat scan partition. */
+    * over a fat scan partition. Deliberately NOT width-pinned (round
+    * 21): the wave-4 pin was A/B'd here and REGRESSED q284/q289 at
+    * sf0.1 (+0.1–0.3 s) — the frames this shapes (arriving shard,
+    * touched survivors) are small, so the pinned 32-way fan only
+    * multiplies downstream task floors through the propagation loop,
+    * while at ×100 the byte-based AQE coalescing never collapses the
+    * width anyway. The pin pays only where a measured multi-second
+    * serial stage exists (prunedParts/decontamShingleParts). */
   private def contentGroups(docs: DataFrame): DataFrame =
     DedupQueries.corpus(docs)
       .withColumn("nt", TextOps.norm(col("text")))
@@ -495,7 +502,17 @@ object ClusterIndexQueries {
     (s, dir) => {
       val parts = mergedParts(s, dir)
       val docs = t(s, dir, "documents")
-      val memb = membership(docs).localCheckpoint()
+      // round 21 (guide §2.6): the three input checkpoints — corpus
+      // membership, artifact sigs, artifact labels — share nothing;
+      // overlap their materialization jobs (identical frames, only
+      // job submission overlaps)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val membF = Future(membership(docs).localCheckpoint())
+      val sigsF = Future(parts("sigs")().localCheckpoint())
+      val labelsF = Future(parts("labels")().localCheckpoint())
+      val memb = Await.result(membF, Duration.Inf)
       // content grain: deleted iff NO surviving member doc
       val delH = memb
         .groupBy(col("h"))
@@ -503,8 +520,8 @@ object ClusterIndexQueries {
           .as("alive"))
         .filter(col("alive") === 0).select(col("h"))
       val (_, labels) = delCore(
-        parts("sigs")().localCheckpoint(),
-        parts("labels")().localCheckpoint(),
+        Await.result(sigsF, Duration.Inf),
+        Await.result(labelsF, Duration.Inf),
         delH,
         survH => withShingles(contentGroups(docs)
           .join(survH, Seq("h"), "left_semi")))
@@ -536,45 +553,64 @@ object ClusterIndexQueries {
       // joins read versions a single manifest pinned together, never
       // a mix of resolutions that interleaved with a publish.
       val snap = ArtifactSnapshot.pinned(s, dir)
+      def cnt(df: DataFrame): Long = df.count()
+      // round 21 (guide §2.6 "overlap independent jobs"): the four
+      // artifact families' before/after derivations share NOTHING
+      // downstream of the pinned snapshot — the cluster family's
+      // delCore repair (checkpoints + the propagation loop) is the
+      // long pole, and the other three families' count jobs back-fill
+      // its idle tails under FIFO. Identical frames, identical counts;
+      // only job submission overlaps.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       // --- LSH signature index (doc grain) ---
-      val idx = snap("lsh_rows")()
-      val idxAfter = idx.join(
-        docs.filter(isRetracted(col("doc_id"))).select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
+      val lshF = Future {
+        val idx = snap("lsh_rows")()
+        val idxAfter = idx.join(
+          docs.filter(isRetracted(col("doc_id"))).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        ("lsh_signature_rows", cnt(idx), cnt(idxAfter))
+      }
       // --- cluster labels (content grain, planted corpus) ---
-      val memb = membership(docs).localCheckpoint()
-      val delH = memb.groupBy(col("h"))
-        .agg(max(when(!isRetracted(col("doc_id")), 1L).otherwise(0L))
-          .as("alive"))
-        .filter(col("alive") === 0).select(col("h"))
-      val (_, labelsAfter) = delCore(
-        snap("cluster_sigs")().localCheckpoint(),
-        snap("cluster_labels")().localCheckpoint(),
-        delH,
-        survH => withShingles(contentGroups(docs)
-          .join(survH, Seq("h"), "left_semi")))
+      val clusterF = Future {
+        val memb = membership(docs).localCheckpoint()
+        val delH = memb.groupBy(col("h"))
+          .agg(max(when(!isRetracted(col("doc_id")), 1L).otherwise(0L))
+            .as("alive"))
+          .filter(col("alive") === 0).select(col("h"))
+        val (_, labelsAfter) = delCore(
+          snap("cluster_sigs")().localCheckpoint(),
+          snap("cluster_labels")().localCheckpoint(),
+          delH,
+          survH => withShingles(contentGroups(docs)
+            .join(survH, Seq("h"), "left_semi")))
+        ("cluster_label_rows", cnt(snap("cluster_labels")()),
+          cnt(labelsAfter))
+      }
       // --- BM25 vocabulary (term grain) ---
-      val (dfAfter, _) = LexIndexQueries.subtractStats(
-        snap("lex_df")(), snap("lex_meta")(),
-        docs.filter(isRetracted(col("doc_id"))))
+      val bm25F = Future {
+        val (dfAfter, _) = LexIndexQueries.subtractStats(
+          snap("lex_df")(), snap("lex_meta")(),
+          docs.filter(isRetracted(col("doc_id"))))
+        ("bm25_vocab_terms", cnt(snap("lex_df")()), cnt(dfAfter))
+      }
       // --- IVF assignments (vector grain): q293's REAL artifact and
       // repair path — the frozen-centroid assignment frame and its
       // tombstone anti-join (shared helper ivfAssigned, so a
       // dropped/duplicated row in the assignment path is VISIBLE to
       // this audit; the oracle's embeddings COUNT agrees only because
       // the assignment emits exactly one row per vector) ---
-      val assigned = snap("ivf_assigned")().localCheckpoint()
-      val assignedAfter = assigned.join(
-        assigned.filter(isRetracted(col("vec_id")))
-          .select(col("vec_id")),
-        Seq("vec_id"), "left_anti")
-      def cnt(df: DataFrame): Long = df.count()
-      val rows = Seq(
-        ("bm25_vocab_terms", cnt(snap("lex_df")()), cnt(dfAfter)),
-        ("cluster_label_rows", cnt(snap("cluster_labels")()),
-          cnt(labelsAfter)),
-        ("ivf_assignment_rows", cnt(assigned), cnt(assignedAfter)),
-        ("lsh_signature_rows", cnt(idx), cnt(idxAfter)))
+      val ivfF = Future {
+        val assigned = snap("ivf_assigned")().localCheckpoint()
+        val assignedAfter = assigned.join(
+          assigned.filter(isRetracted(col("vec_id")))
+            .select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+        ("ivf_assignment_rows", cnt(assigned), cnt(assignedAfter))
+      }
+      val rows = Seq(bm25F, clusterF, ivfF, lshF)
+        .map(Await.result(_, Duration.Inf))
       rows.toDF("artifact", "rows_before", "rows_after")
         .withColumn("rows_removed", col("rows_before") - col("rows_after"))
         .orderBy(col("artifact"))

@@ -73,29 +73,43 @@ object LtrHoldoutQueries {
       .filter(col("text").isNotNull)
       .select(col("doc_id"), TextOps.words(col("text")).as("w"))
       .withColumn("dl", size(col("w")).cast(DoubleType))
-    val tf = allTerms.zipWithIndex.foldLeft(tok) { case (d, (term, i)) =>
-      d.withColumn(s"tf$i",
-        size(filter(col("w"), x => x === term)).cast(DoubleType))
-    }.drop("w").localCheckpoint()
-    val aggs = count(lit(1)).cast(DoubleType).as("n") +:
-      avg(col("dl")).as("avgdl") +:
-      allTerms.indices.map(i =>
-        sum(when(col(s"tf$i") > 0, 1).otherwise(0))
-          .cast(DoubleType).as(s"df$i"))
-    val stats = tf.agg(aggs.head, aggs.tail: _*)
-    val scored = tf.crossJoin(broadcast(stats)).localCheckpoint()
+    // round 21 (guide §2.6): the lexical chain (tf → stats → scored)
+    // and the dense chain (probes → sims) read DIFFERENT tables and
+    // share nothing until the shortlists join them — overlap their
+    // eager checkpoint jobs (identical frames, identical plans; only
+    // job submission overlaps)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val scoredF = Future {
+      val tf = allTerms.zipWithIndex.foldLeft(tok) { case (d, (term, i)) =>
+        d.withColumn(s"tf$i",
+          size(filter(col("w"), x => x === term)).cast(DoubleType))
+      }.drop("w").localCheckpoint()
+      val aggs = count(lit(1)).cast(DoubleType).as("n") +:
+        avg(col("dl")).as("avgdl") +:
+        allTerms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1).otherwise(0))
+            .cast(DoubleType).as(s"df$i"))
+      val stats = tf.agg(aggs.head, aggs.tail: _*)
+      tf.crossJoin(broadcast(stats)).localCheckpoint()
+    }
     // ---- dense side: ONE embeddings pass for all 3 probe sims ----
-    val e = t(s, dir, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val probes = e.filter(col("vec_id") < qterms.size)
-      .groupBy().pivot("vec_id").agg(first(col("v")))
-      .select((0 until qterms.size).map(q =>
-        col(q.toString).as(s"pv$q")): _*)
-    val sims = e.crossJoin(broadcast(probes))
-      .select(col("vec_id") +:
-        (0 until qterms.size).map(q =>
-          cosine(col("v"), col(s"pv$q")).as(s"sim$q")): _*)
-      .localCheckpoint()
+    val simsF = Future {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val probes = e.filter(col("vec_id") < qterms.size)
+        .groupBy().pivot("vec_id").agg(first(col("v")))
+        .select((0 until qterms.size).map(q =>
+          col(q.toString).as(s"pv$q")): _*)
+      e.crossJoin(broadcast(probes))
+        .select(col("vec_id") +:
+          (0 until qterms.size).map(q =>
+            cosine(col("v"), col(s"pv$q")).as(s"sim$q")): _*)
+        .localCheckpoint()
+    }
+    val scored = Await.result(scoredF, Duration.Inf)
+    val sims = Await.result(simsF, Duration.Inf)
     // ---- per-query shortlists + fusion over the slim frames ----
     val perQ = qterms.zipWithIndex.map { case (terms, q) =>
       val idx = terms.map(allTerms.indexOf)

@@ -63,11 +63,21 @@ object SetSimQueries {
       .select(col("doc_id"), md5(col("nt")).as("g"), col("nt"))
       .localCheckpoint()
     val members = base.select(col("doc_id"), col("g"))
-    val grp = base.groupBy(col("g"))
+    // round 21 (guide §2.4 "don't compute it twice" + the wave-4 width
+    // discipline): grp feeds BOTH the rarity table (df) and the sorted
+    // prefix table — unmaterialized, the norm+shingleSet pass over
+    // every distinct content ran twice per query (once per consumer);
+    // the checkpoint computes it once and doubles as the pushdown
+    // barrier. The aggregate input is width-pinned because the
+    // CPU-dense shingle projection runs on the aggregate's output,
+    // which AQE otherwise coalesces to 1–3 partitions at small inputs.
+    val grp = ShufflePlan.pinnedByKey(base, col("g"))
+      .groupBy(col("g"))
       .agg(count(lit(1)).as("nd"), min(col("nt")).as("nt"))
       .withColumn("w", TextOps.shingleSet(split(col("nt"), " "), 5))
       .filter(size(col("w")) >= 1)
       .drop("nt")
+      .localCheckpoint()
     // global rarity order from GROUP-grain shingle df
     val df = grp.select(col("g"), explode(col("w")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
