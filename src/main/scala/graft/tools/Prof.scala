@@ -24,6 +24,7 @@ object Prof {
     spark.range(1000000).selectExpr("sum(id)").collect()
     val reps = sys.env.getOrElse("GRAFT_PROF_REPS", "3").toInt
     if (sys.env.contains("GRAFT_PROF_TRAINER")) profTrainer(spark, reps)
+    else if (sys.env.contains("GRAFT_PROF_TRIVIAL")) profTrivial(spark)
     else if (sys.env.contains("GRAFT_PROF_STREAM")) profStream(spark, reps)
     else names.foreach { n =>
       (1 to reps).foreach { i =>
@@ -111,6 +112,53 @@ object Prof {
       graft.SparkEntry.queries("q43_stream_tumbling")(spark,
         sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")).count()
       println(f"[prof] q43 iter$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+  }
+
+  /** Where does the per-JOB scheduling floor go? Runs
+    * GRAFT_PROF_TRIVIAL trivial 1-task jobs on a warm cached RDD while
+    * a 5 ms sampler records the top in-Spark frame of every non-idle
+    * thread — the histogram names the floor's components (task-binary
+    * broadcast, listener bus, result fetch...), which a bench line
+    * cannot. Diagnostic only; no query path touches this. */
+  private def profTrivial(spark: SparkSession): Unit = {
+    val n = sys.env("GRAFT_PROF_TRIVIAL").toInt
+    val rdd1 = spark.sparkContext.parallelize(1 to 10, 1).cache()
+    rdd1.count()
+    (1 to 200).foreach(_ => rdd1.count()) // warm
+    val hist = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val sampling = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val self = Thread.currentThread()
+    val sampler = new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      while (sampling.get()) {
+        Thread.getAllStackTraces.asScala.foreach { case (t, frames) =>
+          if ((t.getState == Thread.State.RUNNABLE || t == self) &&
+              frames.nonEmpty) {
+            frames.find { f =>
+              val c = f.getClassName
+              c.startsWith("org.apache.spark") && !c.contains("Logging")
+            }.foreach { f =>
+              val key = s"${t.getName.take(24)}|" +
+                s"${f.getClassName.split('.').last}.${f.getMethodName}"
+              hist.merge(key, 1, (a, b) => a + b)
+            }
+          }
+        }
+        Thread.sleep(5)
+      }
+    })
+    sampler.setDaemon(true); sampler.start()
+    val t0 = System.nanoTime()
+    (1 to n).foreach(_ => rdd1.count())
+    val dt = (System.nanoTime() - t0) / 1e6 / n
+    sampling.set(false)
+    println(f"[prof] trivial-job latency $dt%.1f ms over $n jobs")
+    locally {
+      import scala.jdk.CollectionConverters._
+      hist.asScala.toSeq.sortBy(-_._2).take(25).foreach { case (k, v) =>
+        println(f"[prof] $v%5d  $k")
+      }
     }
   }
 
