@@ -109,13 +109,24 @@ object LmQueries {
       val docs = t(s, dir, "documents")
       val toks = tokensWithContext(docs)
       val ref = tokensWithContext(docs.filter(col("source").isin(RefTier: _*)))
-      val uni = ref.groupBy(col("lang"), col("w"))
-        .agg(count(lit(1)).as("c1")).localCheckpoint()
+      // round 21 (guide §2.6): the unigram and bigram LM tables are
+      // independent aggregates of the same reference-tier tokenize —
+      // their checkpoint jobs overlap (each job re-runs the ref explode;
+      // concurrent submission makes the wall the max, not the sum, and
+      // the shared scan stages back-fill each other's tails)
+      val (uni, big) = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val uf = Future(ref.groupBy(col("lang"), col("w"))
+          .agg(count(lit(1)).as("c1")).localCheckpoint())
+        val bf = Future(ref.filter(col("v").isNotNull)
+          .groupBy(col("lang"), col("v"), col("w"))
+          .agg(count(lit(1)).as("c2")).localCheckpoint())
+        (Await.result(uf, Duration.Inf), Await.result(bf, Duration.Inf))
+      }
       val nv = uni.groupBy(col("lang"))
         .agg(sum(col("c1")).as("n_lm"), count(lit(1)).as("v_lm"))
-      val big = ref.filter(col("v").isNotNull)
-        .groupBy(col("lang"), col("v"), col("w"))
-        .agg(count(lit(1)).as("c2")).localCheckpoint()
       val cv = big.groupBy(col("lang"), col("v")).agg(sum(col("c2")).as("cv"))
       val scored = toks
         .join(uni, Seq("lang", "w"), "left")
