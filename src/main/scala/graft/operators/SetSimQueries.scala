@@ -63,16 +63,19 @@ object SetSimQueries {
       .select(col("doc_id"), md5(col("nt")).as("g"), col("nt"))
       .localCheckpoint()
     val members = base.select(col("doc_id"), col("g"))
-    // round 21 (guide §2.4 "don't compute it twice" + the wave-4 width
-    // discipline): grp feeds BOTH the rarity table (df) and the sorted
-    // prefix table — unmaterialized, the norm+shingleSet pass over
-    // every distinct content ran twice per query (once per consumer);
-    // the checkpoint computes it once and doubles as the pushdown
-    // barrier. The aggregate input is width-pinned because the
-    // CPU-dense shingle projection runs on the aggregate's output,
-    // which AQE otherwise coalesces to 1–3 partitions at small inputs.
-    val grp = ShufflePlan.pinnedByKey(base, col("g"))
-      .groupBy(col("g"))
+    // round 21 (guide §2.4 "don't compute it twice"): grp feeds BOTH
+    // the rarity table (df) and the sorted prefix table —
+    // unmaterialized, the norm+shingleSet pass over every distinct
+    // content ran twice per query (once per consumer); the checkpoint
+    // computes it once and doubles as the pushdown barrier. sf0.1 A/B:
+    // q282 2.97→2.07 s, q287 2.50→1.66 s. The aggregate input is
+    // deliberately NOT shuffle-first/width-pinned: a probe that
+    // repartitioned base by g before the groupBy shuffled the full
+    // doc-grain fat-text frame (the map-side partial reduces it to one
+    // row per distinct content first) and regressed q287 +0.65 s at
+    // ×100 where replication is 100× — the partial-agg shape is the
+    // scale path here.
+    val grp = base.groupBy(col("g"))
       .agg(count(lit(1)).as("nd"), min(col("nt")).as("nt"))
       .withColumn("w", TextOps.shingleSet(split(col("nt"), " "), 5))
       .filter(size(col("w")) >= 1)
