@@ -295,7 +295,7 @@ object DedupQueries {
     * the explode volume drops from corpus-docs×shingles to
     * contents×shingles(×cap). */
   private case class PrunedParts(cand: DataFrame, memb: DataFrame,
-    grp: DataFrame)
+    grp: DataFrame, contentGrain: Boolean)
 
   private def prunedParts(docs: DataFrame): PrunedParts = {
     val s0 = docs.sparkSession
@@ -315,7 +315,8 @@ object DedupQueries {
     // cap-first algebra keeps DOC-grain posting-cap semantics
     // exactly (SCALE.md round-18 proof), candidates and verdicts are
     // defined at doc grain, and h never reaches an output column.
-    val (memb, grp) = if (contentGrainByCensus(membH)) {
+    val contentGrain = contentGrainByCensus(membH)
+    val (memb, grp) = if (contentGrain) {
       // shuffle on h FIRST so no map-side partial buffers fat text
       // (the q276/q284 discipline). Width pinned (round 21): the plain
       // repartition(col) is AQE-coalescible, and the shingle projection
@@ -362,20 +363,45 @@ object DedupQueries {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    PrunedParts(cand, memb, grp)
+    PrunedParts(cand, memb, grp, contentGrain)
   }
 
   private[graft] def prunedCandParts(docs: DataFrame): (DataFrame, DataFrame) = {
     val p = prunedParts(docs)
     // doc-grain shingle table via membership fan-out — no per-doc
     // shingle recompute (null-text docs carry no row; they never had
-    // postings or candidates)
-    (p.cand, p.memb.join(p.grp, "h")
-      .select(col("doc_id"), col("sh"), col("nsh")))
+    // postings or candidates). On the DOC-grain branch the membership
+    // join is an identity detour (h IS doc_id rendered as a string —
+    // round 21): read the doc id straight back off the group key.
+    if (!p.contentGrain)
+      (p.cand, p.grp.select(col("h").cast(LongType).as("doc_id"),
+        col("sh"), col("nsh")))
+    else
+      (p.cand, p.memb.join(p.grp, "h")
+        .select(col("doc_id"), col("sh"), col("nsh")))
   }
 
   private def prunedPairStats(docs: DataFrame): DataFrame = {
     val p = prunedParts(docs)
+    // DOC grain (round 21): h == CAST(doc_id AS STRING) by
+    // construction, so the content-pair indirection below — two
+    // membership equi-joins, a DISTINCT over content pairs, and the
+    // fan-back join — is an identity detour costing 4 exchanges per
+    // query; verify straight at doc-pair grain instead (cast
+    // round-trips exactly for longs). Rows identical: each candidate
+    // pair intersects its own two shingle sets either way.
+    if (!p.contentGrain) {
+      return p.cand
+        .join(p.grp.select(col("h").as("h1"), col("sh").as("sh1"),
+          col("nsh").as("n1")),
+          col("d1").cast(StringType) === col("h1"))
+        .join(p.grp.select(col("h").as("h2"), col("sh").as("sh2"),
+          col("nsh").as("n2")),
+          col("d2").cast(StringType) === col("h2"))
+        .select(col("d1"), col("d2"),
+          size(array_intersect(col("sh1"), col("sh2"))).as("inter"),
+          col("n1"), col("n2"))
+    }
     // verify at CONTENT-pair grain: inter/n1/n2 depend only on the
     // two contents, so each distinct content pair intersects once and
     // the result fans back to the candidate doc pairs — on a
